@@ -1,0 +1,38 @@
+"""Determinism helpers (SURVEY.md §2 Part B preamble).
+
+Floats that pass through aggregation or arithmetic are rounded to 6
+decimal places in every query output so the order-insensitive value
+hash is stable between Spark and the DuckDB oracle. Both engines round
+half away from zero for doubles, and both produce bit-identical IEEE
+doubles for the same rounded decimal, so ``round(x, 6)`` is a stable
+canonical form as long as the pre-rounding values agree to well under
+1e-6 (true for all declared aggregates at test scale; columns that ever
+fail the hash get switched to an exact DECIMAL computation instead —
+see ``dec6``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def r6(col: Column | str) -> Column:
+    """Round a double column to 6 decimal places (canonical output form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 6)
+
+
+def r6d(col: Column | str, alias: str) -> Column:
+    """round-to-6 + alias in one step (every computed column is aliased)."""
+    return r6(col).alias(alias)
+
+
+def dec6(col: Column | str) -> Column:
+    """Exact-decimal canonical form for sum columns whose double rounding
+    proves unstable: cast the *inputs* to DECIMAL(18,6) so the aggregation
+    is exact and deterministic regardless of partitioning/order, then cast
+    the result back to double for a schema that matches the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")

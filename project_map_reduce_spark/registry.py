@@ -1,0 +1,60 @@
+"""Query registry — the single source of truth for the declared inventory.
+
+Each query from SURVEY.md §2 Part B registers itself here with:
+  - a Spark callable ``(spark, sf_dir) -> DataFrame`` (the engine path)
+  - optionally a DuckDB oracle SQL string (the correctness contract);
+    queries without an oracle get the driver's weaker rows-only check
+    (only for genuinely non-SQL-expressible ops, e.g. randomized LSH).
+
+``__spark_entry__.py`` is a thin adapter over this module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+class QueryEntry(NamedTuple):
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, QueryEntry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query under ``name`` with an optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = QueryEntry(fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    # Import side effect populates the registry.
+    from project_map_reduce_spark import plans  # noqa: F401
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: e.fn for name, e in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+
+
+def entries() -> dict[str, QueryEntry]:
+    _ensure_loaded()
+    return dict(_REGISTRY)

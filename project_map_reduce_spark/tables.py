@@ -1,0 +1,48 @@
+"""Fixture-table access.
+
+The driver pre-generates ten parquet tables per scale factor
+(TESTDATA.md / FIXTURES.md). All queries load through here so that the
+scan layer is one place: a parquet relation with Catalyst predicate
+pushdown and column pruning. At cluster scale the same loader would
+point at a partitioned table root; nothing else in the engine changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (for spark.sql queries)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
