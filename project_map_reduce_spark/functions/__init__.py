@@ -1,3 +1,3 @@
 """Scalar-function helpers shared across query plans."""
 
-from project_map_reduce_spark.functions.det import r6, r6d  # noqa: F401
+from project_map_reduce_spark.functions.det import SUM6, r6, r6d, sum6  # noqa: F401

@@ -28,11 +28,20 @@ def r6d(col: Column | str, alias: str) -> Column:
     return r6(col).alias(alias)
 
 
-def dec6(col: Column | str) -> Column:
-    """Exact-decimal canonical form for sum columns whose double rounding
-    proves unstable: cast the *inputs* to DECIMAL(18,6) so the aggregation
-    is exact and deterministic regardless of partitioning/order, then cast
-    the result back to double for a schema that matches the oracle.
+def sum6(col: Column | str) -> Column:
+    """Exact-decimal sum with double output — for money-scale sums where
+    ``round(sum(double), 6)`` exceeds double precision (e.g. a 3e8 total
+    needs 15+ significant digits at 6dp). Casting the *inputs* to
+    DECIMAL(27,6) makes the aggregation exact and order-independent;
+    the final cast back to double is correctly rounded on both engines,
+    so values and schema match the oracle bit-for-bit.
+
+    Oracle-side equivalent: ``CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE)``
+    (see ``SUM6`` format helper).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(18,6)")
+    return F.sum(c.cast("decimal(27,6)")).cast("double")
+
+
+# Oracle-side template matching sum6 (use .format(expr=...)).
+SUM6 = "CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"

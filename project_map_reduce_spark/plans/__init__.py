@@ -5,6 +5,14 @@ Importing this package registers every query with
 """
 
 from project_map_reduce_spark.plans import (  # noqa: F401
+    agg_extra,
     aggregates,
+    filters,
+    joins,
+    scalars,
     scans,
+    setops,
+    sort_topk,
+    streaming_shaped,
+    windows,
 )

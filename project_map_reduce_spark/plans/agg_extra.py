@@ -1,0 +1,136 @@
+"""B.4 aggregation, rest of the family (Q16-Q21).
+
+Rollup/cube/grouping-sets all compile to Expand + one hash aggregate —
+rows are replicated per grouping set *after* map-side partial agg where
+possible; grouping ids are cast to bigint on both engines so schemas
+match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d, sum6
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load, register_views
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group — Catalyst expands to a two-phase
+    aggregate (distinct on (flag, partkey) then count), keeping the
+    shuffle keyed and combinable at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price,
+           count(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority): per-pair, per-status, grand total."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        sum6("o_totalprice").alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price,
+           count(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the same keys — all four grouping sets."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        sum6("o_totalprice").alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (engine exposes both
+    DataFrame and SQL entry points over the same Catalyst plan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register("q_approx_count_distinct", oracle=None)  # rows-only: HLL estimates differ
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) of users per event_type —
+    the 100 TB way to count distincts (fixed-size sketch, no exact
+    distinct shuffle). Rows-only check: sketch estimates legitimately
+    differ from DuckDB's exact/approx values."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_grouped_count",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 5 AS BIGINT) AS user_bucket,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type, user_id % 5
+    """,
+)
+def q_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count by (type, derived bucket) — restates ref A10's
+    count-instances-by-(tag,state) (LocalCloud.java:155-181)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", (F.col("user_id") % 5).cast("bigint").alias("user_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_map_reduce_spark.functions.det import r6d
+from project_map_reduce_spark.functions.det import r6d, sum6
 from project_map_reduce_spark.registry import register
 from project_map_reduce_spark.tables import load
 
@@ -24,14 +24,16 @@ from project_map_reduce_spark.tables import load
     SELECT
         l_returnflag,
         l_linestatus,
-        round(sum(l_quantity), 6)                                          AS sum_qty,
-        round(sum(l_extendedprice), 6)                                     AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 6)                  AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)    AS sum_charge,
-        round(avg(l_quantity), 6)                                          AS avg_qty,
-        round(avg(l_extendedprice), 6)                                     AS avg_price,
-        round(avg(l_discount), 6)                                          AS avg_disc,
-        count(*)                                                           AS count_order
+        CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)        AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)   AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+                                                                      AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE)
+                                                                      AS sum_charge,
+        round(avg(l_quantity), 6)                                     AS avg_qty,
+        round(avg(l_extendedprice), 6)                                AS avg_price,
+        round(avg(l_discount), 6)                                     AS avg_disc,
+        count(*)                                                      AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -49,10 +51,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        r6d(F.sum("l_quantity"), "sum_qty"),
-        r6d(F.sum("l_extendedprice"), "sum_base_price"),
-        r6d(F.sum(disc_price), "sum_disc_price"),
-        r6d(F.sum(charge), "sum_charge"),
+        sum6("l_quantity").alias("sum_qty"),
+        sum6("l_extendedprice").alias("sum_base_price"),
+        sum6(disc_price).alias("sum_disc_price"),
+        sum6(charge).alias("sum_charge"),
         r6d(F.avg("l_quantity"), "avg_qty"),
         r6d(F.avg("l_extendedprice"), "avg_price"),
         r6d(F.avg("l_discount"), "avg_disc"),

@@ -1,0 +1,272 @@
+"""B.3 joins (Q06-Q14).
+
+Scale strategy per join (SURVEY.md §4.2 "100 TB design rules"):
+- fact⋈fact (lineitem⋈orders) → sort-merge with AQE skew splitting;
+  both sides shuffle on the key once.
+- fact⋈small-dim (nation, region, part at test SF) → explicit
+  ``F.broadcast`` where the dim is bounded by nature; otherwise leave
+  the choice to Catalyst/AQE so a 100× scale-up degrades gracefully to
+  shuffle join instead of OOMing the driver.
+- semi/anti joins use the dedicated join types (no distinct+inner
+  emulation — half the shuffle volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d, sum6
+from project_map_reduce_spark.operators.asof import asof_join_keyed
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join, revenue by market segment."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum6("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_multi",
+    oracle="""
+    SELECT r_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star chain, revenue by region. nation/region are bounded
+    (25/5 rows at any SF) → always broadcast; lineitem⋈orders is the
+    big-big edge → sort-merge; customer rides Catalyst's choice."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT count(*) AS n_customers_without_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer left-outer orders; count the null side (orderless
+    customers exist by fixture design, FIXTURES.md)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders   WHERE o_custkey % 3 = 0)
+    SELECT coalesce(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'right_only'
+                WHEN b.k IS NULL THEN 'left_only'
+                ELSE 'both' END AS side
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two deterministic key samples, side labeled."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("ak")
+    ).distinct()
+    b = o.filter(F.col("o_custkey") % 3 == 0).select(
+        F.col("o_custkey").alias("bk")
+    ).distinct()
+    j = a.join(b, a.ak == b.bk, "full")
+    side = (
+        F.when(F.col("ak").isNull(), "right_only")
+        .when(F.col("bk").isNull(), "left_only")
+        .otherwise("both")
+    )
+    return j.select(F.coalesce("ak", "bk").alias("k"), side.alias("side"))
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order — left_semi (ref A4a's correlation-key
+    filter is this exact shape). Semi join never duplicates left rows
+    and only ships the key column of the right side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti ↔ NOT EXISTS."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part with an explicit broadcast hint: the fact side
+    never shuffles — map-side hash join, then partial agg on p_brand.
+    (Same result as the unhinted join; the hint pins the physical
+    strategy, asserted via the plan in tests.)"""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_late_ship,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS late_value
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + theta residual: ships strictly after the order date.
+    The equi part drives the shuffle/merge; the range predicate is a
+    post-join filter evaluated inside codegen — no nested-loop blowup."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_ship"),
+        sum6("l_extendedprice").alias("late_value"),
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           round(p.value, 6) AS purchase_value,
+           s.sig_ts AS signup_ts,
+           round(s.sig_value, 6) AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts AS sig_ts, value AS sig_value
+          FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.sig_ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join: for each purchase event, the latest signup
+    event at-or-before it for the same user, value carried. Built on
+    operators/asof.py (union + one keyed window — single shuffle on
+    user_id; no native ASOF in Spark SQL). Oracle: DuckDB ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("sig_ts"),
+        F.col("value").alias("sig_value"),
+        "event_id",
+    )
+    joined = asof_join_keyed(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="sig_ts",
+        value_cols=["sig_ts", "sig_value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        r6d(F.col("purchase_value"), "purchase_value"),
+        F.col("sig_ts").alias("signup_ts"),
+        r6d(F.col("sig_value"), "signup_value"),
+    )

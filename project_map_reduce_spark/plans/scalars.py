@@ -1,0 +1,205 @@
+"""B.8 scalar functions: string / date / math / json / array / map
+(Q33-Q38).
+
+All JVM-side ``pyspark.sql.functions`` — zero Python in the data path,
+everything inside whole-stage codegen. Cross-engine type quirks (Spark
+``ceil`` → bigint, ``date_add`` → date, ``year`` → int) are pinned with
+explicit casts on the oracle side so schemas agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+
+@register(
+    "q_string_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           upper(p_name)                          AS name_upper,
+           lower(p_type)                          AS type_lower,
+           substr(p_name, 1, 8)                   AS name_prefix,
+           trim(p_name)                           AS name_trim,
+           concat(p_brand, ':', p_type)           AS brand_type,
+           CAST(length(p_name) AS INT)            AS name_len,
+           regexp_extract(p_name, '^(\w+)', 1)    AS first_word,
+           replace(p_type, ' ', '_')              AS type_snake
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part (ref analog: the only string
+    ops in the reference are split/substring plumbing, Workers.java:237)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)     AS order_year,
+           CAST(month(o_orderdate) AS INT)    AS order_month,
+           CAST(quarter(o_orderdate) AS INT)  AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function battery over orders."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "q_datediff",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff across a join: days from order to ship per lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "ship_delay_days"
+        ),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                        AS price_r1,
+           abs(l_discount - 0.05)                           AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT)                 AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)                AS qty_floor,
+           round(sqrt(l_extendedprice), 6)                  AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)                AS price_ln,
+           round(pow(1 + l_tax, 2), 6)                      AS tax_sq
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery over lineitem numerics (round-6 canonical
+    form absorbs last-ulp libm differences between JVM and C)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        r6d(F.sqrt("l_extendedprice"), "price_sqrt"),
+        r6d(F.log(F.col("l_extendedprice") + 1), "price_ln"),
+        r6d(F.pow(F.lit(1) + F.col("l_tax"), 2), "tax_sq"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse events.props JSON, extract $.k, aggregate by type.
+    ``get_json_object`` is a codegen'd JVM path (Jackson), no UDF."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        r6d(F.avg(k), "avg_k"),
+    )
+
+
+@register(
+    "q_array_ops",
+    oracle="""
+    SELECT word,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → word counts over the corpus (canonical
+    single-space tokenizer, FIXTURES.md). Explode happens after the
+    scan projection prunes to (doc_id, text); the groupBy combines
+    map-side so shuffle rows ≈ per-partition vocab, not token count."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "q_map_ops",
+    oracle="""
+    SELECT source,
+           count(*) FILTER (WHERE lang = 'es') AS n_es,
+           count(*) FILTER (WHERE lang = 'zh') AS n_zh
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build map(lang → count) per source, then element_at lookups —
+    the oracle computes the same scalars via filtered counts (different
+    computation, same value: the point of the check)."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    maps = per_lang.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "n"))).alias("lang_map")
+    )
+    zero = F.lit(0).cast("bigint")
+    return maps.select(
+        "source",
+        F.coalesce(F.element_at("lang_map", "es"), zero).alias("n_es"),
+        F.coalesce(F.element_at("lang_map", "zh"), zero).alias("n_zh"),
+    )

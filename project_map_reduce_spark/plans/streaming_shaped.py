@@ -1,0 +1,117 @@
+"""B.9 streaming-shaped analytics, batch-checked (Q39-Q42).
+
+Each query applies the batch/stream-unified transforms from
+streaming/transforms.py to the batch events table; the identical
+transform objects run under ``readStream`` in the streaming smoke test
+(tests/test_streaming.py), which is the capability proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.streaming import transforms as X
+from project_map_reduce_spark.tables import load
+
+
+@register(
+    "q_events_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts)                       AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR     AS window_end,
+           event_type,
+           count(*)                                     AS n_events,
+           round(sum(value), 6)                         AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts (epoch-aligned, = date_trunc)."""
+    return X.tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_events_sliding",
+    oracle="""
+    WITH cand AS (
+        SELECT e.*, CAST(to_timestamp(s.wstart_epoch) AS TIMESTAMP) AS window_start
+        FROM events e,
+             LATERAL (SELECT unnest(ARRAY[
+                 floor(epoch(e.ts) / 1800) * 1800,
+                 floor(epoch(e.ts) / 1800) * 1800 - 1800
+             ]) AS wstart_epoch) s
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM cand
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding 30 min (oracle expands each event into its
+    two candidate epoch-aligned buckets and filters)."""
+    return X.sliding_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_events_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+                   AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                             AS session_start,
+           max(ts) + INTERVAL 30 MINUTE        AS session_end,
+           (epoch_us(max(ts) + INTERVAL 30 MINUTE) - epoch_us(min(ts))) // 1000000
+                                               AS duration_secs,
+           count(*)                            AS n_events,
+           round(sum(value), 6)                AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows per user (session_window ↔
+    gaps-and-islands oracle; end = last event + gap on both sides)."""
+    return X.session_stats(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT count(*)             AS n_rows,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on event_id over a deliberately doubled input (simulating
+    the reference's at-least-once redelivery, SURVEY.md §1.4) — the
+    result must equal the clean table."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    from project_map_reduce_spark.functions.det import r6d
+
+    doubled = ev.unionByName(ev)
+    deduped = X.dedup_events(doubled)
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r6d(F.sum("value"), "sum_value"),
+    )

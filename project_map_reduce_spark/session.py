@@ -60,6 +60,10 @@ def get_spark(
         # matching DuckDB's µs view of the same files.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # Spark has no ns timestamp type; read INT64(NANOS) parquet columns
+        # as raw longs — tables.load converts to µs TimestampType (matching
+        # DuckDB's µs truncation of the same files).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
