@@ -7,12 +7,16 @@ Importing this package registers every query with
 from project_map_reduce_spark.plans import (  # noqa: F401
     agg_extra,
     aggregates,
+    dedup,
     filters,
     joins,
     scalars,
     scans,
     setops,
+    similarity,
     sort_topk,
     streaming_shaped,
+    text_analysis,
+    udfs,
     windows,
 )

@@ -1,0 +1,328 @@
+"""B.10 deduplication operators (Q43 exact, Q44 MinHash-LSH fuzzy +
+SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Scale doctrine (the whole point of these shapes at 100 TB):
+
+- **Never all-pairs.** Every near-dup operator goes through a blocking
+  key — an inverted shingle index, LSH band buckets, or a coarse
+  cluster id — so candidate generation is an equi-join Catalyst can
+  hash-partition, not a crossJoin. The reference's at-least-once
+  duplicate problem (SURVEY.md §1.4: duplicated gather lines are NOT
+  removed) is the semantic ancestor of q_dedup_exact.
+- **Hyper-frequent blocking keys are dropped** (stop-shingles): a
+  shingle shared by >50 docs contributes O(50²) candidate pairs and
+  near-zero signal. This caps the self-join fanout — the equivalent of
+  AQE skew-split, applied semantically. The cap is part of the declared
+  operator spec (both engines apply it identically).
+- Exact dedup groups on the full text only at test scale; the
+  fingerprint-first variant (group on md5 — q_doc_fingerprint) is the
+  100 TB path: 32-byte shuffle keys instead of document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Q43 — exact dedup
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS survivor_doc_id,
+           count(*) AS n_copies,
+           CAST(min(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q43: exact-duplicate removal — survivor = min(doc_id) per distinct
+    text. One hash-aggregate shuffle keyed on text (fingerprint at scale)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted shingle index — the scale path)
+
+_SHINGLE_K = 3
+_STOP_SHINGLE_DF = 50  # blocking keys in more docs than this are dropped
+_TOP_PAIRS = 20
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {_SHINGLE_K - 1}),
+                                     i -> array_to_string(t[i:i+{_SHINGLE_K - 1}], ' ')))
+                   AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    keep AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {_STOP_SHINGLE_DF}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM (SELECT sh.* FROM sh JOIN keep USING (shingle)) a
+        JOIN (SELECT sh.* FROM sh JOIN keep USING (shingle)) b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT doc_a, doc_b,
+               round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM j
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT {_TOP_PAIRS}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: {k}-token shingles → inverted-index self-join →
+    exact Jaccard → top-{n} most-similar pairs (deterministic tiebreak).
+
+    100 TB shape: explode to (shingle, doc_id), drop stop-shingles, then
+    one equi-join on shingle — shuffle is hash-partitioned by shingle and
+    per-key fanout is capped at {df}² pairs. No crossJoin anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles_expr = (
+        f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_K - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE_K})))"
+    )
+    sh = (
+        d.select("doc_id", F.explode(F.expr(shingles_expr)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") <= _STOP_SHINGLE_DF
+    ).select("shingle")
+    shk = sh.join(keep, "shingle")
+    a = shk.alias("a")
+    b = shk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(_TOP_PAIRS)
+
+
+q_dedup_ngram_jaccard.__doc__ = q_dedup_ngram_jaccard.__doc__.format(
+    k=_SHINGLE_K, n=_TOP_PAIRS, df=_STOP_SHINGLE_DF
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (32-bit, deterministic char-polynomial token hash)
+
+# Token hash: fold chars with acc*131 + ascii(c) (mod 2^31-1) — verified
+# bit-identical across engines. SimHash: per bit b, sign of Σ±1 over
+# token hashes; fingerprint = Σ (sign_b>=0) << b.
+_TOKHASH_SPARK = (
+    "transform(split(text, ' '), t -> aggregate(split(t, ''), 7L, "
+    "(a, c) -> (a*131 + ascii(c)) % 2147483647))"
+)
+_TOKHASH_DUCK = (
+    "list_transform(string_split(text, ' '), t -> "
+    "list_reduce(list_prepend(7::BIGINT, list_transform(string_split(t, ''), "
+    "c -> ascii(c)::BIGINT)), (a, c) -> (a*131 + c) % 2147483647))"
+)
+
+_BITS = list(range(32))
+_SIMHASH_SPARK = (
+    "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + IF("
+    "aggregate(hs, 0L, (x, h) -> x + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) >= 0, "
+    "shiftleft(1L, b), 0L))"
+)
+_SIMHASH_DUCK = (
+    "CAST(list_sum(list_transform(["
+    + ", ".join(str(b) for b in _BITS)
+    + "], b -> CASE WHEN list_sum(list_transform(hs, h -> "
+    "CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 "
+    "THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_TOKHASH_DUCK} AS hs FROM documents)
+    SELECT doc_id,
+           {_SIMHASH_DUCK} AS simhash,
+           CAST(({_SIMHASH_DUCK} >> 24) & 255 AS BIGINT) AS band3,
+           CAST(({_SIMHASH_DUCK} >> 16) & 255 AS BIGINT) AS band2
+    FROM h
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprint: 32-bit simhash per doc + two 8-bit
+    LSH bands (near-dup candidates = docs sharing a band bucket —
+    candidate generation is then a groupBy on band, never all-pairs).
+
+    Shuffle-free map stage; the banding groupBy downstream shuffles
+    8-bit keys. Hash arithmetic is pure integer — engine-exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_TOKHASH_SPARK).alias("hs"))
+    sim = h.select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
+    return sim.select(
+        "doc_id",
+        "simhash",
+        F.expr("shiftright(simhash, 24) & 255").cast("bigint").alias("band3"),
+        F.expr("shiftright(simhash, 16) & 255").cast("bigint").alias("band2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — MinHash-LSH fuzzy dedup (pyspark.ml — randomized, rows-only)
+
+
+@register("q_dedup_fuzzy", oracle=None)  # rows-only: randomized hash family
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q44: MinHash-LSH near-dup pairs (Jaccard distance ≤ 0.9) via
+    pyspark.ml — shingle features → HashingTF → MinHashLSH(seed=42) →
+    approxSimilarityJoin. Randomized hash family ⇒ rows-only check.
+
+    100 TB shape: approxSimilarityJoin explodes each doc to its
+    numHashTables band keys and equi-joins on (table, band hash) — the
+    distributed LSH bucket join, identical in spirit to
+    q_dedup_ngram_jaccard's inverted index but with probabilistic
+    recall and O(1) bands per doc regardless of doc length.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    # Shingle (not unigram) sets: the fixture vocabulary is ~30 words, so
+    # unigram sets of every doc pair overlap heavily and LSH degenerates
+    # to all-pairs; 3-token shingles are distinctive (≈|vocab|³ space).
+    shingles_expr = (
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(shingles_expr).alias("tokens")
+    )
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(d)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, threshold=0.6, distCol="jaccard_dist"
+    )
+    return pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (coarse-cluster blocking)
+
+_COS_THRESHOLD = 0.3
+
+# Sequential-fold dot product — bit-identical to DuckDB list_dot_product
+# (verified: max |Δ| = 0.0 over the fixture pairs).
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {_COS_THRESHOLD}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cos ≥ {t} within the same
+    coarse cluster (label = assigned-centroid stand-in, IVF-style
+    blocking).
+
+    100 TB shape: candidate pairs only within a cluster — the join is an
+    equi-join on the cluster id (shuffle-partitionable, AQE-skew-safe),
+    never a global crossJoin. Norms are precomputed once per vector.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    n = e.withColumn("nrm", F.expr("sqrt(" + _DOT_SPARK.format(a="v", b="v") + ")"))
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = _DOT_SPARK.format(a="a.v", b="b.v")
+    cos = F.round(F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COS_THRESHOLD)
+    )
+
+
+q_dedup_embedding.__doc__ = q_dedup_embedding.__doc__.format(t=_COS_THRESHOLD)

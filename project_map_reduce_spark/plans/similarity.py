@@ -1,0 +1,158 @@
+"""B.10 similarity search over the ``embeddings`` table (Q45 brute-force
+cosine top-k + an IVF-partitioned ANN variant — the 100 TB path).
+
+Brute-force is the correctness baseline: a broadcast of the (small)
+query set against the full vector table, ranked per query. The ANN
+variant shows the scale shape: assign every vector to its nearest
+coarse centroid once (IVF cells), then restrict each query's search to
+its own cell — candidate volume drops by ~n_cells× and the expensive
+join becomes an equi-join on cell id that Catalyst hash-partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+_QUERY_MOD = 50  # query set = vec_id % 50 == 0 (2% of vectors)
+_TOP_K = 5
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    return e.withColumn("nrm", F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")"))
+
+
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6)
+                            DESC, n.vec_id ASC
+               ) AS rank
+        FROM q JOIN n ON q.vec_id <> n.vec_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+    FROM scored WHERE rank <= {_TOP_K}
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q45: brute-force cosine top-{k} per query vector (queries =
+    vec_id % {m} == 0), deterministic rank tiebreak on neighbor id.
+
+    Scale shape: the query side is broadcast (it is {m}× smaller than
+    the corpus); scoring is a map over the big side with no shuffle.
+    The per-query top-k is a window over ~n_vectors rows per query —
+    at real scale swap the window for per-partition heap top-k
+    (q_similarity_ann shows the cell-restricted variant).
+    """
+    n = _vectors(spark, sf_dir)
+    q = n.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+q_similarity_topk.__doc__ = q_similarity_topk.__doc__.format(k=_TOP_K, m=_QUERY_MOD)
+
+
+_N_CELLS = 16
+_ANN_K = 3
+
+
+@register("q_similarity_ann", oracle=None)  # rows-only: recall-traded ANN;
+# exactness is checked by tests/test_llm_ops.py::test_ann_recall instead
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate nearest neighbors — the 100 TB path.
+
+    Deterministic "training": centroids are the first {c} vectors by
+    vec_id (a stand-in for k-means — the partitioning mechanics, which
+    is what Spark owns, are identical). Every vector is assigned to its
+    max-cosine centroid (broadcast of {c} centroids, no shuffle), then
+    each query searches only its own cell via an equi-join on cell id.
+    Candidate volume per query drops n_cells×; the cell equi-join
+    hash-partitions and AQE splits skewed cells.
+    """
+    n = _vectors(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim_to_cent = F.expr(_DOT.format(a="v", b="cv")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell_id")
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", sim_to_cent)
+        .withColumn("arn", F.row_number().over(wassign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "label", "v", "nrm", "cell_id")
+    )
+    q = assigned.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "cell_id",
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+q_similarity_ann.__doc__ = q_similarity_ann.__doc__.format(c=_N_CELLS)

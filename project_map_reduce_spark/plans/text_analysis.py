@@ -1,0 +1,296 @@
+"""B.10 text-analysis operators over the ``documents`` corpus (Q46, Q47
++ training-data-pipeline extensions: language-ID, quality scoring,
+token counting, document fingerprinting).
+
+Everything here is JVM-side Catalyst expressions — higher-order array
+functions (``transform``/``filter``/``aggregate``) over the canonical
+single-space tokenizer, no Python in the data path. Each query shuffles
+at most once on a low-cardinality key (lang/source), so the shapes
+survive 100 TB: the per-document work is embarrassingly parallel and
+whole-stage-codegen'd, and the aggregations combine map-side.
+
+Reference analog: the per-record keyed transform pipeline
+(Workers.java:123-223) — here the "operations" are text metrics instead
+of PDF conversions, with the same row-in/row-out error-free shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           round(avg(len(string_split(text, ' '))), 6)     AS avg_tokens,
+           round(avg(n_chars), 6)                          AS avg_chars,
+           CAST(max(len(string_split(text, ' '))) AS INT)  AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q46: per-language corpus stats (doc counts, avg tokens, avg chars)."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6d(F.avg(n_tok), "avg_tokens"),
+        r6d(F.avg("n_chars"), "avg_chars"),
+        F.max(n_tok).alias("max_tokens"),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT lang, word, count(*) AS tf FROM words GROUP BY lang, word),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    nl AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.word,
+               round(tf.tf * ln(nl.n_langs * 1.0 / df.df), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.lang
+                   ORDER BY round(tf.tf * ln(nl.n_langs * 1.0 / df.df), 6) DESC,
+                            tf.word ASC
+               ) AS rn
+        FROM tf JOIN df USING (word) CROSS JOIN nl
+    )
+    SELECT lang, word AS top_term, tfidf FROM scored WHERE rn = 1
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q47: top TF-IDF term per language (manual, deterministic — no ml
+    randomized hashing, so it is oracle-able).
+
+    Scale shape: explode → two hash aggregations (lang×word, then word)
+    with map-side combine, a broadcast of the tiny df/n_langs side, and
+    one window partitioned by lang. Shuffle volume is O(vocab), not
+    O(tokens).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_langs = d.agg(F.countDistinct("lang").alias("n_langs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_langs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_langs") * 1.0 / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("word").alias("top_term"), "tfidf")
+    )
+
+
+# Marker-token language scorer: deterministic n-gram-style heuristic.
+# The fixture vocabulary is shared across langs (FIXTURES.md), so the
+# markers are arbitrary-but-fixed vocabulary words; the operator shape
+# (per-doc scoring + argmax with fixed tiebreak) is what matters.
+_MARKERS = {
+    "en": ("the", "a"),
+    "es": ("data", "table"),
+    "de": ("batch", "merge"),
+    "fr": ("query", "line"),
+    "zh": ("vector", "stream"),
+}
+_TIEBREAK = ("en", "es", "de", "fr", "zh")
+
+
+def _score_sql(lang: str, spark_side: bool) -> str:
+    toks = ", ".join(f"'{t}'" for t in _MARKERS[lang])
+    if spark_side:
+        return f"size(filter(split(text, ' '), t -> t IN ({toks})))"
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({toks})))"
+
+
+def _pred_case() -> str:
+    # Argmax with deterministic tiebreak order _TIEBREAK (>= keeps the
+    # earlier language on ties). Identical SQL text for both engines.
+    clauses = []
+    langs = list(_TIEBREAK)
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(f"s_{x}" for x in langs[i + 1 :])
+        g = f"greatest({rest})" if "," in rest else rest
+        clauses.append(f"WHEN s_{lang} >= {g} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+_LANG_ID_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_score_sql(l, False)} AS s_{l}" for l in _TIEBREAK)}
+        FROM documents
+    )
+    SELECT doc_id,
+           {_pred_case()} AS pred_lang,
+           CAST(greatest({", ".join("s_" + l for l in _TIEBREAK)}) AS INT) AS top_score,
+           ({_pred_case()}) = lang AS is_match
+    FROM scored
+"""
+
+
+@register("q_lang_id", oracle=_LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token scoring + deterministic argmax.
+
+    Per-row narrow transform — no shuffle at all; at 100 TB this is a
+    pure map stage fused into the scan by whole-stage codegen.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[F.expr(_score_sql(l, True)).alias(f"s_{l}") for l in _TIEBREAK],
+    )
+    pred = F.expr(_pred_case())
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.expr("greatest(" + ", ".join("s_" + l for l in _TIEBREAK) + ")")
+        .cast("int")
+        .alias("top_score"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+_STOPWORDS = ("the", "a")
+_STOP_IN = ", ".join(f"'{t}'" for t in _STOPWORDS)
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(replace(text, ' ', '')) AS n_nonspace,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_STOP_IN}))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(n_nonspace * 1.0 / n_tokens, 6) AS avg_token_len,
+           round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(least(n_tokens / 50.0, 1.0) * (1 - n_stop * 1.0 / n_tokens), 6)
+               AS quality_score,
+           round(least(n_tokens / 50.0, 1.0) * (1 - n_stop * 1.0 / n_tokens), 6) < 0.5
+               AS low_quality
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword-ratio heuristics per document.
+
+    Same shuffle-free map shape as q_lang_id.
+    """
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        F.expr(
+            f"size(filter(split(text, ' '), t -> t IN ({_STOP_IN})))"
+        ).alias("n_stop"),
+    )
+    nt = F.col("n_tokens")
+    quality = F.round(
+        F.least(nt / 50.0, F.lit(1.0)) * (1 - F.col("n_stop") * 1.0 / nt), 6
+    )
+    return m.select(
+        "doc_id",
+        nt.cast("int").alias("n_tokens"),
+        F.round(F.col("n_nonspace") * 1.0 / nt, 6).alias("avg_token_len"),
+        F.round(F.col("n_stop") * 1.0 / nt, 6).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+        (quality < 0.5).alias("low_quality"),
+    )
+
+
+# BPE-ish lexer: letter runs, digit runs, single other non-space chars.
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_ws_tokens,
+           sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_re_tokens,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex lexer tokens,
+    aggregated per source. regexp_count is codegen'd JVM regex — the
+    100 TB path tokenizes in the scan stage and combines map-side."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit(_TOKEN_RE))).alias("total_re_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# Polynomial rolling hash over tokens: token → ascii(first char)*131 +
+# length, folded with acc*31 + x (mod 1e9+7). Pure integer arithmetic —
+# bit-identical across engines (verified primitive-by-primitive).
+_ROLL_SPARK = (
+    "aggregate(transform(split(text, ' '), t -> CAST(ascii(t)*131 + length(t) AS BIGINT)), "
+    "7L, (a, x) -> (a*31 + x) % 1000000007)"
+)
+_ROLL_DUCK = (
+    "list_reduce(list_prepend(7::BIGINT, "
+    "list_transform(string_split(text, ' '), t -> (ascii(t)*131 + length(t))::BIGINT)), "
+    "(a, x) -> (a*31 + x) % 1000000007)"
+)
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           {_ROLL_DUCK} AS fp_rolling
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash + token rolling hash.
+
+    Shuffle-free map; downstream exact dedup groups on fp_md5 so the
+    shuffle key is a fixed-width hash, not the document body — at 100 TB
+    that is the difference between shuffling 32-byte keys and shuffling
+    the corpus (ref analog: result lines keyed by short job key,
+    Manager.java:281)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+        F.expr(_ROLL_SPARK).alias("fp_rolling"),
+    )

@@ -1,0 +1,119 @@
+"""B.11 Python-UDF surface (Q49 pandas scalar, Q50 grouped-map
+applyInPandas, + a GROUPED_AGG pandas UDAF).
+
+Python is the slow path; these exist to prove the Arrow-batched
+crossing is wired correctly, not to compute things built-ins could.
+Every UDF here is vectorized (pandas/Arrow, never row-at-a-time) —
+the ~10-100× difference the brief calls out. Q48 (row-at-a-time
+``F.udf``) lives in plans/filters.py as the deliberate contrast.
+
+Reference analog: the per-record Python-side transform is the idiomatic
+home of the reference's keyed PDF dispatch (Workers.java:123-223) —
+arbitrary per-record logic with columnar in/out.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+
+# NB: @pandas_udf parses its DDL return type via the active SparkContext,
+# so UDFs are created lazily inside each query fn, not at import time.
+
+
+@register(
+    "q_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q49: vectorized pandas UDF (Arrow batches) computing discounted
+    price. Exact-equal to the SQL expression — no rounding needed, since
+    both sides do the same two float64 ops per row."""
+
+    @pandas_udf("double")
+    def _disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # float64 arithmetic — identical bits to the JVM/DuckDB double path.
+        return price * (1.0 - discount)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+_ZSCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"].to_numpy()
+    m = v.mean()
+    s = v.std(ddof=0)  # population std — matches oracle stddev_pop
+    z = (v - m) / s if s > 0 else v * 0.0
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "zscore": z.round(6),
+        }
+    )
+
+
+@register(
+    "q_grouped_map",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CASE WHEN stddev_pop(value) OVER w = 0 THEN 0.0
+                ELSE round((value - avg(value) OVER w) / (stddev_pop(value) OVER w), 6)
+           END AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q50: per-group normalization (z-score of event value per user)
+    via applyInPandas — the grouped-map pattern for logic SQL can't
+    express (here it can, which is exactly what makes it oracle-able).
+
+    Scale shape: one shuffle on user_id; each group materializes as one
+    Arrow batch in a Python worker. Degenerate groups (σ=0) → 0.0."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_ZSCHEMA)
+
+
+@register(
+    "q_udaf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6)
+               AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF: quantity-weighted mean discount per
+    returnflag — the custom-aggregate capability row of B.11."""
+
+    @pandas_udf("double")
+    def _weighted_mean(v: pd.Series, w: pd.Series) -> float:  # GROUPED_AGG
+        return float((v * w).sum() / w.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_weighted_mean("l_discount", "l_quantity"), 6).alias(
+            "wavg_discount"
+        )
+    )
