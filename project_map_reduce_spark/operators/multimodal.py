@@ -1,0 +1,143 @@
+"""Multimodal column operators (SURVEY.md §2 B.10 capability row).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched pandas iterators (``mapInPandas``)
+— the Spark-side plumbing (schemas, batch iteration, partitioning,
+column pruning) is real and tested; the actual codec work is STUBBED
+behind ``_decode_stub`` because no image/audio library ships in this
+container (brief: stub the decode, make the plumbing real).
+
+Swap-in path for production: replace ``_decode_stub`` with PIL/ffmpeg
+calls inside the same ``mapInPandas`` generator — batch shape, schema
+and partitioning are already correct. Reference analog: the per-record
+PDF transforms (Workers.java:131-184) — fetch bytes, transform, emit
+typed result with in-band errors (A7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Typed result schema for decode/feature extraction. Errors are data
+# (status/error), never exceptions — ref Workers.java:186-221.
+DECODED_SCHEMA = (
+    "path string, modality string, byte_len bigint, "
+    "width int, height int, format string, "
+    "status string, error string"
+)
+
+FEATURES_SCHEMA = "path string, byte_len bigint, features array<double>"
+
+_MAGIC = {
+    b"\x89PNG": ("image", "png"),
+    b"\xff\xd8\xff": ("image", "jpeg"),
+    b"%PDF": ("document", "pdf"),
+    b"RIFF": ("audio", "wav"),
+}
+
+
+def _sniff(content: bytes) -> tuple[str, str] | None:
+    for magic, mf in _MAGIC.items():
+        if content[: len(magic)] == magic:
+            return mf
+    return None
+
+
+def _decode_stub(content: bytes, fmt: str) -> tuple[int, int]:
+    """STUB: deterministic fake decode (no codec libs in this container).
+
+    A real deployment replaces this body with e.g. PIL.Image.open —
+    signature and callers stay identical. The fake derives stable
+    "dimensions" from the payload so tests are deterministic.
+    """
+    if not content:
+        raise ValueError("empty payload")
+    w = 1 + content[0] % 64
+    h = 1 + content[-1] % 64
+    return w, h
+
+
+def decode_binary(df: DataFrame) -> DataFrame:
+    """Decode a binaryFile frame (path, content, ...) into typed image/
+    document metadata. One Arrow batch in, one out; per-record failures
+    become status='error' rows (in-band, ref A7)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "path", "modality", "byte_len", "width", "height",
+                "format", "status", "error",
+            )}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                out["path"].append(path)
+                out["byte_len"].append(len(raw))
+                sniffed = _sniff(raw)
+                try:
+                    if sniffed is None:
+                        raise ValueError("unknown format")
+                    modality, fmt = sniffed
+                    w, h = _decode_stub(raw, fmt)
+                    out["modality"].append(modality)
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["status"].append("ok")
+                    out["error"].append(None)
+                except Exception as ex:  # noqa: BLE001 — error channel is data
+                    out["modality"].append(None)
+                    out["format"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["status"].append("error")
+                    out["error"].append(f"Error: {ex}")
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+_N_BINS = 16
+
+
+def byte_histogram_features(df: DataFrame) -> DataFrame:
+    """REAL (un-stubbed) feature extraction: normalized {n}-bin byte
+    histogram per payload — a stand-in embedding usable by the
+    similarity operators. numpy over Arrow batches; no codec needed."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, lens = [], []
+            for content in pdf["content"]:
+                raw = bytes(content) if content is not None else b""
+                lens.append(len(raw))
+                if raw:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    hist = np.bincount(arr >> 4, minlength=_N_BINS).astype(np.float64)
+                    feats.append(list(hist / hist.sum()))
+                else:
+                    feats.append([0.0] * _N_BINS)
+            yield pd.DataFrame(
+                {"path": pdf["path"], "byte_len": lens, "features": feats}
+            )
+
+    return df.select("path", "content").mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+byte_histogram_features.__doc__ = byte_histogram_features.__doc__.format(n=_N_BINS)
+
+
+def frame_sample(df: DataFrame, *, every_n_bytes: int = 1024) -> DataFrame:
+    """STUB frame-sampler: emits one row per sampled "frame" offset
+    (explode — a row-generating transform, the UDTF shape). Real
+    video sampling replaces the offset arithmetic with ffmpeg; the
+    explode/partition plumbing is the part Spark owns and is real."""
+    n_frames = (F.length("content") / every_n_bytes).cast("int") + 1
+    return df.select(
+        "path",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)

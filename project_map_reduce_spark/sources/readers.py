@@ -1,0 +1,93 @@
+"""Typed source readers (SURVEY.md §2 B.1).
+
+The reference's only source is a line-oriented task file on S3 —
+``"<operation>\\t<pdfURL>"`` per line (Manager.java:269-284,
+Workers.java:230-239). Here every ingest path lands in a DataFrame with
+an explicit schema; the line format becomes a two-column parse that
+Catalyst fuses into the scan.
+
+All readers accept a path glob and scale by splitting files across
+partitions (``spark.sql.files.maxPartitionBytes``); none of them
+collect anything to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema of the reference's task line after parsing (ref A3).
+TASK_SCHEMA = T.StructType(
+    [
+        T.StructField("operation", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def read_task_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format task file: one ``operation\\turl`` line per
+    record (Workers.java:230-239). Malformed lines (no tab) surface with
+    a null url rather than being dropped — in-band error discipline."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        parts.getItem(0).alias("operation"),
+        F.when(F.size(parts) > 1, parts.getItem(1)).alias("url"),
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """CSV with explicit schema (schema inference is a full extra pass —
+    never at 100 TB). PERMISSIVE mode keeps malformed rows as data."""
+    reader = spark.read.option("header", "true").option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # test-scale only
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines with explicit schema; corrupt records land in
+    ``_corrupt_record`` (in-band error channel, ref A7)."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary-file source → (path, modificationTime, length, content)
+    with ``content: binary`` — the multimodal payload column (ref A6's
+    PDF bytes, SURVEY.md §1.2). Column pruning matters here: plans that
+    don't touch ``content`` never read the bytes."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_report(df: DataFrame, path: str, *, title: str = "results") -> None:
+    """Report sink (ref A12, LocalApp.java:302-343): the *data* write
+    stays distributed (parquet); only the already-tiny summary is
+    rendered to one HTML file. Never call on an unaggregated frame."""
+    df.write.mode("overwrite").parquet(path + ".parquet")
+    rows = df.limit(10_000).collect()  # guarded: summaries only
+    cells = "\n".join(
+        "<tr>" + "".join(f"<td>{v}</td>" for v in row) + "</tr>" for row in rows
+    )
+    header = "<tr>" + "".join(f"<th>{c}</th>" for c in df.columns) + "</tr>"
+    html = (
+        f"<html><head><title>{title}</title></head><body>"
+        f"<h1>{title}</h1><table>{header}{cells}</table></body></html>"
+    )
+    with open(path + ".html", "w", encoding="utf-8") as f:
+        f.write(html)

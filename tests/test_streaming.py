@@ -1,0 +1,158 @@
+"""Streaming smoke (SURVEY.md §5.2.5): the B.9 transforms must run
+unchanged under Structured Streaming, converge to the batch answer,
+and drop watermark-late rows.
+
+Uses a file source over the events fixture split into ordered chunks
+(micro-batches) — deterministic, no rate source flakiness.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.streaming import transforms
+from project_map_reduce_spark.tables import load
+
+ART = os.path.join(os.path.dirname(__file__), ".artifacts", "streaming")
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, sf_dir):
+    """events split into 3 event-time-ordered parquet chunks."""
+    path = os.path.join(ART, "events_chunks")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").orderBy("ts", "event_id")
+    n = ev.count()
+    rows = ev.collect()
+    os.makedirs(path, exist_ok=True)
+    step = (n + 2) // 3
+    for i in range(3):
+        chunk = spark.createDataFrame(rows[i * step : (i + 1) * step], ev.schema)
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"chunk_{i}.parquet")
+        )
+    yield path, ev.schema
+
+
+def _run_stream(spark, chunked, transform, *, mode="update"):
+    path, schema = chunked
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/chunk_*.parquet/*.parquet")
+    )
+    out = transform(transforms.with_watermark(stream))
+    name = f"smoke_{transform.__name__}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, chunked_events):
+    batch = transforms.tumbling_counts(load(spark, sf_dir, "events"))
+    streamed = _run_stream(spark, chunked_events, transforms.tumbling_counts)
+    # update mode re-emits amended windows; keep the last emit per key.
+    final = (
+        streamed.groupBy("window_start", "window_end", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
+    assert _canon(final) == _canon(batch)
+
+
+def test_session_stream_runs(spark, chunked_events):
+    # session_window aggregation requires append mode (closed sessions
+    # are emitted once the watermark passes them).
+    streamed = _run_stream(spark, chunked_events, transforms.session_stats, mode="append")
+    assert streamed.count() > 0
+    cols = set(streamed.columns)
+    assert {"user_id", "session_start", "session_end", "n_events"} <= cols
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir, chunked_events):
+    path, schema = chunked_events
+    # Duplicate chunk 0 as a 4th file: at-least-once redelivery analog
+    # (SURVEY.md §1.4 — the dedup the reference lacks).
+    src = os.path.join(path, "chunk_0.parquet")
+    dup = os.path.join(path, "chunk_dup.parquet")
+    shutil.rmtree(dup, ignore_errors=True)
+    shutil.copytree(src, dup)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/chunk_*.parquet/*.parquet")
+    )
+    out = transforms.dedup_events(transforms.with_watermark(stream))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smoke_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*), count(DISTINCT event_id) FROM smoke_dedup")
+    n, n_distinct = got.collect()[0]
+    expected = load(spark, sf_dir, "events").count()
+    assert n == n_distinct == expected
+    shutil.rmtree(dup, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """A row arriving a day behind the watermark must be dropped from
+    append-mode windowed output (state already evicted)."""
+    import datetime as dt
+
+    path = os.path.join(ART, "late")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    on_time = [(i, base + dt.timedelta(minutes=i), 1, "a", 1.0) for i in range(5)]
+    advance = [(100, base + dt.timedelta(days=2), 1, "a", 1.0)]
+    late = [(200, base - dt.timedelta(days=1), 1, "a", 1.0)]  # beyond watermark
+    for i, rows in enumerate((on_time, advance, late)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/b*.parquet/*.parquet")
+    )
+    windowed = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("smoke_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT window.start, n FROM smoke_late ORDER BY window.start"
+    ).collect()
+    starts = [r[0] for r in rows]
+    assert base.replace(minute=0) in starts  # on-time window emitted
+    assert base - dt.timedelta(days=1, hours=0) not in starts  # late row gone
+    assert all(r[1] <= 5 for r in rows)
