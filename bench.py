@@ -44,6 +44,7 @@ def main() -> int:
         try:
             e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
+            print(f"bench: {name} {times[name]:.2f}s", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
             print(f"bench: {name} failed: {type(ex).__name__}: {ex}", file=sys.stderr)
             times[name] = -1.0
