@@ -21,6 +21,7 @@ Scale doctrine (the whole point of these shapes at 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,7 +56,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (inverted shingle index — the scale path)
 
-_SHINGLE_K = 3
+# 5-token shingles: with the fixture's ~30-word vocabulary, 3-gram
+# shingles collide by chance (~|vocab|³ space vs 260k instances at
+# sf0.1 → 1.4M noise pairs); 5-grams (~|vocab|⁵) collide only on real
+# shared runs, so candidate volume ≈ true near-dups. Same reasoning
+# governs shingle width at 100 TB: size the shingle space ≫ corpus
+# shingle count.
+_SHINGLE_K = 5
 _STOP_SHINGLE_DF = 50  # blocking keys in more docs than this are dropped
 _TOP_PAIRS = 20
 
@@ -97,15 +104,15 @@ _TOP_PAIRS = 20
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: {k}-token shingles → inverted-index self-join →
+    """Near-dup detection: {k}-token shingles → posting-list buckets →
     exact Jaccard → top-{n} most-similar pairs (deterministic tiebreak).
 
-    100 TB shape: explode to (shingle, doc_id), drop stop-shingles, then
-    one equi-join on shingle — shuffle is hash-partitioned by shingle and
-    per-key fanout is capped at {df}² pairs. No crossJoin anywhere.
+    100 TB shape: explode to (shingle, doc_id), groupBy shingle into
+    posting lists, drop stop-shingles (> {df} docs), generate candidate
+    pairs map-side from each bounded list — shuffle volume is O(pairs),
+    per-key fanout capped at {df}²/2, no self-join, no crossJoin.
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     shingles_expr = (
         f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_K - 1}), "
         f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE_K})))"
@@ -115,21 +122,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
-        F.col("df_") <= _STOP_SHINGLE_DF
-    ).select("shingle")
-    shk = sh.join(keep, "shingle")
-    a = shk.alias("a")
-    b = shk.alias("b")
+    # Posting-list formulation instead of an index self-join: one groupBy
+    # per shingle, stop-shingles dropped by list size, candidate pairs
+    # generated MAP-SIDE from each (short, ≤cap) posting list. The
+    # expensive `sh` subplan is evaluated once per branch instead of
+    # twice for a self-join, and per-key fanout is bounded by cap²/2.
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    ).filter(F.size("docs") <= _STOP_SHINGLE_DF).filter(F.size("docs") >= 2)
+    pair_expr = (
+        "flatten(transform(sequence(0, size(docs) - 2), i -> "
+        "transform(sequence(i + 1, size(docs) - 1), j -> "
+        "struct(docs[i] AS doc_a, docs[j] AS doc_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.alias("sa")
@@ -173,11 +181,6 @@ _TOKHASH_DUCK = (
 )
 
 _BITS = list(range(32))
-_SIMHASH_SPARK = (
-    "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + IF("
-    "aggregate(hs, 0L, (x, h) -> x + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) >= 0, "
-    "shiftleft(1L, b), 0L))"
-)
 _SIMHASH_DUCK = (
     "CAST(list_sum(list_transform(["
     + ", ".join(str(b) for b in _BITS)
@@ -203,12 +206,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bands (near-dup candidates = docs sharing a band bucket —
     candidate generation is then a groupBy on band, never all-pairs).
 
+    Implementation note: the bit-majority fold is an Arrow-batched
+    pandas UDF, not a Catalyst higher-order function — nested HOF
+    lambdas are evaluated *interpreted* and projection-collapse inlines
+    the token-hash array into every per-bit pass (32× re-evaluation:
+    measured minutes per 5k docs vs ~1s in numpy). Heavy custom
+    per-record compute is exactly the designed pandas-UDF case. Pure
+    integer arithmetic — engine-exact vs the DuckDB oracle.
+
     Shuffle-free map stage; the banding groupBy downstream shuffles
-    8-bit keys. Hash arithmetic is pure integer — engine-exact.
+    8-bit keys. Input is repartitioned to the session default
+    parallelism first: a single small parquet file otherwise scans as
+    ONE partition, serializing the CPU-bound stage (at cluster scale
+    many input files make this automatic, but CPU-heavy map stages
+    should key partitioning to cores, not bytes).
     """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            counts = [0] * 32
+            for tok in text.split(" "):
+                h = 7
+                for c in tok:
+                    h = (h * 131 + ord(c)) % 2147483647
+                for b in range(32):
+                    counts[b] += 1 if (h >> b) & 1 else -1
+            out.append(
+                sum((1 << b) for b in range(32) if counts[b] >= 0)
+            )
+        return pd.Series(out)
+
     d = load(spark, sf_dir, "documents")
-    h = d.select("doc_id", F.expr(_TOKHASH_SPARK).alias("hs"))
-    sim = h.select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    sim = d.select("doc_id", _simhash("text").alias("simhash"))
     return sim.select(
         "doc_id",
         "simhash",
@@ -250,7 +283,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = tf.transform(d)
     lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     )
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(
