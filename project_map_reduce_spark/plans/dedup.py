@@ -225,19 +225,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("bigint")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            counts = [0] * 32
-            for tok in text.split(" "):
+        import numpy as np
+
+        # Token→hash memo: the char-fold is the only per-item Python
+        # loop left, and it runs once per DISTINCT token per batch.
+        cache: dict[str, int] = {}
+
+        def tok_hash(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
                 h = 7
                 for c in tok:
                     h = (h * 131 + ord(c)) % 2147483647
-                for b in range(32):
-                    counts[b] += 1 if (h >> b) & 1 else -1
-            out.append(
-                sum((1 << b) for b in range(32) if counts[b] >= 0)
-            )
-        return pd.Series(out)
+                cache[tok] = h
+            return h
+
+        docs = [t.split(" ") for t in texts]
+        n_toks = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+        flat = np.fromiter(
+            (tok_hash(t) for d in docs for t in d),
+            dtype=np.int64,
+            count=int(n_toks.sum()),
+        )
+        if len(flat) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        # (n_tokens, 32) ±1 bit matrix, summed per doc with reduceat
+        # (split(" ") yields ≥1 token per doc, so no empty segments).
+        signs = ((flat[:, None] >> np.arange(32)) & 1) * 2 - 1
+        bounds = np.zeros(len(docs), dtype=np.int64)
+        np.cumsum(n_toks[:-1], out=bounds[1:])
+        majority = np.add.reduceat(signs, bounds, axis=0) >= 0
+        fp = (majority.astype(np.int64) << np.arange(32)).sum(axis=1)
+        return pd.Series(fp)
 
     d = load(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
@@ -281,7 +300,11 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(d)
+    # The feature DF is scanned three times (fit + both sides of the
+    # self-join); without a cache each scan re-runs parquet read +
+    # shingling + HashingTF. On a cluster this would be a persist at
+    # MEMORY_AND_DISK before the LSH stage.
+    feats = tf.transform(d).cache()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     )

@@ -142,11 +142,15 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse events.props JSON, extract $.k, aggregate by type.
     ``get_json_object`` is a codegen'd JVM path (Jackson), no UDF."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return ev.groupBy("event_type").agg(
+    # Parse once in the projection; both aggregates then read the column
+    # (inlining the parse into each agg child doubles the Jackson work).
+    parsed = ev.select(
+        "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(k).alias("sum_k"),
-        r6d(F.avg(k), "avg_k"),
+        F.sum("k").alias("sum_k"),
+        r6d(F.avg("k"), "avg_k"),
     )
 
 

@@ -1,0 +1,103 @@
+"""Physical-plan audit: assert the scale-critical plan properties hold.
+
+Correctness says the answer is right at sf0.01; this file says the PLAN
+is the one we'd want at 100 TB — filters reach the parquet scan, scans
+prune columns, small dims broadcast, aggregates have a map-side partial
+phase, and nothing degenerates into a cartesian product by accident.
+These are exactly the properties that silently regress when a query is
+refactored, and `.explain()` is the only place they're visible.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from project_map_reduce_spark.registry import entries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = entries()[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    """Q03's shipdate/discount/quantity predicates must reach the parquet
+    reader as PushedFilters, not run as a post-scan Filter only."""
+    plan = plan_of(spark, sf_dir, "q_filter_predicate")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """Q01 projects 4 columns; the scan's ReadSchema must not include the
+    other 12 lineitem columns."""
+    plan = plan_of(spark, sf_dir, "q_scan_project")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"}
+
+
+def test_broadcast_join_hint_honored(spark, sf_dir):
+    """Q12's explicit broadcast(part) must produce a BroadcastHashJoin."""
+    plan = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_multi_join_broadcasts_small_dims(spark, sf_dir):
+    """Q07 joins lineitem against orders/customer/nation/region; the tiny
+    dims (nation 25 rows, region 5 rows) must go broadcast, not shuffle."""
+    plan = plan_of(spark, sf_dir, "q_join_multi")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    """Q15 must run as partial (map-side) + final HashAggregate — the
+    map-side combine that keeps the shuffle proportional to groups, not
+    rows. Two HashAggregate nodes with a shuffle between them."""
+    plan = plan_of(spark, sf_dir, "q_pricing_summary")
+    assert len(re.findall(r"\bHashAggregate\b", plan)) >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """Q15's scan→project→agg pipeline must be inside WholeStageCodegen
+    spans (JVM-side, vectorized) — no interpreted-evaluation fallback.
+    (AQE finalizes codegen at runtime, so execute first and audit the
+    final adaptive plan.)"""
+    df = entries()["q_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan, plan
+    assert "codegen id" in plan, plan
+
+
+# Queries that INTENTIONALLY contain a broadcast-nested-loop stage: a
+# crossJoin against a broadcast side that is tiny by construction
+# (centroid table, 1-row scalar). Everything else must be hash-joinable.
+_BNLJ_ALLOWED = {"q_similarity_ann", "q_similarity_topk", "q_text_tfidf"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in entries() if n not in _BNLJ_ALLOWED)
+)
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    """No query plan may contain a CartesianProduct — the all-pairs
+    degeneration every 100-TB design rule in SURVEY.md §4.2 forbids.
+    (BroadcastNestedLoopJoin against a tiny literal side is whitelisted
+    per-query above.)"""
+    if name in {"q_dedup_fuzzy"}:
+        pytest.skip("ml LSH plan materializes via fit(); audited separately")
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} degenerated to all-pairs"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} has an unplanned nested-loop join"
+    )

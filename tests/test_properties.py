@@ -1,0 +1,104 @@
+"""Property-based spot checks (SURVEY.md §5.2.4).
+
+Each property is an algebraic law the operator family must satisfy on
+ANY input, checked over hypothesis-generated micro-DataFrames. These
+catch the class of bug the DuckDB oracle can't: oracle and engine both
+wrong in the same way on the one fixture distribution.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI determinism; hypothesis still varies inputs
+)
+
+_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=8), min_size=1, max_size=24
+)
+_vals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group key
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _dedup_exact(df):
+    return df.groupBy("text").agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_dedup_exact_idempotent(spark, texts):
+    """dedup(dedup(x)) == dedup(x): survivors are already distinct, so a
+    second pass must be the identity on (text, survivor)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = _dedup_exact(df)
+    survivors = once.count()
+    again = _dedup_exact(
+        once.select(F.col("survivor_doc_id").alias("doc_id"), F.lit("x").alias("dummy"))
+        .join(df, "doc_id")
+        .select("doc_id", "text")
+    )
+    assert again.count() == survivors
+    assert again.filter(F.col("n_copies") != 1).count() == 0
+
+
+@given(vals=_vals)
+@settings(**_SETTINGS)
+def test_union_all_count_additive(spark, vals):
+    """|A ∪all B| == |A| + |B| for any disjoint-or-not A, B."""
+    df = spark.createDataFrame(vals, "k int, v int")
+    a = df.filter(F.col("v") >= 0)
+    b = df.filter(F.col("v") < 10)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+@given(vals=_vals)
+@settings(**_SETTINGS)
+def test_unbounded_window_sum_equals_group_sum(spark, vals):
+    """sum over an unbounded window frame must equal the groupBy sum for
+    every row of the group — the frame/agg consistency law."""
+    df = spark.createDataFrame(vals, "k int, v int")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    windowed = df.withColumn("wsum", F.sum("v").over(w))
+    gsum = df.groupBy("k").agg(F.sum("v").alias("gsum"))
+    bad = (
+        windowed.join(gsum, "k")
+        .filter(F.col("wsum") != F.col("gsum"))
+        .count()
+    )
+    assert bad == 0
+
+
+@given(vals=_vals)
+@settings(**_SETTINGS)
+def test_exact_dedup_partition_invariant(spark, vals):
+    """groupBy-dedup must give identical survivors regardless of input
+    partitioning (the at-least-once/duplicate-delivery ancestor,
+    SURVEY.md §1.4)."""
+    rows = [(i, f"t{k}") for i, (k, _) in enumerate(vals)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    r1 = sorted(map(tuple, _dedup_exact(df1).collect()))
+    r8 = sorted(map(tuple, _dedup_exact(df8).collect()))
+    assert r1 == r8
