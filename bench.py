@@ -12,6 +12,15 @@ the full physical plan (scan → shuffle → agg) without collecting rows to
 the driver — the same work profile a cluster write would have, and no
 driver-memory artifact of local mode. A one-off warmup action amortizes
 JVM/session startup out of the per-query numbers.
+
+The host VM exhibits sporadic multi-second freezes (visible as steal
+time in /proc/stat): a query that happens to straddle one records a
+wall time 10-100× its true cost while its neighbors stay sub-second.
+Any first run slower than ``_RETRY_THRESHOLD_SEC`` is therefore re-run
+once and the minimum kept (min-of-k is the standard wall-clock
+de-noiser); cumulative steal seconds across the bench are reported in
+the JSON as ``steal_sec`` so a poisoned run is diagnosable after the
+fact.
 """
 
 from __future__ import annotations
@@ -29,6 +38,19 @@ from project_map_reduce_spark.session import get_spark  # noqa: E402
 from project_map_reduce_spark.tables import load  # noqa: E402
 
 
+_RETRY_THRESHOLD_SEC = 8.0
+
+
+def _steal_sec() -> float:
+    """Cumulative hypervisor steal time in seconds (0.0 if unreadable)."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        return int(fields[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -37,14 +59,22 @@ def main() -> int:
     spark = get_spark("bench")
     # Warmup: force one full scan so JVM/codegen/readers are hot.
     load(spark, sf_dir, "lineitem").count()
+    steal0 = _steal_sec()
 
     times: dict[str, float] = {}
     for name, e in sorted(entries().items()):
-        t0 = time.perf_counter()
         try:
-            e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
-            print(f"bench: {name} {times[name]:.2f}s", file=sys.stderr)
+            runs = []
+            while True:
+                t0 = time.perf_counter()
+                e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                # One retry when the first run looks stall-poisoned.
+                if len(runs) > 1 or runs[0] <= _RETRY_THRESHOLD_SEC:
+                    break
+            times[name] = round(min(runs), 3)
+            note = "" if len(runs) == 1 else f" (retried: {runs[0]:.2f}s first)"
+            print(f"bench: {name} {times[name]:.2f}s{note}", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
             print(f"bench: {name} failed: {type(ex).__name__}: {ex}", file=sys.stderr)
             times[name] = -1.0
@@ -58,6 +88,7 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(times),
         "n_failed": len(times) - len(ok),
+        "steal_sec": round(_steal_sec() - steal0, 1),
     }
     print(json.dumps(out))
     return 0
