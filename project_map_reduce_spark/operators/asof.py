@@ -109,6 +109,9 @@ def asof_join_global(
 
     # Per-bucket last right row -> cumulate across buckets (rows = #buckets,
     # trivially small) -> "best as of the *end of the previous* bucket".
+    # The bucket spine is the UNION of left and right buckets: a bucket
+    # that has left rows but no right rows still needs a spine row, or
+    # its left rows would miss the carry join and stay null.
     carry_struct = F.struct(
         F.col(right_ts).alias("__ts"),
         F.col(tiebreak).alias("__tb"),
@@ -117,8 +120,14 @@ def asof_join_global(
     per_bucket = keyed_right.groupBy("__bucket").agg(
         F.max(carry_struct).alias("__last")
     )
+    spine = (
+        keyed_left.select("__bucket")
+        .union(keyed_right.select("__bucket"))
+        .distinct()
+        .join(per_bucket, on="__bucket", how="left")
+    )
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    prev_carry = per_bucket.select(
+    prev_carry = spine.select(
         F.col("__bucket"), F.max("__last").over(wb).alias("__prev")
     )
 
