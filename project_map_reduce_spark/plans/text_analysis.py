@@ -341,3 +341,49 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("fp_md5"),
         _rolling_hash_udf()("text").alias("fp_rolling"),
     )
+
+
+@register(
+    "q_split_train_val",
+    oracle="""
+    SELECT CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test split (75/12.5/12.5).
+
+    The split key is the first hex char of md5(text) — a CONTENT hash,
+    so byte-identical documents always land in the same split even when
+    duplicated across sources (row-id or random splits leak duplicates
+    across train/eval; this is the standard fix in training-data
+    pipelines). Assignment is a narrow shuffle-free map (md5 is
+    codegen'd JVM); the only shuffle is the final tiny (split, lang)
+    aggregate. At 100 TB the same expression works as a partition
+    filter: ``WHERE substr(md5(text),1,1) BETWEEN '0' AND 'b'``
+    prunes at scan time with no precomputed split column needed."""
+    d = load(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = (
+        F.when(first_hex.between("0", "b"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("__n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6d(F.avg("__n_tok"), "avg_tokens"),
+        )
+    )
