@@ -38,7 +38,11 @@ from project_map_reduce_spark.session import get_spark  # noqa: E402
 from project_map_reduce_spark.tables import load  # noqa: E402
 
 
-_RETRY_THRESHOLD_SEC = 8.0
+# Low enough to catch a 4-second host stall poisoning a 1-second query
+# (round-1 q_join_broadcast recorded 4.3 s of what was broadcast-build
+# stall noise); the handful of genuinely >3 s queries just pay one
+# extra timed run each.
+_RETRY_THRESHOLD_SEC = 3.0
 
 
 def _steal_sec() -> float:

@@ -37,9 +37,15 @@ def asof_join_keyed(
     right_ts: str,
     value_cols: list[str],
     tiebreak: str,
+    match_col: str | None = None,
 ) -> DataFrame:
     """Keyed as-of left join. Output = all left columns + ``value_cols``
-    from the matched right row (null when no right row precedes)."""
+    from the matched right row (null when no right row precedes).
+
+    When ``match_col`` is given, an extra boolean column of that name is
+    emitted: true iff a right row matched. Callers must use this — not
+    ``value_cols[0] IS NULL`` — to detect non-matches, because a matched
+    right row may legitimately carry NULL in any value column."""
     carried = F.struct(
         F.col(right_ts).alias("__ts"),
         F.col(tiebreak).alias("__tb"),
@@ -67,9 +73,17 @@ def asof_join_keyed(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = r.unionByName(l).withColumn("__best", F.max("__carry").over(w))
+    extra = (
+        # The whole carry struct is null iff no right row precedes, so
+        # this flag is exact even when every value column is NULL.
+        [F.col("__best").isNotNull().alias(match_col)]
+        if match_col is not None
+        else []
+    )
     out = matched.filter(F.col(_SIDE) == 1).select(
         *[F.col(f"__l_{t.name}").alias(t.name) for t in left.schema],
         *[F.col(f"__best.{c}").alias(c) for c in value_cols],
+        *extra,
     )
     return out
 
@@ -105,6 +119,7 @@ def asof_join_global(
         right_ts=right_ts,
         value_cols=value_cols,
         tiebreak=tiebreak,
+        match_col="__matched",
     )
 
     # Per-bucket last right row -> cumulate across buckets (rows = #buckets,
@@ -134,8 +149,10 @@ def asof_join_global(
     out = (
         within.join(F.broadcast(prev_carry), on="__bucket", how="left")
         .withColumn(
+            # Explicit match flag, not value_cols[0] IS NULL: a matched
+            # right row may carry NULL in any value column.
             "__use_prev",
-            F.col(value_cols[0]).isNull() & F.col("__prev").isNotNull(),
+            ~F.col("__matched") & F.col("__prev").isNotNull(),
         )
         .select(
             *[c for c in left.columns],

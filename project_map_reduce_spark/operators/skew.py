@@ -44,11 +44,13 @@ def salted_groupby_agg(
     ``aggs`` maps output column name -> (input column, fn) with fn in
     {'sum', 'count', 'min', 'max'} — the decomposable aggregates whose
     partials re-combine losslessly (avg = sum/count composed by the
-    caller, same as Spark's own partial-aggregation split). Phase 1
-    groups by (keys + salt), spreading each hot key over ``n_salt``
-    reducers; phase 2 groups the (now ≤ n_salt · |distinct keys| rows)
-    by the real keys. The salt is a deterministic hash of the whole
-    row, so the result is reproducible run-to-run.
+    caller, same as Spark's own partial-aggregation split). 'count'
+    counts non-null values of the input column (SQL count(col)); pass
+    column '*' for count(*) semantics. Phase 1 groups by (keys + salt),
+    spreading each hot key over ``n_salt`` reducers; phase 2 groups the
+    (now ≤ n_salt · |distinct keys| rows) by the real keys. The salt is
+    a deterministic hash of the whole row, so the result is
+    reproducible run-to-run.
     """
     bad = {fn for _, fn in aggs.values()} - set(_COMBINE)
     if bad:
@@ -57,11 +59,14 @@ def salted_groupby_agg(
     salted = df.withColumn(
         _SALT, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
     )
+
+    def _phase1(col: str, fn: str):
+        if fn == "count":
+            return F.count(F.lit(1)) if col == "*" else F.count(F.col(col))
+        return getattr(F, fn)(col)
+
     phase1 = salted.groupBy(*keys, _SALT).agg(
-        *[
-            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(out)
-            for out, (col, fn) in aggs.items()
-        ]
+        *[_phase1(col, fn).alias(out) for out, (col, fn) in aggs.items()]
     )
     return phase1.groupBy(*keys).agg(
         *[
@@ -88,7 +93,20 @@ def salted_join(
     Use when the small side is too big to broadcast outright but
     ``n_salt`` copies of it still shuffle cheaply; if the small side
     fits in memory, prefer ``F.broadcast`` (no shuffle at all).
+
+    Only inner/left-flavored joins are supported: with 'right' or
+    'full', an unmatched small-side row would survive once per salt
+    replica (each replica carries a distinct salt, then the salt is
+    dropped), yielding n_salt duplicates. Swap the operands and use
+    'left' instead of 'right'.
     """
+    flavor = how.replace("_", "").lower()
+    if flavor in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of the "
+            "replicated small side would be duplicated n_salt times. "
+            "Swap the operands (skewed side must be the left/preserved side)."
+        )
     salted = skewed.withColumn(
         _SALT, F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
     )

@@ -92,7 +92,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL surface (engine exposes both
     DataFrame and SQL entry points over the same Catalyst plan)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
@@ -104,16 +104,45 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_count_distinct", oracle=None)  # rows-only: HLL estimates differ
+@register(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+              <= 3 * 0.02 * count(DISTINCT user_id)) AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) of users per event_type —
     the 100 TB way to count distincts (fixed-size sketch, no exact
-    distinct shuffle). Rows-only check: sketch estimates legitimately
-    differ from DuckDB's exact/approx values."""
+    distinct shuffle). HLL estimates legitimately differ across engines,
+    so the hash-checked contract is an engine-internal invariant: each
+    side emits its exact distinct count plus a boolean asserting its OWN
+    sketch landed within 3·rsd of its OWN exact count. Both sides
+    deterministically output true, so values hash-match while the query
+    still exercises the sketch path."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    rsd = 0.02
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 3 * rsd * F.col("exact_users")
+            ).alias("within_tol"),
+        )
     )
 
 

@@ -270,20 +270,203 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q44 — MinHash-LSH fuzzy dedup (pyspark.ml — randomized, rows-only)
+# Q44 — MinHash-LSH fuzzy dedup (deterministic permutations, hash-checked)
+
+# Universal-hash MinHash family h_i(x) = (a_i·x + b_i) mod p over the
+# char-fold shingle hashes (same fold as SimHash — verified bit-identical
+# across engines). Constants are fixed so BOTH engines evaluate the same
+# permutations: determinism is what upgrades the driver check from
+# rows-only to a full value-hash match.
+_MINHASH_P = 2147483647  # 2^31 - 1, prime; products stay < 2^62 (no overflow)
+_N_PERM = 32
+_LSH_ROWS = 2  # rows per band
+_LSH_BANDS = _N_PERM // _LSH_ROWS  # 16 bands: P(candidate|s=0.4) ≈ 0.94
+_PERM_A = [((2 * i + 1) * 2654435761) % _MINHASH_P for i in range(_N_PERM)]
+_PERM_B = [(i * 40503 + 12345) % _MINHASH_P for i in range(_N_PERM)]
+_FUZZY_MAX_DIST = 0.6  # report pairs with Jaccard distance ≤ 0.6 (sim ≥ 0.4)
+_LSH_BUCKET_CAP = 50  # stop-bucket: same skew cap as the shingle index
+
+_SH3_DUCK = (
+    "list_transform(generate_series(1, len(t) - 2), "
+    "i -> array_to_string(t[i:i+2], ' '))"
+)
+_SHHASH_DUCK = (
+    f"list_distinct(list_transform({_SH3_DUCK}, s -> "
+    "list_reduce(list_prepend(7::BIGINT, list_transform(string_split(s, ''), "
+    "c -> ascii(c)::BIGINT)), (a, c) -> (a*131 + c) % 2147483647)))"
+)
+_SIG_DUCK = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {_MINHASH_P}))"
+    for a, b in zip(_PERM_A, _PERM_B)
+)
 
 
-@register("q_dedup_fuzzy", oracle=None)  # rows-only: randomized hash family
+@register(
+    "q_dedup_fuzzy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [-1::BIGINT] ELSE {_SHHASH_DUCK} END AS hs
+        FROM toks
+    ),
+    sig AS (SELECT doc_id, hs, [{_SIG_DUCK}] AS sig FROM sh),
+    bands AS (
+        SELECT doc_id, j,
+               sig[{_LSH_ROWS}*j + 1] AS k1,
+               sig[{_LSH_ROWS}*j + 2] AS k2
+        FROM sig, LATERAL (
+            SELECT unnest(generate_series(0, {_LSH_BANDS - 1})) AS j
+        ) u
+    ),
+    keep AS (
+        SELECT j, k1, k2 FROM bands GROUP BY j, k1, k2
+        HAVING count(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN keep USING (j, k1, k2)
+        JOIN bands b ON a.j = b.j AND a.k1 = b.k1 AND a.k2 = b.k2
+                    AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+               (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+                   AS sim
+        FROM pairs
+        JOIN sh sa ON doc_a = sa.doc_id
+        JOIN sh sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, round(1 - sim, 6) AS jaccard_dist
+    FROM scored WHERE sim >= {1 - _FUZZY_MAX_DIST}
+    """,
+)
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q44: MinHash-LSH near-dup pairs (Jaccard distance ≤ 0.9) via
-    pyspark.ml — shingle features → HashingTF → MinHashLSH(seed=42) →
-    approxSimilarityJoin. Randomized hash family ⇒ rows-only check.
+    """Q44: MinHash-LSH near-dup pairs (Jaccard distance ≤ {t}) with a
+    DETERMINISTIC universal-hash permutation family — 3-token shingles →
+    char-fold shingle hashes → 32 minhashes → {b} bands × {r} rows →
+    bucket grouping → exact-Jaccard verify on candidates.
 
-    100 TB shape: approxSimilarityJoin explodes each doc to its
-    numHashTables band keys and equi-joins on (table, band hash) — the
-    distributed LSH bucket join, identical in spirit to
-    q_dedup_ngram_jaccard's inverted index but with probabilistic
-    recall and O(1) bands per doc regardless of doc length.
+    Deterministic permutations (fixed a_i, b_i, mod 2^31−1) mean DuckDB
+    reproduces the exact same signatures, so this is value-hash-checked
+    end to end — unlike pyspark.ml's MinHashLSH, whose JVM-seeded hash
+    family an external oracle cannot replay (that path is kept as a
+    tested capability: ``minhash_lsh_ml_pairs``).
+
+    100 TB shape, same doctrine as the shingle index: signature stage is
+    a shuffle-free Arrow-batched map (numpy broadcast over the perm
+    matrix — the nested-HOF form is interpreted and 100× slower);
+    banding explodes each doc to {b} fixed-size keys and groupBy's them;
+    hot buckets (> {cap} docs) are dropped (stop-bucket skew cap);
+    candidate pairs are emitted map-side from each bounded bucket list;
+    the exact-Jaccard verify joins the candidate pairs (small) back to
+    the signature relation on doc_id — an equi-join, never all-pairs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<hs: array<bigint>, sig: array<bigint>>")
+    def _minhash(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        A = np.array(_PERM_A, dtype=np.int64)[:, None]
+        B = np.array(_PERM_B, dtype=np.int64)[:, None]
+        cache: dict[str, int] = {}
+
+        def sh_hash(s: str) -> int:
+            h = cache.get(s)
+            if h is None:
+                h = 7
+                for c in s:
+                    h = (h * 131 + ord(c)) % 2147483647
+                cache[s] = h
+            return h
+
+        out_hs, out_sig = [], []
+        for text in texts:
+            toks = text.split(" ")
+            shingles = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+            if not shingles:
+                hs = np.array([-1], dtype=np.int64)
+            else:
+                hs = np.unique(
+                    np.fromiter(
+                        (sh_hash(s) for s in shingles),
+                        dtype=np.int64,
+                        count=len(shingles),
+                    )
+                )
+            sig = ((A * hs[None, :] + B) % _MINHASH_P).min(axis=1)
+            out_hs.append(hs.tolist())
+            out_sig.append(sig.tolist())
+        return pd.DataFrame({"hs": out_hs, "sig": out_sig})
+
+    d = load(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # feats feeds the banding explode AND both sides of the verify join —
+    # cache it so the pandas-UDF stage runs once (persist MEMORY_AND_DISK
+    # on a cluster).
+    feats = d.select("doc_id", _minhash("text").alias("m")).select(
+        "doc_id", F.col("m.hs").alias("hs"), F.col("m.sig").alias("sig")
+    ).cache()
+
+    band_expr = (
+        f"transform(sequence(0, {_LSH_BANDS - 1}), j -> "
+        f"struct(j AS band, sig[{_LSH_ROWS}*j] AS k1, sig[{_LSH_ROWS}*j + 1] AS k2))"
+    )
+    bands = feats.select(
+        "doc_id", F.explode(F.expr(band_expr)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.k1", "bk.k2")
+    buckets = (
+        bands.groupBy("band", "k1", "k2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= _LSH_BUCKET_CAP))
+    )
+    pair_expr = (
+        "flatten(transform(sequence(0, size(docs) - 2), i -> "
+        "transform(sequence(i + 1, size(docs) - 1), j -> "
+        "struct(docs[i] AS doc_a, docs[j] AS doc_b))))"
+    )
+    pairs = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    sa = feats.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = feats.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    sim = inter * 1.0 / (F.size("hs_a") + F.size("hs_b") - inter)
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 1 - _FUZZY_MAX_DIST)
+        .select(
+            "doc_a", "doc_b", F.round(1 - F.col("sim"), 6).alias("jaccard_dist")
+        )
+    )
+
+
+q_dedup_fuzzy.__doc__ = q_dedup_fuzzy.__doc__.format(
+    t=_FUZZY_MAX_DIST, b=_LSH_BANDS, r=_LSH_ROWS, cap=_LSH_BUCKET_CAP
+)
+
+
+def minhash_lsh_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHash-LSH capability path (not hash-checkable: the
+    JVM-seeded hash family cannot be replayed by an external oracle, so
+    Q44's registered query uses the deterministic family above instead).
+
+    Shingle features → HashingTF → MinHashLSH(seed=42) →
+    approxSimilarityJoin at Jaccard distance ≤ {t}. approxSimilarityJoin
+    explodes each doc to its numHashTables band keys and equi-joins on
+    (table, band hash) — the distributed LSH bucket join, with O(1)
+    bands per doc regardless of doc length.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -310,7 +493,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(
-        feats, feats, threshold=0.6, distCol="jaccard_dist"
+        feats, feats, threshold=_FUZZY_MAX_DIST, distCol="jaccard_dist"
     )
     return pairs.filter(
         F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
@@ -319,6 +502,11 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.doc_id").alias("doc_b"),
         F.round("jaccard_dist", 6).alias("jaccard_dist"),
     )
+
+
+minhash_lsh_ml_pairs.__doc__ = minhash_lsh_ml_pairs.__doc__.format(
+    t=_FUZZY_MAX_DIST
+)
 
 
 # ---------------------------------------------------------------------------

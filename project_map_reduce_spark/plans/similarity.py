@@ -60,9 +60,13 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the query side is broadcast (it is {m}× smaller than
     the corpus); scoring is a map over the big side with no shuffle.
-    The per-query top-k is a window over ~n_vectors rows per query —
-    at real scale swap the window for per-partition heap top-k
-    (q_similarity_ann shows the cell-restricted variant).
+    The per-query top-k is two-phase: a map-side partial top-k
+    (``mapInPandas`` heap per input partition — the global top-k is a
+    subset of the union of per-partition top-ks) reduces each partition
+    to ≤ n_queries·k rows BEFORE any exchange, then a final window
+    ranks the ≤ n_partitions·n_queries·k survivors. The shuffle is
+    O(partitions · queries · k), not O(queries · corpus) — the
+    difference between a re-plan and a melted cluster at 100 TB.
     """
     n = _vectors(spark, sf_dir)
     q = n.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
@@ -80,11 +84,38 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+    k = _TOP_K
+
+    def _partial_topk(batches):
+        import pandas as pd
+
+        # Accumulate the partition's batches, folding down to the local
+        # top-k per query whenever the buffer grows — memory stays
+        # O(n_queries · k + batch), never O(partition).
+        def fold(frames):
+            df = pd.concat(frames, ignore_index=True)
+            df = df.sort_values(
+                ["query_id", "cos_sim", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            return df.groupby("query_id", sort=False).head(k)
+
+        buf, buffered = [], 0
+        for pdf in batches:
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered > 200_000:
+                buf, buffered = [fold(buf)], len(buf[0])
+        if buf:
+            yield fold(buf)
+
+    local = scored.mapInPandas(_partial_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
@@ -97,10 +128,54 @@ _N_CELLS = 16
 _ANN_K = 3
 
 
-@register("q_similarity_ann", oracle=None)  # rows-only: recall-traded ANN;
-# exactness is checked by tests/test_llm_ops.py::test_ann_recall instead
+@register(
+    "q_similarity_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (
+        SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm
+        FROM n WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                            c.cell_id ASC
+               ) AS arn
+        FROM n CROSS JOIN c
+    ),
+    a AS (SELECT vec_id, v, nrm, cell_id FROM assign WHERE arn = 1),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell_id
+        FROM a WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(qv, a.v) / (qnrm * a.nrm), 6) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_dot_product(qv, a.v) / (qnrm * a.nrm), 6)
+                            DESC, a.vec_id ASC
+               ) AS rank
+        FROM q JOIN a USING (cell_id)
+        WHERE a.vec_id <> query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+    FROM scored WHERE rank <= {_ANN_K}
+    """,
+)
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate nearest neighbors — the 100 TB path.
+    Every stage is deterministic integer/double arithmetic (centroids =
+    first {c} vec_ids, fold dot products bit-identical to DuckDB's
+    list_dot_product, explicit tiebreaks on cell/neighbor id), so the
+    whole ANN pipeline is value-hash-checked against the SQL oracle —
+    recall-vs-exact is additionally measured by
+    tests/test_llm_ops.py::test_ann_recall.
 
     Deterministic "training": centroids are the first {c} vectors by
     vec_id (a stand-in for k-means — the partitioning mechanics, which

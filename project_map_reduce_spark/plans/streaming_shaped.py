@@ -63,14 +63,16 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_session",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
                    AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), numbered AS (
+        -- event_id tiebreak keeps the ROWS running sum deterministic when
+        -- duplicate (user_id, ts) rows straddle a session boundary.
         SELECT *, sum(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts ASC
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
         FROM marked

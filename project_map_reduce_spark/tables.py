@@ -40,18 +40,31 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet (FIXTURES.md). A vanilla
+        # SparkSession rejects that physical type (PARQUET_TYPE_ILLEGAL),
+        # so opt in to the legacy long-nanos read here — the conf is
+        # runtime-settable, and setting it in the loader means any caller's
+        # session (driver, tests, notebooks) can read the table.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet (FIXTURES.md); Spark reads
-        # it as long nanos (spark.sql.legacy.parquet.nanosAsLong). Truncate
-        # to µs TimestampType — byte-identical to DuckDB's µs view.
+        # Truncate long nanos to µs TimestampType — byte-identical to
+        # DuckDB's µs view.
         ts_field = df.schema["ts"]
         if ts_field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all fixture tables as temp views (for spark.sql queries)."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register fixture tables as temp views (for spark.sql queries).
+
+    Pass ``tables=`` to register only what the query reads — loading all ten
+    tables for a one-table SQL query couples it to every fixture's health
+    (and at cluster scale, to every table's metadata round-trip).
+    """
+    for name in tables:
         load(spark, sf_dir, name).createOrReplaceTempView(name)

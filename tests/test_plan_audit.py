@@ -94,10 +94,37 @@ def test_no_accidental_cartesian(spark, sf_dir, name):
     degeneration every 100-TB design rule in SURVEY.md §4.2 forbids.
     (BroadcastNestedLoopJoin against a tiny literal side is whitelisted
     per-query above.)"""
-    if name in {"q_dedup_fuzzy"}:
-        pytest.skip("ml LSH plan materializes via fit(); audited separately")
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, f"{name} degenerated to all-pairs"
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{name} has an unplanned nested-loop join"
     )
+
+
+def test_similarity_topk_partial_before_window(spark, sf_dir):
+    """Q45's per-query top-k must be reduced map-side (MapInPandas heap)
+    BEFORE the window's exchange — the full queries×corpus scored set
+    must never be shuffled into a per-query window partition."""
+    plan = plan_of(spark, sf_dir, "q_similarity_topk")
+    assert "MapInPandas" in plan, plan
+    # The final window still exists, but it ranks the reduced set.
+    assert "Window" in plan, plan
+
+
+def test_dedup_fuzzy_banded_shape(spark, sf_dir):
+    """Q44's candidate generation must be the banding groupBy (shuffle
+    keyed on fixed-size band keys), with signatures from one Arrow
+    pandas-UDF stage — no self-join of the corpus, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_dedup_fuzzy")
+    assert "ArrowEvalPython" in plan, plan  # vectorized signature stage
+    assert "CartesianProduct" not in plan, plan
+    # banding aggregate keyed on (band, k1, k2)
+    assert re.search(r"hashpartitioning\(band", plan), plan
+
+
+def test_similarity_ann_cell_equijoin(spark, sf_dir):
+    """Q54's search join must be an equi-join on cell_id (broadcast of
+    the tiny query side), never an all-pairs score."""
+    plan = plan_of(spark, sf_dir, "q_similarity_ann")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
