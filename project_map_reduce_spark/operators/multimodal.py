@@ -12,6 +12,10 @@ calls inside the same ``mapInPandas`` generator — batch shape, schema
 and partitioning are already correct. Reference analog: the per-record
 PDF transforms (Workers.java:131-184) — fetch bytes, transform, emit
 typed result with in-band errors (A7).
+
+The PDF ``ToText`` analog is NOT stubbed: ``pdf_to_text`` runs a real
+pure-Python extractor (operators/pdftext.py — stream scan + zlib
+inflate + text-operator walk) over the same Arrow-batched plumbing.
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from project_map_reduce_spark.operators.pdftext import extract_pdf_text
 
 # Typed result schema for decode/feature extraction. Errors are data
 # (status/error), never exceptions — ref Workers.java:186-221.
@@ -98,6 +104,42 @@ def decode_binary(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("path", "content").mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = (
+    "path string, n_chars bigint, text string, status string, error string"
+)
+
+
+def pdf_to_text(df: DataFrame) -> DataFrame:
+    """ToText (ref Workers.java:131-152), for real: extract shown text
+    from each PDF payload with the stdlib-only extractor. Per-record
+    failures (non-PDF magic, malformed streams) become status='error'
+    rows — the in-band error channel (ref A7), never a task failure.
+    Same 100 TB shape as decode_binary: shuffle-free Arrow-batched map,
+    output rows carry text instead of bytes so downstream text operators
+    (dedup, lang-id, quality) chain directly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("path", "n_chars", "text", "status", "error")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                out["path"].append(path)
+                try:
+                    text = extract_pdf_text(raw)
+                    out["n_chars"].append(len(text))
+                    out["text"].append(text)
+                    out["status"].append("ok")
+                    out["error"].append(None)
+                except Exception as ex:  # noqa: BLE001 — error channel is data
+                    out["n_chars"].append(None)
+                    out["text"].append(None)
+                    out["status"].append("error")
+                    out["error"].append(f"Error: {ex}")
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(batches, schema=PDF_TEXT_SCHEMA)
 
 
 _N_BINS = 16

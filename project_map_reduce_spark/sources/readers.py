@@ -75,6 +75,61 @@ def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> Data
     return reader.load(path)
 
 
+FETCHED_SCHEMA = (
+    "url string, content binary, byte_len bigint, status string, error string"
+)
+
+
+def fetch_url_bytes(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    timeout_sec: float = 10.0,
+    max_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Fetch each row's payload from its URL column — the reference's
+    per-record HTTP pull (Workers.java:127-129), as a distributed map.
+
+    Arrow-batched ``mapInPandas``: every executor fetches its own
+    partition's URLs (the driver never sees a payload), failures are
+    in-band status='error' rows (ref A7 — a dead link is data, not a
+    task failure), and payloads above ``max_bytes`` are rejected rather
+    than buffered (bounded executor memory; at 100 TB one unbounded
+    response would OOM a slot). Supports any scheme ``urllib`` handles
+    (http/https/file — tests use file:// to stay hermetic)."""
+
+    def batches(it):
+        from urllib.request import urlopen
+
+        for pdf in it:
+            out = {k: [] for k in ("url", "content", "byte_len", "status", "error")}
+            for url in pdf["url"]:
+                out["url"].append(url)
+                try:
+                    if url is None:
+                        raise ValueError("null url")
+                    with urlopen(url, timeout=timeout_sec) as resp:
+                        raw = resp.read(max_bytes + 1)
+                    if len(raw) > max_bytes:
+                        raise ValueError(f"payload exceeds max_bytes={max_bytes}")
+                    out["content"].append(raw)
+                    out["byte_len"].append(len(raw))
+                    out["status"].append("ok")
+                    out["error"].append(None)
+                except Exception as ex:  # noqa: BLE001 — error channel is data
+                    out["content"].append(None)
+                    out["byte_len"].append(None)
+                    out["status"].append("error")
+                    out["error"].append(f"{type(ex).__name__}: {ex}")
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(url_col).alias("url")).mapInPandas(
+        batches, schema=FETCHED_SCHEMA
+    )
+
+
 def write_report(df: DataFrame, path: str, *, title: str = "results") -> None:
     """Report sink (ref A12, LocalApp.java:302-343): the *data* write
     stays distributed (parquet); only the already-tiny summary is

@@ -78,6 +78,75 @@ def test_frame_sample_explodes(spark, binary_dir):
     assert all(r.byte_offset == r.frame_idx * 64 for r in png)
 
 
+def _make_pdf(compress: bool) -> bytes:
+    """Minimal but structurally real PDF: one content stream with Tj,
+    a TJ array with kerning offsets, and an escaped literal."""
+    import zlib
+
+    content = (
+        b"BT /F1 12 Tf (Hello) Tj [(Wor) -250 (ld) 120 (!)] TJ "
+        b"(line\\(two\\)) ' <48692100> Tj ET"
+    )
+    if compress:
+        content = zlib.compress(content)
+    return (
+        b"%PDF-1.4\n1 0 obj << /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_pdf_extract_text_plain_and_flate():
+    from project_map_reduce_spark.operators.pdftext import extract_pdf_text
+
+    expected = "Hello Wor ld ! line(two) Hi!\x00"
+    assert extract_pdf_text(_make_pdf(compress=False)) == expected
+    # FlateDecode streams are genuinely inflated (zlib is stdlib).
+    assert extract_pdf_text(_make_pdf(compress=True)) == expected
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"not a pdf")
+
+
+def test_pdf_to_text_operator(spark, binary_dir):
+    """ToText analog (ref Workers.java:131-152): real extraction for PDF
+    payloads, in-band error rows for everything else."""
+    pdf_path = os.path.join(ART, "real.pdf")
+    with open(pdf_path, "wb") as f:
+        f.write(_make_pdf(compress=True))
+    df = readers.read_binary(spark, binary_dir)
+    out = {os.path.basename(r.path): r for r in multimodal.pdf_to_text(df).collect()}
+    assert out["real.pdf"].status == "ok"
+    assert "Hello" in out["real.pdf"].text
+    assert out["real.pdf"].n_chars == len(out["real.pdf"].text)
+    # c.pdf has the magic but no stream — ok with empty text
+    assert out["c.pdf"].status == "ok"
+    assert out["c.pdf"].text == ""
+    # non-PDF payloads surface as error rows, never task failures
+    assert out["a.png"].status == "error"
+    assert "not a PDF" in out["a.png"].error
+    os.remove(pdf_path)
+
+
+def test_fetch_url_bytes(spark, binary_dir):
+    """URL-fetch ingestion (ref Workers.java:127-129): executors pull
+    payload bytes per row; dead links are in-band error rows. file://
+    URLs keep the test hermetic."""
+    good = "file://" + os.path.join(ART, "a.png")
+    missing = "file://" + os.path.join(ART, "nope.bin")
+    df = spark.createDataFrame(
+        [(good,), (missing,), (None,)], "url string"
+    )
+    rows = {r.url: r for r in readers.fetch_url_bytes(df).collect()}
+    assert rows[good].status == "ok"
+    assert rows[good].byte_len == 208  # 8-byte magic + 200 payload bytes
+    assert bytes(rows[good].content)[:4] == b"\x89PNG"
+    assert rows[missing].status == "error"
+    assert rows[missing].content is None
+    assert rows[None].status == "error"
+
+
 def test_task_line_source(spark, binary_dir):
     """Reference task-file format (A1/A3): operation\\turl lines."""
     task_file = os.path.join(ART, "tasks.txt")
@@ -87,3 +156,36 @@ def test_task_line_source(spark, binary_dir):
     rows = sorted(df.collect())
     assert ("BADLINE", None) in [tuple(r) for r in rows]  # malformed kept
     assert ("ToText", "http://x/a.pdf") in [tuple(r) for r in rows]
+
+
+def test_reference_pipeline_end_to_end(spark, binary_dir):
+    """The reference's whole dataflow (A1→A12), with every stage real:
+    task lines → per-row URL fetch → PDF text extraction → per-status
+    summary. This is what Workers.java + Manager.java do with a queue
+    and a gather loop, as three chained distributed maps + one agg."""
+    from pyspark.sql import functions as F
+
+    pdf_a = os.path.join(ART, "e2e_a.pdf")
+    with open(pdf_a, "wb") as f:
+        f.write(_make_pdf(compress=True))
+    task_file = os.path.join(ART, "e2e_tasks.txt")
+    with open(task_file, "w") as f:
+        f.write(f"ToText\tfile://{pdf_a}\n")
+        f.write(f"ToText\tfile://{os.path.join(ART, 'missing.pdf')}\n")
+        f.write(f"ToText\tfile://{os.path.join(ART, 'a.png')}\n")
+
+    tasks = readers.read_task_lines(spark, task_file)
+    fetched = readers.fetch_url_bytes(tasks, "url")
+    # fetch errors flow through as extraction errors (in-band, ref A7)
+    texts = multimodal.pdf_to_text(
+        fetched.select(F.col("url").alias("path"), "content")
+    )
+    summary = {
+        r.status: r.n
+        for r in texts.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert summary == {"ok": 1, "error": 2}  # dead link + non-PDF payload
+    ok = texts.filter(F.col("status") == "ok").collect()[0]
+    assert "Hello" in ok.text
+    os.remove(pdf_a)
+    os.remove(task_file)
