@@ -112,16 +112,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs map-side from each bounded list — shuffle volume is O(pairs),
     per-key fanout capped at {df}²/2, no self-join, no crossJoin.
     """
-    d = load(spark, sf_dir, "documents")
+    # One small parquet file scans as ONE partition; the CPU-bound
+    # shingle explode would serialize on a single core without this
+    # (same rationale as the simhash repartition below).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     shingles_expr = (
         f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_K - 1}), "
         f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE_K})))"
     )
-    sh = (
-        d.select("doc_id", F.explode(F.expr(shingles_expr)).alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # array_distinct BEFORE explode: per-doc set semantics without a
+    # 450k-row distinct shuffle; doc set sizes fall out of the array
+    # length map-side (no groupBy). The shingle arrays feed two branches
+    # (sizes, posting lists) — cached so the CPU-bound shingling HOF
+    # runs once (persist MEMORY_AND_DISK at cluster scale).
+    arr = d.select(
+        "doc_id", F.array_distinct(F.expr(shingles_expr)).alias("shs")
+    ).cache()
+    sizes = arr.select("doc_id", F.size("shs").alias("sz"))
+    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
     # Posting-list formulation instead of an index self-join: one groupBy
     # per shingle, stop-shingles dropped by list size, candidate pairs
     # generated MAP-SIDE from each (short, ≤cap) posting list. The
@@ -543,10 +553,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the cluster id (shuffle-partitionable, AQE-skew-safe),
     never a global crossJoin. Norms are precomputed once per vector.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    # Repartition first: one parquet file = one partition, and the
+    # pair-scoring fold below is CPU-bound — without this the whole
+    # block-join evaluates on a single core.
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
     )
     n = e.withColumn("nrm", F.expr("sqrt(" + _DOT_SPARK.format(a="v", b="v") + ")"))
     a = n.alias("a")

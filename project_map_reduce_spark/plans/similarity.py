@@ -24,10 +24,17 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    # Repartition to cores: the fixture is one parquet file (= one scan
+    # partition) and every consumer runs a CPU-bound scoring fold over
+    # it — partitioning must be keyed to cores, not input bytes.
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
     )
     return e.withColumn("nrm", F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")"))
 
