@@ -61,6 +61,30 @@ def test_salted_join_equals_plain(spark, skewed_df):
     assert _sorted(salted.collect()) == _sorted(plain.collect())
 
 
+def test_salted_join_rejects_right_and_full(spark, skewed_df):
+    """right/full joins would duplicate unmatched small-side rows once
+    per salt replica — the operator must refuse them loudly."""
+    dim = spark.createDataFrame([(0, "x")], "k int, name string")
+    for how in ("right", "rightouter", "right_outer", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(skewed_df, dim, on=["k"], how=how)
+
+
+def test_salted_agg_count_null_semantics(spark):
+    """'count' on a column counts non-nulls (SQL count(col)); column '*'
+    gives count(*) — both must match the plain aggregate exactly."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (2, None), (2, 3.0), (2, 4.0)], "k int, v double"
+    )
+    plain = df.groupBy("k").agg(
+        F.count("v").alias("n_v"), F.count(F.lit(1)).alias("n_all")
+    )
+    salted = salted_groupby_agg(
+        df, ["k"], {"n_v": ("v", "count"), "n_all": ("*", "count")}, n_salt=4
+    )
+    assert _sorted(salted.collect()) == _sorted(plain.collect())
+
+
 def test_salt_spreads_hot_key_across_shuffle_keys(spark, skewed_df):
     """The point of the salt: the hot key's rows must spread over many
     distinct (key, salt) shuffle keys. (Post-shuffle partition ids are
