@@ -90,6 +90,43 @@ def test_unbounded_window_sum_equals_group_sum(spark, vals):
     assert bad == 0
 
 
+_pdf_parts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(parts=_pdf_parts, compress=st.booleans())
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_pdf_text_roundtrip(parts, compress):
+    """Any printable strings written as PDF literal Tj operators (with
+    proper escaping, optionally Flate-compressed) must extract back
+    verbatim — the write→extract round-trip law for the ToText path."""
+    import zlib
+
+    from project_map_reduce_spark.operators.pdftext import extract_pdf_text
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    content = " ".join(f"({esc(p)}) Tj" for p in parts).encode("latin-1")
+    if compress:
+        content = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == " ".join(parts)
+
+
 @given(vals=_vals)
 @settings(**_SETTINGS)
 def test_exact_dedup_partition_invariant(spark, vals):
