@@ -83,7 +83,18 @@ def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def dedup_events(events: DataFrame) -> DataFrame:
     """Exactly-once repair for at-least-once delivery: drop duplicate
     event_ids (the dedup the reference lacks — its visibility-timeout
-    redelivery can double-count results, SURVEY.md §1.4). In streaming,
-    combine with a watermark (``dropDuplicatesWithinWatermark``) so the
-    seen-keys state is bounded."""
+    redelivery can double-count results, SURVEY.md §1.4). Batch form;
+    under streaming the seen-keys state is unbounded — use
+    ``dedup_events_within_watermark`` there."""
     return events.dropDuplicates(["event_id"])
+
+
+def dedup_events_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup with BOUNDED state: redelivery only happens within
+    the delivery horizon (the reference's visibility timeout), so the
+    seen-keys state only needs to span the watermark delay —
+    ``dropDuplicatesWithinWatermark`` evicts everything older. State is
+    O(keys per horizon), not O(all keys ever) — the difference between a
+    streaming job that runs for a year and one that OOMs in a week.
+    Input must already carry a watermark (``with_watermark``)."""
+    return events.dropDuplicatesWithinWatermark(["event_id"])

@@ -29,9 +29,6 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Small dimension tables that should always broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
-
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")

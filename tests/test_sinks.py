@@ -1,0 +1,80 @@
+"""Sink-layout tests: the point of partitioned/bucketed writes is the
+plan they buy downstream — partition pruning at the scan, exchange-free
+co-located joins — so that is what these tests assert."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.sources import sinks
+
+ART = os.path.join(os.path.dirname(__file__), ".artifacts", "sinks")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean():
+    shutil.rmtree(ART, ignore_errors=True)
+    os.makedirs(ART, exist_ok=True)
+    yield
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_at_scan(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket_day"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    path = os.path.join(ART, "part_tbl")
+    sinks.write_partitioned(df, path, ["bucket_day"])
+    back = spark.read.parquet(path).filter(F.col("bucket_day") == "2")
+    plan = _physical_plan(back)
+    # the partition filter must be applied at the file index, not post-scan
+    assert "PartitionFilters: [isnotnull(bucket_day" in plan, plan
+    assert back.count() == 250
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the same key/count must sort-merge join
+    with NO shuffle exchange on either side — the co-located join."""
+    left = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3.0).alias("lv")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("rv")
+    )
+    sinks.write_bucketed(left, "t_sink_left", "k", n_buckets=4)
+    sinks.write_bucketed(right, "t_sink_right", "k", n_buckets=4)
+    l = sinks.read_table(spark, "t_sink_left")
+    r = sinks.read_table(spark, "t_sink_right")
+    # disable broadcast so the join strategy decision is about layout
+    joined = l.hint("merge").join(r, "k")
+    plan = _physical_plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert joined.count() == 500
+    for t in ("t_sink_left", "t_sink_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_aggregate_has_no_exchange(spark):
+    """groupBy on the bucket key of a bucketed table needs no shuffle:
+    the layout already co-locates each key's rows."""
+    df = spark.range(500).select(
+        (F.col("id") % 50).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    sinks.write_bucketed(df, "t_sink_agg", "k", n_buckets=4)
+    agg = sinks.read_table(spark, "t_sink_agg").groupBy("k").agg(
+        F.sum("v").alias("s")
+    )
+    plan = _physical_plan(agg)
+    assert "Exchange" not in plan, f"bucketed aggregate still shuffles:\n{plan}"
+    assert agg.count() == 50
+    spark.sql("DROP TABLE IF EXISTS t_sink_agg")

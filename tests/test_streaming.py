@@ -114,6 +114,46 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir, chunked_events):
     shutil.rmtree(dup, ignore_errors=True)
 
 
+def test_stream_dedup_within_watermark_bounded_state(spark):
+    """Redelivery WITHIN the watermark horizon must be deduped by the
+    bounded-state operator (state spans only the delay window)."""
+    import datetime as dt
+
+    path = os.path.join(ART, "redeliver")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    first = [(i, base + dt.timedelta(minutes=i), 1, "a", 1.0) for i in range(5)]
+    # redelivered copy of the same events + one genuinely new one, all
+    # still inside the 10-minute watermark horizon
+    redelivered = first + [(99, base + dt.timedelta(minutes=6), 1, "a", 1.0)]
+    for i, rows in enumerate((first, redelivered)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, f"rd{i}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/rd*.parquet/*.parquet")
+    )
+    out = transforms.dedup_events_within_watermark(
+        transforms.with_watermark(stream)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smoke_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n, n_distinct = spark.sql(
+        "SELECT count(*), count(DISTINCT event_id) FROM smoke_dedup_wm"
+    ).collect()[0]
+    assert n == n_distinct == 6  # 5 originals + 1 new; redelivery dropped
+
+
 def test_watermark_drops_late_rows(spark):
     """A row arriving a day behind the watermark must be dropped from
     append-mode windowed output (state already evicted)."""
