@@ -101,6 +101,20 @@ def test_no_accidental_cartesian(spark, sf_dir, name):
     )
 
 
+def test_global_topk_is_heap_merge(spark, sf_dir):
+    """Q26 must plan as TakeOrderedAndProject (per-partition k-row heaps
+    merged at the driver) — never a global sort of the full table."""
+    plan = plan_of(spark, sf_dir, "q_topk_global")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_per_group_topk_uses_group_limit(spark, sf_dir):
+    """Q27's rank-filter must push into the sort as WindowGroupLimit so
+    each group materializes only k rows, not its full membership."""
+    plan = plan_of(spark, sf_dir, "q_topk_per_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_similarity_topk_partial_before_window(spark, sf_dir):
     """Q45's per-query top-k must be reduced map-side (MapInPandas heap)
     BEFORE the window's exchange — the full queries×corpus scored set
