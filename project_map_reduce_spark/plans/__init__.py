@@ -26,4 +26,5 @@ from project_map_reduce_spark.plans import (  # noqa: F401
     filters,  # Q03-Q05, Q48: stable green
     sort_topk,  # Q26-Q28: stable green
     setops,  # Q29-Q32: stable green
+    sampling,  # Q62-Q63: round-2 additions, driver-unchecked (past the 50-cap)
 )

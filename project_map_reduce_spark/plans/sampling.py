@@ -1,0 +1,102 @@
+"""B.10 extension: deterministic corpus-sampling operators (Q62-Q63).
+
+Training-data pipelines don't just dedup — they MIX: per-language
+sampling rates (upweight low-resource languages) and per-source caps
+(no single crawl/domain may dominate the corpus, the C4/Pile practice).
+Both operators here are deterministic — membership is a pure function
+of document content, never of Spark's RNG or partitioning — so results
+are reproducible run-to-run, identical across engines (hash-match
+oracles), and stable under retries/speculative execution at 100 TB.
+
+Scale shapes:
+- Stratified sampling is a narrow map-side filter on a codegen'd md5 —
+  no shuffle at all; at 100 TB the same predicate prunes at the scan.
+- Source quotas are a per-group top-k: rank-filter over a window that
+  Spark collapses to WindowGroupLimit (each group materializes only
+  quota rows, asserted in the plan audit) — one shuffle on source.
+
+Registered LAST (after the 61-query core inventory) so the driver's
+50-query correctness window keeps its priority ordering; pytest parity
+(tests/test_oracle_parity.py) hash-checks these like every other query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+# Per-language keep rates, in 16ths of the md5 first-hex-digit space:
+# English is abundant → keep 4/16; everything else is upweighted → 8/16.
+_RATE_HEX = {"en": "3", "de": "7", "es": "7", "fr": "7", "zh": "7"}
+_DEFAULT_HEX = "7"
+
+_SOURCE_QUOTA = 10
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(text), 1, 1) <=
+          CASE lang
+              WHEN 'en' THEN '{_RATE_HEX["en"]}'
+              ELSE '{_DEFAULT_HEX}'
+          END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q62: deterministic stratified sampling for language mixing — keep
+    a doc iff the first hex digit of md5(text) falls under its
+    language's rate (en 4/16 = 25%, other languages 8/16 = 50%).
+
+    Content-hash membership means duplicated documents sample
+    identically everywhere (consistent with the leakage-safe split,
+    Q61), and the filter is a shuffle-free codegen'd map — at 100 TB it
+    rides the scan."""
+    d = load(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    threshold = F.when(F.col("lang") == "en", F.lit(_RATE_HEX["en"])).otherwise(
+        F.lit(_DEFAULT_HEX)
+    )
+    return d.filter(first_hex <= threshold).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_source_quota",
+    oracle=f"""
+    SELECT doc_id, source, rn
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_SOURCE_QUOTA}
+    """,
+)
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q63: cap each source's contribution at {q} documents, chosen by
+    content-hash order (md5 asc, doc_id tiebreak) — a deterministic
+    stand-in for "random sample per source" that every engine and every
+    re-run reproduces bit-for-bit.
+
+    Scale shape: rank + filter collapses to WindowGroupLimit (each
+    source materializes only {q} rows before the final window), one
+    shuffle keyed on source; skewed mega-sources are exactly the rows
+    the quota discards early."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text").cast("binary")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SOURCE_QUOTA)
+    )
+
+
+q_source_quota.__doc__ = q_source_quota.__doc__.format(q=_SOURCE_QUOTA)

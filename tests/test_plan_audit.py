@@ -115,6 +115,20 @@ def test_per_group_topk_uses_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Q62's content-hash sampling must be a pure map-side filter — no
+    Exchange anywhere in the plan (at 100 TB it rides the scan)."""
+    plan = plan_of(spark, sf_dir, "q_sample_stratified")
+    assert "Exchange" not in plan, plan
+
+
+def test_source_quota_uses_group_limit(spark, sf_dir):
+    """Q63's per-source cap must collapse to WindowGroupLimit: each
+    source materializes only quota rows before the final window."""
+    plan = plan_of(spark, sf_dir, "q_source_quota")
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_similarity_topk_partial_before_window(spark, sf_dir):
     """Q45's per-query top-k must be reduced map-side (MapInPandas heap)
     BEFORE the window's exchange — the full queries×corpus scored set
