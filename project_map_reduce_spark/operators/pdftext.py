@@ -52,9 +52,11 @@ def _decode_literal(tok: bytes) -> bytes:
         c = body[i : i + 1]
         if c == b"\\":
             nxt = body[i + 1 : i + 2]
-            if nxt.isdigit():
+            # Octal digits only (0-7): \8 and \9 are literal digits per
+            # the PDF spec's "ignore the backslash" fallback.
+            if nxt in b"01234567" and nxt:
                 j = i + 1
-                while j < min(len(body), i + 4) and body[j : j + 1].isdigit():
+                while j < min(len(body), i + 4) and body[j] in b"01234567":
                     j += 1
                 out += bytes([int(body[i + 1 : j], 8) & 0xFF])
                 i = j

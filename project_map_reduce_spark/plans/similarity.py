@@ -113,7 +113,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             buf.append(pdf)
             buffered += len(pdf)
             if buffered > 200_000:
-                buf, buffered = [fold(buf)], len(buf[0])
+                folded = fold(buf)
+                buf, buffered = [folded], len(folded)
         if buf:
             yield fold(buf)
 

@@ -25,7 +25,7 @@ class QueryEntry(NamedTuple):
     doc: str
 
 
-_REGISTRY: dict[str, QueryEntry] = {}
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -34,7 +34,7 @@ def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        _REGISTRY[name] = QueryEntry(fn, oracle, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = (fn, oracle)
         return fn
 
     return deco
@@ -47,14 +47,20 @@ def _ensure_loaded() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: e.fn for name, e in _REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+    return {name: o for name, (_, o) in _REGISTRY.items() if o is not None}
 
 
 def entries() -> dict[str, QueryEntry]:
     _ensure_loaded()
-    return dict(_REGISTRY)
+    # doc is read at ACCESS time, not decoration time: several queries
+    # fill docstring placeholders via ``fn.__doc__.format(...)`` after
+    # the @register decorator has already run.
+    return {
+        name: QueryEntry(fn, o, (fn.__doc__ or "").strip())
+        for name, (fn, o) in _REGISTRY.items()
+    }

@@ -101,6 +101,30 @@ def test_ann_structure_and_recall(spark, sf_dir):
     print(f"ANN recall@1-in-top{_TOP_K}: {recall:.2f}")
 
 
+def test_ngram_shingles_guard_short_docs(spark):
+    """Docs shorter than k tokens must yield an EMPTY shingle array
+    (Spark's sequence(1, n<=0) counts downward and would make slice
+    throw) — matching the oracle's empty generate_series."""
+    from project_map_reduce_spark.plans.dedup import _SHINGLE_K
+
+    shingles_expr = (
+        f"CASE WHEN size(split(text, ' ')) >= {_SHINGLE_K} THEN "
+        f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_K - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE_K}))) "
+        f"ELSE array() END"
+    )
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "one two three four"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.n for r in df.selectExpr(
+        "doc_id", f"size({shingles_expr}) AS n"
+    ).collect()}
+    assert rows[1] == 0  # 2 tokens < k → empty, no crash
+    assert rows[2] == 0  # 4 tokens < 5 → empty
+    assert rows[3] == 2  # 6 tokens → 2 five-grams
+
+
 def test_simhash_identical_texts_collide(spark):
     """Same text ⇒ same simhash (fingerprint function is content-pure)."""
     df = spark.createDataFrame(

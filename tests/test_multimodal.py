@@ -109,6 +109,19 @@ def test_pdf_extract_text_plain_and_flate():
         extract_pdf_text(b"not a pdf")
 
 
+def test_pdf_literal_escapes():
+    """PDF escape semantics: octal is 0-7 only (\\101='A'); \\8 and \\9
+    fall back to the bare digit ("ignore the backslash"); octal stops
+    at 3 digits."""
+    from project_map_reduce_spark.operators.pdftext import _decode_literal
+
+    assert _decode_literal(rb"(\101)") == b"A"
+    assert _decode_literal(rb"(\8)") == b"8"
+    assert _decode_literal(rb"(\9\8)") == b"98"
+    assert _decode_literal(rb"(\0531)") == b"+1"  # 3-digit octal then '1'
+    assert _decode_literal(rb"(a\tb)") == b"a\tb"
+
+
 def test_pdf_to_text_operator(spark, binary_dir):
     """ToText analog (ref Workers.java:131-152): real extraction for PDF
     payloads, in-band error rows for everything else."""
