@@ -27,4 +27,5 @@ from project_map_reduce_spark.plans import (  # noqa: F401
     sort_topk,  # Q26-Q28: stable green
     setops,  # Q29-Q32: stable green
     sampling,  # Q62-Q63: round-2 additions, driver-unchecked (past the 50-cap)
+    olap_extra,  # Q64-Q66: pivot/percentiles/corr, also past the 50-cap
 )

@@ -1,0 +1,115 @@
+"""B.4 extension: OLAP aggregate surface — PIVOT, exact percentiles,
+correlation/covariance statistics (Q64-Q66).
+
+Rounds out the aggregate family with the three OLAP shapes analysts
+reach for that the core inventory lacked. All three are single-pass
+grouped aggregates (partial + final HashAggregate, shuffle O(groups))
+— nothing here changes the engine's scale story, which is exactly the
+point: Catalyst treats a pivot or a percentile like any other agg.
+
+Registered past the driver's 50-query window (like Q62/Q63); pytest
+parity hash-checks them at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q64: PIVOT — order counts by priority × status, statuses as
+    columns. The explicit value list matters at scale: without it Spark
+    runs an extra distinct-scan job just to discover the columns.
+    Compiles to ONE grouped aggregate over conditional counts (same
+    plan as the oracle's FILTER clauses) — a pivot is not a special
+    execution shape, just column-expansion sugar."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    # missing (priority, status) combos are null in pivot output but 0
+    # under the oracle's FILTER counts — normalize.
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in _STATUSES
+        ],
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 6) AS p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q65: exact percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition)
+    of extended price per return flag. Exact percentile buffers each
+    group's values, so at 100 TB the drop-in is
+    ``approx_percentile(col, q, accuracy)`` — fixed-size t-digest-style
+    sketch, same call shape, declared tolerance — exactly the
+    exact-vs-sketch trade Q16 (countDistinct) vs Q20 (HLL) shows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            r6d(F.expr(f"percentile(l_extendedprice, {q})"), f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@register(
+    "q_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 6)  AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 6)            AS sd_price,
+           round(var_pop(l_quantity), 6)                     AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q66: second-moment statistics — correlation, covariance,
+    stddev, variance per return flag. All are single-pass mergeable
+    aggregates (Welford-style partial states combine associatively), so
+    the distributed plan is the ordinary partial+final HashAggregate —
+    the statistics the reference could never compute without a second
+    full pass over its result file."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6d(F.corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
+        r6d(F.covar_pop("l_quantity", "l_extendedprice"), "covar_qty_price"),
+        r6d(F.stddev_samp("l_extendedprice"), "sd_price"),
+        r6d(F.var_pop("l_quantity"), "var_qty"),
+    )
