@@ -67,10 +67,10 @@ _STOP_SHINGLE_DF = 50  # blocking keys in more docs than this are dropped
 _TOP_PAIRS = 20
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain for the shingle-index candidate pairs — used by the
+# ngram-Jaccard oracle and by the connected-components cluster oracle.
+_NGRAM_CTES = f"""
+    toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     sh AS (
@@ -98,7 +98,13 @@ _TOP_PAIRS = 20
         FROM pairs
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
-    )
+    )"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_NGRAM_CTES}
     SELECT doc_a, doc_b, jaccard FROM j
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT {_TOP_PAIRS}
     """,
@@ -596,3 +602,53 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dedup_embedding.__doc__ = q_dedup_embedding.__doc__.format(t=_COS_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Q67 — near-dup clusters (pairs → connected components)
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_CTES},
+    top AS (
+        SELECT doc_a, doc_b FROM j
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT {_TOP_PAIRS}
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM top
+        UNION
+        SELECT doc_b, doc_a FROM top
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    walk(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON w.node = e.s
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q67: near-duplicate CLUSTERS — the top near-dup pairs (Q51's
+    deterministic shingle-index output) resolved into connected
+    components, each doc labeled with its component's min doc_id. This
+    is the step that makes pair detection actionable: keep
+    cluster_id == doc_id as the survivor, drop the rest.
+
+    Engine side: iterative min-label propagation
+    (operators/components.py — keyed join + groupBy per round, lineage
+    cut per round, ≤ diameter rounds). Oracle side: DuckDB recursive CTE
+    computing the same min-reachable-label. Deterministic on both.
+    """
+    from project_map_reduce_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )

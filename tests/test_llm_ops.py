@@ -125,6 +125,38 @@ def test_ngram_shingles_guard_short_docs(spark):
     assert rows[3] == 2  # 6 tokens → 2 five-grams
 
 
+def test_connected_components_known_graph(spark):
+    """Min-label propagation on a known graph: two chains and an
+    isolated edge must resolve to their component minima."""
+    from project_map_reduce_spark.operators.components import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11} (edge), {20,21,22} (triangle)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every pair's endpoints must share a cluster, and each cluster's
+    id must be its min member."""
+    from project_map_reduce_spark.plans.dedup import q_dedup_clusters
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    clus = {r.doc_id: r.cluster_id for r in q_dedup_clusters(spark, sf_dir).collect()}
+    for p in pairs:
+        assert clus[p.doc_a] == clus[p.doc_b]
+    by_cluster = {}
+    for doc, c in clus.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+
 def test_simhash_identical_texts_collide(spark):
     """Same text ⇒ same simhash (fingerprint function is content-pure)."""
     df = spark.createDataFrame(
