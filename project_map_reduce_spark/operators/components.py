@@ -54,20 +54,18 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
 
+    changed = -1
     for _ in range(max_iter):
+        # Every node appears on both sides of the symmetrized edge set,
+        # so the neighbor-min relation covers every label row — a plain
+        # inner join suffices.
         nbr_min = (
             sym.join(labels, sym.d == labels.node)
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.s, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+        new_labels = labels.join(nbr_min, labels.node == nbr_min.s).select(
+            "node", F.least(F.col("comp"), F.col("nbr_comp")).alias("comp")
         )
         # Cut lineage each round — otherwise the plan doubles per
         # iteration and round N replays rounds 1..N-1.
@@ -81,5 +79,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silent non-convergence would hand back plausible-looking but
+        # WRONG clusters (long-chain components split mid-chain).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use "
+            "Large-Star/Small-Star for high-diameter graphs"
+        )
 
     return labels.select("node", "comp")

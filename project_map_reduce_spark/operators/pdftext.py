@@ -22,7 +22,9 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\n?endstream", re.DOTALL)
-_LITERAL = rb"\((?:\\.|[^\\()])*\)"
+# \\[\s\S] (not \\.) so escaped newlines — line continuations — stay
+# inside the literal match even without DOTALL.
+_LITERAL = rb"\((?:\\[\s\S]|[^\\()])*\)"
 _HEX = rb"<[0-9A-Fa-f\s]*>"
 # One combined scan so Tj/'/" and TJ hits interleave in document order.
 _SHOW_RE = re.compile(
@@ -60,6 +62,12 @@ def _decode_literal(tok: bytes) -> bytes:
                     j += 1
                 out += bytes([int(body[i + 1 : j], 8) & 0xFF])
                 i = j
+            elif nxt in (b"\r", b"\n"):
+                # Backslash-EOL = line continuation (PDF 7.3.4.2):
+                # produces NOTHING; CRLF counts as one EOL marker.
+                i += 2
+                if nxt == b"\r" and body[i : i + 1] == b"\n":
+                    i += 1
             else:
                 out += _ESCAPES.get(nxt, nxt)
                 i += 2

@@ -67,6 +67,21 @@ _STOP_SHINGLE_DF = 50  # blocking keys in more docs than this are dropped
 _TOP_PAIRS = 20
 
 
+def shingle_expr(k: int) -> str:
+    """Spark SQL expression: k-token shingles of ``text`` as an array.
+
+    CASE-guarded for docs shorter than k tokens: Spark's
+    ``sequence(1, n<=0)`` counts DOWNWARD (then ``slice(start<=0)``
+    throws), while DuckDB's ``generate_series(1, n<=0)`` is empty — the
+    guard makes both engines agree on "no shingles"."""
+    return (
+        f"CASE WHEN size(split(text, ' ')) >= {k} THEN "
+        f"transform(sequence(1, size(split(text, ' ')) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {k}))) "
+        f"ELSE array() END"
+    )
+
+
 # Shared CTE chain for the shingle-index candidate pairs — used by the
 # ngram-Jaccard oracle and by the connected-components cluster oracle.
 _NGRAM_CTES = f"""
@@ -124,16 +139,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # Guarded for docs shorter than k tokens: Spark's sequence(1, n<=0)
-    # counts DOWNWARD (then slice(start<=0) throws), while the oracle's
-    # generate_series(1, n<=0) is empty — the CASE makes both sides
-    # agree on "no shingles".
-    shingles_expr = (
-        f"CASE WHEN size(split(text, ' ')) >= {_SHINGLE_K} THEN "
-        f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_K - 1}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE_K}))) "
-        f"ELSE array() END"
-    )
+    shingles_expr = shingle_expr(_SHINGLE_K)
     # array_distinct BEFORE explode: per-doc set semantics without a
     # 450k-row distinct shuffle; doc set sizes fall out of the array
     # length map-side (no groupBy). The shingle arrays feed two branches
@@ -495,13 +501,7 @@ def minhash_lsh_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingle (not unigram) sets: the fixture vocabulary is ~30 words, so
     # unigram sets of every doc pair overlap heavily and LSH degenerates
     # to all-pairs; 3-token shingles are distinctive (≈|vocab|³ space).
-    # CASE-guarded for <3-token docs (sequence counts downward for n<=0).
-    shingles_expr = (
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
-        "ELSE array() END"
-    )
+    shingles_expr = shingle_expr(3)
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(shingles_expr).alias("tokens")
     )

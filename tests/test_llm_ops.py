@@ -105,14 +105,9 @@ def test_ngram_shingles_guard_short_docs(spark):
     """Docs shorter than k tokens must yield an EMPTY shingle array
     (Spark's sequence(1, n<=0) counts downward and would make slice
     throw) — matching the oracle's empty generate_series."""
-    from project_map_reduce_spark.plans.dedup import _SHINGLE_K
+    from project_map_reduce_spark.plans.dedup import _SHINGLE_K, shingle_expr
 
-    shingles_expr = (
-        f"CASE WHEN size(split(text, ' ')) >= {_SHINGLE_K} THEN "
-        f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_K - 1}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE_K}))) "
-        f"ELSE array() END"
-    )
+    shingles_expr = shingle_expr(_SHINGLE_K)
     df = spark.createDataFrame(
         [(1, "a b"), (2, "one two three four"), (3, "a b c d e f")],
         "doc_id long, text string",

@@ -120,6 +120,10 @@ def test_pdf_literal_escapes():
     assert _decode_literal(rb"(\9\8)") == b"98"
     assert _decode_literal(rb"(\0531)") == b"+1"  # 3-digit octal then '1'
     assert _decode_literal(rb"(a\tb)") == b"a\tb"
+    # backslash-EOL = line continuation: produces nothing (CRLF = one EOL)
+    assert _decode_literal(b"(long \\\n text)") == b"long  text"
+    assert _decode_literal(b"(a\\\r\nb)") == b"ab"
+    assert _decode_literal(b"(a\\\rb)") == b"ab"
 
 
 def test_pdf_to_text_operator(spark, binary_dir):
