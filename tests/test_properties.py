@@ -127,6 +127,49 @@ def test_pdf_text_roundtrip(parts, compress):
     assert extract_pdf_text(pdf) == " ".join(parts)
 
 
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=_edges)
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must agree with a plain
+    union-find on any random graph (self-loops and duplicates included)."""
+    from project_map_reduce_spark.operators.components import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == expected
+
+
 @given(vals=_vals)
 @settings(**_SETTINGS)
 def test_exact_dedup_partition_invariant(spark, vals):
