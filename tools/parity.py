@@ -81,6 +81,13 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names (default: all with oracles)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--rows-only", action="store_true", help="include oracle-less queries")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (no engine confs) — replicates the "
+        "external driver's session shape; catches any query that secretly "
+        "depends on the engine session factory",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -96,7 +103,16 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
-    spark = get_spark("parity")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
