@@ -77,13 +77,22 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's values, so at 100 TB the drop-in is
     ``approx_percentile(col, q, accuracy)`` — fixed-size t-digest-style
     sketch, same call shape, declared tolerance — exactly the
-    exact-vs-sketch trade Q16 (countDistinct) vs Q20 (HLL) shows."""
+    exact-vs-sketch trade Q16 (countDistinct) vs Q20 (HLL) shows.
+
+    One ``percentile(col, array(...))`` call, not four scalar calls:
+    each scalar percentile aggregate buffers and sorts the group's
+    values independently, so the array form is 4x less agg-buffer
+    memory and one sort per group instead of four (~4x wall here)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            r6d(F.expr(f"percentile(l_extendedprice, {q})"), f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75, 0.95)
-        ]
+    qs = (0.25, 0.50, 0.75, 0.95)
+    pcts = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(str(q) for q in qs)}))"
+        ).alias("__ps")
+    )
+    return pcts.select(
+        "l_returnflag",
+        *[r6d(F.col("__ps")[i], f"p{int(q * 100)}") for i, q in enumerate(qs)],
     )
 
 
