@@ -156,3 +156,29 @@ def test_similarity_ann_cell_equijoin(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_similarity_ann")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_mask_is_shuffle_free(spark, sf_dir):
+    """Q69's scrub must be a pure narrow map — regex + hash inside
+    codegen, no Exchange and no Python eval anywhere (the property that
+    lets the scrub ride the ingest scan at 100 TB)."""
+    plan = plan_of(spark, sf_dir, "q_pii_mask")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcasts_probe(spark, sf_dir):
+    """Q68's probe (benchmark) shingle set must broadcast into a hash
+    join against the exploded corpus — never a shuffle of the corpus
+    keyed on shingle, and never all-pairs."""
+    plan = plan_of(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_mode_is_partial_agg(spark, sf_dir):
+    """Q70's bigram-mode branch must carry a map-side partial
+    HashAggregate before its exchange so the shuffle is keyed on
+    (doc_id, bigram) counts, not raw bigram rows."""
+    plan = plan_of(spark, sf_dir, "q_repetition")
+    assert len(re.findall(r"\bHashAggregate\b", plan)) >= 2, plan
