@@ -124,3 +124,48 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         r6d(F.sum("o_totalprice").over(w), "running_total"),
     )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(c_acctbal, 6) AS acctbal,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cum_dist,
+           round(first_value(c_acctbal) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING), 6) AS seg_min,
+           round(last_value(c_acctbal)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING), 6) AS seg_max
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q71: distribution window functions — quartile bucket (ntile),
+    percent_rank, cume_dist, and the segment min/max via first/last
+    value over the full-frame — of account balance within market
+    segment. The orderBy carries the unique c_custkey tiebreaker
+    (determinism convention), so rank-derived fractions are identical
+    across engines even where balances tie.
+
+    Same physical shape as the rest of the family: ONE hash exchange on
+    the partition key, one per-partition sort shared by all five
+    functions (Catalyst collapses same-window expressions into a single
+    Window operator) — no per-function re-shuffle."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        r6d(F.col("c_acctbal"), "acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        r6d(F.percent_rank().over(w), "pct_rank"),
+        r6d(F.cume_dist().over(w), "cum_dist"),
+        r6d(F.first("c_acctbal").over(wf), "seg_min"),
+        r6d(F.last("c_acctbal").over(wf), "seg_max"),
+    )

@@ -182,3 +182,14 @@ def test_repetition_mode_is_partial_agg(spark, sf_dir):
     (doc_id, bigram) counts, not raw bigram rows."""
     plan = plan_of(spark, sf_dir, "q_repetition")
     assert len(re.findall(r"\bHashAggregate\b", plan)) >= 2, plan
+
+
+def test_window_distribution_single_exchange(spark, sf_dir):
+    """Q71's five window functions (ntile/percent_rank/cume_dist/
+    first/last) must collapse into ONE Window operator behind ONE
+    exchange + ONE sort — Catalyst's same-window-spec collapse, the
+    property that makes stacking window columns free at scale."""
+    plan = plan_of(spark, sf_dir, "q_window_distribution")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
