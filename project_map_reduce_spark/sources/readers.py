@@ -75,6 +75,27 @@ def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> Data
     return reader.load(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """ORC source — the other mainstream columnar format (Hive-lineage
+    warehouses hand data over as ORC as often as parquet). Spark's
+    native vectorized ORC reader gives the same scan contract as
+    parquet: predicate pushdown into stripe/row-group indexes, column
+    pruning, split-by-stripe parallelism. An explicit schema skips the
+    footer-sampling pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, compression: str = "zstd") -> None:
+    """ORC sink, zstd by default (matches the parquet sink's codec
+    choice: best scan-speed/size trade for cold data)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
 FETCHED_SCHEMA = (
     "url string, content binary, byte_len bigint, status string, error string"
 )

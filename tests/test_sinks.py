@@ -78,3 +78,28 @@ def test_bucketed_aggregate_has_no_exchange(spark):
     assert "Exchange" not in plan, f"bucketed aggregate still shuffles:\n{plan}"
     assert agg.count() == 50
     spark.sql("DROP TABLE IF EXISTS t_sink_agg")
+
+
+def test_orc_round_trip_pushdown_and_pruning(spark, tmp_path):
+    """ORC sink → ORC source round-trip preserves values and types, and
+    the read plan shows the same scan contract as parquet: predicate
+    pushdown into the ORC reader and column pruning."""
+    from project_map_reduce_spark.sources import readers
+    from project_map_reduce_spark.tables import load
+
+    src = load(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"), "orders")
+    path = str(tmp_path / "orders_orc")
+    readers.write_orc(src, path)
+    back = readers.read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = sorted(map(tuple, src.select("o_orderkey", "o_totalprice").collect()))
+    b = sorted(map(tuple, back.select("o_orderkey", "o_totalprice").collect()))
+    assert a == b
+
+    q = back.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200], plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan, plan
