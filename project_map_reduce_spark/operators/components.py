@@ -64,19 +64,21 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # The changed flag rides the label join (nbr_comp < comp ⇔ this
+        # round improved the node's label) instead of a separate
+        # new-vs-old join+count — one fewer keyed shuffle per round.
         new_labels = labels.join(nbr_min, labels.node == nbr_min.s).select(
-            "node", F.least(F.col("comp"), F.col("nbr_comp")).alias("comp")
+            "node",
+            F.least(F.col("comp"), F.col("nbr_comp")).alias("comp"),
+            (F.col("nbr_comp") < F.col("comp")).cast("long").alias("__changed"),
         )
         # Cut lineage each round — otherwise the plan doubles per
         # iteration and round N replays rounds 1..N-1.
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # Aggregating over the just-materialized checkpoint partitions:
+        # no join, no extra shuffle — a map-side sum + single-row merge.
+        changed = new_labels.agg(F.sum("__changed")).first()[0]
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     if changed != 0:
