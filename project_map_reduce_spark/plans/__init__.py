@@ -29,4 +29,5 @@ from project_map_reduce_spark.plans import (  # noqa: F401
     sampling,  # Q62-Q63: round-2 additions, driver-unchecked (past the 50-cap)
     olap_extra,  # Q64-Q66: pivot/percentiles/corr, also past the 50-cap
     pipeline_guard,  # Q68-Q70: decontam/PII/repetition, also past the 50-cap
+    event_analytics,  # Q72-Q73: retention/funnel, also past the 50-cap
 )

@@ -1,0 +1,162 @@
+"""B.9 extension: event-analytics operators (Q72-Q73) — cohort
+retention and ordered funnel conversion.
+
+The two queries every product-analytics workload runs over an event
+stream that the streaming-shaped family (tumbling/sliding/session
+windows, stream dedup) didn't cover: "of the users who arrived in week
+W, how many came back in week W+n?" and "how far down the
+view→click→purchase path does each user get?".
+
+Both are pure keyed dataflow — every shuffle is on user_id or on a
+(cohort, offset) pair whose cardinality is weeks², so the shapes hold
+unchanged when the event table is 100 TB: no windows over the full
+stream, no self-join wider than one row per user per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+           count(*) AS n_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q72: weekly cohort retention triangle — cohort = ISO week of the
+    user's first event; each (cohort_week, week_offset) cell counts the
+    cohort's users active in that later week.
+
+    100 TB shape: one groupBy(user_id) for first-touch (partial min
+    combines map-side), one distinct on (user_id, week) — state
+    O(users × weeks) not O(events) — then a join keyed on user_id and
+    a final agg whose key space is weeks². Nothing retains raw events
+    past the first partial aggregation. ``count(*)`` (not
+    countDistinct) in the final agg because (user, week) is already
+    distinct — saves the distinct re-shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# Funnel step order — strictly-increasing timestamps required between
+# consecutive stages.
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    staged AS (
+        SELECT u.user_id,
+               CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM users u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    )
+    SELECT funnel_stage, count(*) AS n_users FROM staged GROUP BY 1
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q73: ordered funnel — how many users reach each stage of
+    view → click (after the first view) → purchase (after that click),
+    with strict timestamp ordering between stages.
+
+    100 TB shape: each stage is a filtered groupBy(user_id) min — the
+    event table is scanned per stage but reduced to ONE row per user
+    before any join, so the joins are user-keyed and at most
+    |users|-row on both sides. This is the relational funnel; the
+    single-scan alternative (sort each user's events inside
+    applyInPandas) trades three cheap scans for a per-user sort and a
+    Python stage — the relational form wins whenever the event:user
+    ratio is modest, and never OOMs on a hot user.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    e2 = ev.filter(F.col("event_type") == _FUNNEL[1]).join(s1, "user_id")
+    s2 = (
+        e2.filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    e3 = ev.filter(F.col("event_type") == _FUNNEL[2]).join(s2, "user_id")
+    s3 = (
+        e3.filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    staged = (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_stage"),
+        )
+    )
+    return staged.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
