@@ -17,7 +17,7 @@ from project_map_reduce_spark.plans import (  # noqa: F401
     text_analysis,  # Q46-47, Q55-58, Q61: 4 of 7 never checked
     streaming_shaped,  # Q39-Q42: failed on events conf, now fixed
     agg_extra,  # Q16-Q21: 3 failed on events conf
-    joins,  # Q06-Q14: asof failed on events conf
+    joins,  # Q06-Q14 + Q74 range join: asof failed on events conf in r1
     scalars,  # Q33-Q38, Q60: json_extract failed on events conf
     dedup,  # Q43-44, Q51-53: fuzzy had no oracle, now has one
     similarity,  # Q45, Q54: ann had no oracle, now has one

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import r6d, sum6
 from project_map_reduce_spark.operators.asof import asof_join_keyed
+from project_map_reduce_spark.operators.rangejoin import interval_join
 from project_map_reduce_spark.registry import register
 from project_map_reduce_spark.tables import load
 
@@ -269,4 +270,49 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6d(F.col("purchase_value"), "purchase_value"),
         F.col("sig_ts").alias("signup_ts"),
         r6d(F.col("sig_value"), "signup_value"),
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT e.user_id,
+           e.event_id AS err_id,
+           p.event_id AS pur_id,
+           round(epoch(p.ts - e.ts), 6) AS secs_after
+    FROM events e JOIN events p ON e.user_id = p.user_id
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases by the same user strictly
+    within one hour AFTER an error event — the did-the-incident-hurt-
+    conversion question.
+
+    Built on operators/rangejoin.py: time quantized into window-width
+    buckets, left windows replicated to ≤2 buckets, equi-join on
+    (user_id, bucket), exact predicate re-applied. The naive plan for
+    this query is a per-user cartesian (inequality-only conjunct);
+    the bucketed form is an ordinary hash-partitioned equi-join with
+    shuffle O(2·|errors| + |purchases|) and per-key fanout bounded by
+    events-per-hour — the plan audit asserts no BNLJ/cartesian
+    appears."""
+    ev = load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pur_id"), F.col("ts").alias("pur_ts")
+    )
+    pairs = interval_join(
+        err, pur, "user_id", "err_ts", "pur_ts", lower_sec=0.0, upper_sec=3600.0
+    )
+    return pairs.select(
+        "user_id",
+        "err_id",
+        "pur_id",
+        F.round(
+            (F.unix_micros("pur_ts") - F.unix_micros("err_ts")) / 1_000_000.0, 6
+        ).alias("secs_after"),
     )
