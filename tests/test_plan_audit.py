@@ -193,3 +193,22 @@ def test_window_distribution_single_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_retention_aggregates_before_join(spark, sf_dir):
+    """Q72's first-touch and active-week branches must both reduce to
+    per-user/per-(user,week) aggregates BEFORE the user-keyed join —
+    raw events never reach a join input."""
+    plan = plan_of(spark, sf_dir, "q_events_retention")
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_is_bucketed_equijoin(spark, sf_dir):
+    """Q74 must plan as an equi-join whose keys include the synthetic
+    __bucket column — the inequality never becomes the join condition
+    alone (that would be a nested loop)."""
+    plan = plan_of(spark, sf_dir, "q_join_range")
+    assert "__bucket" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
