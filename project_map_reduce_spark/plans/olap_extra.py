@@ -122,3 +122,52 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6d(F.stddev_samp("l_extendedprice"), "sd_price"),
         r6d(F.var_pop("l_quantity"), "var_qty"),
     )
+
+
+@register(
+    "q_approx_quantile_check",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 6)
+               AS exact_p50,
+           (approx_quantile(l_extendedprice, 0.50)
+              BETWEEN quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.45)
+                  AND quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.55))
+               AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q75: quantile-sketch discipline — approx_percentile is Q65's
+    declared 100 TB drop-in; this query makes the sketch driver-visible
+    the same way Q20 does for HLL. Sketch medians legitimately differ
+    across engines (Spark: Greenwald-Khanna; DuckDB: t-digest), so the
+    hash-checked contract is an engine-internal invariant: each side
+    asserts its OWN approximate median lands inside its OWN exact
+    [p45, p55] band (1000x looser than the sketch's configured 1e-4
+    rank error). Both sides deterministically emit true; the exact p50
+    rides along so the row still hash-pins real values.
+
+    100 TB note: the exact-percentile columns here exist only to judge
+    the sketch at test scale — the production plan is the sketch alone
+    (fixed-size mergeable state, ordinary partial+final agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.50, 0.55))"
+        ).alias("__exact"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.50, 10000)"
+        ).alias("__approx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        r6d(F.col("__exact")[1], "exact_p50"),
+        F.col("__approx")
+        .between(F.col("__exact")[0], F.col("__exact")[2])
+        .alias("within_tol"),
+    )
