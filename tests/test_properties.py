@@ -182,3 +182,47 @@ def test_exact_dedup_partition_invariant(spark, vals):
     r1 = sorted(map(tuple, _dedup_exact(df1).collect()))
     r8 = sorted(map(tuple, _dedup_exact(df8).collect()))
     assert r1 == r8
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=200),  # left ts (sec)
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(lefts=_events, rights=_events)
+@settings(**_SETTINGS)
+def test_interval_join_matches_brute_force(spark, lefts, rights):
+    """Bucketed interval join ≡ the all-pairs definition on any input:
+    pairs with equal key and r_ts ∈ (l_ts, l_ts + 45]. Exercises pairs
+    inside one bucket, straddling buckets, and window edges."""
+    import datetime as dt
+
+    from project_map_reduce_spark.operators.rangejoin import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, i, t0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "key int, l_id int, l_ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, i, t0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rights)],
+        "key int, r_id int, r_ts timestamp",
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_join(
+            ldf, rdf, "key", "l_ts", "r_ts", lower_sec=0.0, upper_sec=45.0
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, ls) in enumerate(lefts)
+        for ri, (rk, rs) in enumerate(rights)
+        if lk == rk and ls < rs <= ls + 45
+    )
+    assert got == want

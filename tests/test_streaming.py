@@ -196,3 +196,74 @@ def test_watermark_drops_late_rows(spark):
     assert base.replace(minute=0) in starts  # on-time window emitted
     assert base - dt.timedelta(days=1, hours=0) not in starts  # late row gone
     assert all(r[1] <= 5 for r in rows)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, chunked_events):
+    """Q74's interval-join semantics under Structured Streaming: a
+    stream-stream inner join with an event-time range condition
+    (purchase within 1h after an error, same user) must produce
+    exactly the batch answer. Watermarks on both sides bound the join
+    state — errors older than watermark+1h are evictable, which is
+    what makes the join runnable forever on an unbounded stream."""
+    path, schema = chunked_events
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path + "/chunk_*.parquet/*.parquet")
+        )
+
+    err = (
+        src()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "2 hours")
+    )
+    pur = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("pur_id"),
+            F.col("ts").alias("pur_ts"),
+        )
+        .withWatermark("pur_ts", "2 hours")
+    )
+    joined = err.join(
+        pur,
+        F.expr(
+            "e_user = p_user AND pur_ts > err_ts "
+            "AND pur_ts <= err_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("err_id", "pur_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("smoke_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon(spark.sql("SELECT * FROM smoke_interval_join"))
+
+    from project_map_reduce_spark.operators.rangejoin import interval_join
+    from project_map_reduce_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pur_id"), F.col("ts").alias("pur_ts")
+    )
+    want = _canon(
+        interval_join(
+            e, p, "user_id", "err_ts", "pur_ts", lower_sec=0.0, upper_sec=3600.0
+        ).select("err_id", "pur_id")
+    )
+    assert got == want and len(got) > 0
