@@ -1,0 +1,136 @@
+"""Distributed Lloyd's k-means — the iterative model-training loop
+that builds the coarse-quantizer an IVF index (q_similarity_ann)
+assumes as given.
+
+The model (k·d doubles) lives at the DRIVER between rounds — the same
+design as Spark MLlib's KMeans: what crosses the cluster boundary per
+round is O(model), never O(data). Per round:
+
+1. **Assign** — centroids are baked into the plan as literal arrays, so
+   assignment is a pure narrow projection over the (cached) vector
+   table: argmin squared-distance via ‖v‖² − 2·v·c + ‖c‖², distance
+   ROUNDED to 6 dp, ties broken on cell id. NO join and NO shuffle —
+   the vector table is never repartitioned, not even by vec_id.
+2. **Update** — new centroid = element-wise mean of members:
+   posexplode to (cell, dim, x) and avg — partial aggregation combines
+   map-side, so the shuffle is O(k·d·partitions), never O(n·d). The
+   k·d rounded means are collected to the driver (≤ a few KB) to become
+   the next round's literals. Centroids are re-QUANTIZED to 6 dp each
+   round: model state is the only thing that crosses iterations, and
+   quantizing it makes cross-engine float drift collapse at every round
+   boundary instead of compounding.
+
+The LAST round's update is left lazy and returned as the result
+DataFrame, so the caller still gets a distributed plan (assignment
+projection + one O(k·d) aggregation) rather than a driver-local table.
+
+Fixed iteration count (no convergence test): the loop is a constant
+chain of identical dataflow rounds — exactly what makes it expressible
+as chained CTEs in the SQL oracle, and what you'd run at 100 TB anyway
+(each Lloyd round is a full pass; production IVF training fixes the
+round budget up front, typically on a sample).
+
+Reference analog: none — the reference has no iterative computation of
+any kind (its only loop is an SQS poll).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_norm2(df: DataFrame, vec: str, out: str) -> DataFrame:
+    v = F.col(vec)
+    return df.withColumn(
+        out,
+        F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x),
+    )
+
+
+def _dot_lit(vec: Column, c: list[float]) -> Column:
+    """Sequential fold dot-product of a vector column against a literal
+    centroid — the same left-to-right IEEE operation sequence as
+    DuckDB's list_dot_product, so results are bit-identical."""
+    return F.aggregate(
+        F.zip_with(vec, F.array([F.lit(x) for x in c]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Narrow argmin-assignment against the driver-held model: one
+    struct per centroid, array_min picks (min dist2, min cell). Pure
+    projection — no join, no exchange."""
+    choices = []
+    for cell in sorted(cents):
+        c = cents[cell]
+        nc = 0.0
+        for x in c:  # sequential sum of squares — bit-matches the SQL fold
+            nc += x * x
+        dist2 = F.round(F.col("nv") - 2 * _dot_lit(F.col("v"), c) + F.lit(nc), 6)
+        choices.append(
+            F.struct(dist2.alias("dist2"), F.lit(int(cell)).cast("int").alias("cell"))
+        )
+    return vecs.withColumn("cell", F.array_min(F.array(*choices)).getField("cell"))
+
+
+def lloyd(
+    vectors: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Run ``iters`` full Lloyd rounds over ``vectors`` (id, vec of
+    doubles). Init: the k vectors with id < k (deterministic — the
+    fixture ids are dense from 0). Returns the trained model: one row
+    per non-empty cell, ``(cell_id, n_members, centroid)``, where
+    centroid is the 6-dp-quantized member mean of the final round and
+    n_members counts the final assignment.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    # Every Lloyd round re-reads the full training set (assign is a pass
+    # over all vectors) — persist it once so the scan + norm subtree is
+    # not re-executed per round. At cluster scale this is the cache (or
+    # checkpoint) of the working set that any iterative trainer does.
+    vecs = _with_norm2(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "v",
+        "nv",
+    ).persist()
+
+    seed = vecs.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    cents: dict[int, list[float]] = {
+        int(r["vec_id"]): [float(x) for x in r["v"]] for r in seed
+    }
+
+    upd = None
+    for i in range(iters):
+        assigned = _assign(vecs, cents)
+        upd = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("x"), F.count(F.lit(1)).alias("n"))
+        )
+        if i < iters - 1:
+            # Model round-trip: k·d rounded means back to the driver to
+            # become the next round's literal centroids.
+            cents = {}
+            for r in sorted(upd.collect(), key=lambda r: (r["cell"], r["dim"])):
+                cents.setdefault(int(r["cell"]), []).append(float(r["x"]))
+
+    return (
+        upd.groupBy("cell")
+        .agg(
+            F.max("n").alias("n_members"),  # n is constant across a cell's dims
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "x"))),
+                lambda s: s.getField("x"),
+            ).alias("centroid"),
+        )
+        .select(F.col("cell").alias("cell_id"), "n_members", "centroid")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from project_map_reduce_spark.operators.kmeans import lloyd
 from project_map_reduce_spark.registry import register
 from project_map_reduce_spark.tables import load
 
@@ -239,3 +240,83 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_similarity_ann.__doc__ = q_similarity_ann.__doc__.format(c=_N_CELLS)
+
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Chained-CTE DuckDB mirror of ``operators.kmeans.lloyd`` — one
+    (score → argmin-assign → explode → quantized-mean → rebuild) block
+    per Lloyd round. Expressible only because the loop is a FIXED number
+    of identical dataflow stages (see kmeans.py docstring)."""
+    sql = [
+        f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS nv FROM vecs),
+    cent0 AS (
+        SELECT CAST(vec_id AS INT) AS cell, v AS c FROM vecs WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        sql.append(
+            f""",
+    s{i} AS (
+        SELECT n.vec_id, n.v, c.cell,
+               round(n.nv - 2 * list_dot_product(n.v, c.c)
+                     + list_dot_product(c.c, c.c), 6) AS dist2
+        FROM n CROSS JOIN cent{i - 1} c
+    ),
+    a{i} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    ),
+    e{i} AS (
+        SELECT cell, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+               unnest(v) AS x
+        FROM a{i}
+    ),
+    m{i} AS (
+        SELECT cell, dim, round(avg(x), 6) AS x FROM e{i} GROUP BY cell, dim
+    ),
+    cent{i} AS (SELECT cell, list(x ORDER BY dim) AS c FROM m{i} GROUP BY cell)"""
+        )
+    sql.append(
+        f""",
+    sizes AS (SELECT cell, count(*) AS n_members FROM a{iters} GROUP BY cell)
+    SELECT m.cell AS cell_id, sizes.n_members, m.dim, m.x
+    FROM m{iters} m JOIN sizes USING (cell)"""
+    )
+    return "".join(sql)
+
+
+@register("q_kmeans", oracle=_kmeans_oracle(_KM_K, _KM_ITERS))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q76: distributed k-means training (k={k}, {i} full Lloyd rounds)
+    over the embeddings table — the iterative model-training loop that
+    produces the IVF coarse quantizer q_similarity_ann assumes as given.
+    Output is the trained model exploded to scalars, one row per
+    (cell, dimension): ``(cell_id, n_members, dim, x)``.
+
+    Scale shape (operators/kmeans.py): per round, assignment is a
+    broadcast of the k·d-double model against the vector table (map
+    stage, no shuffle of vectors), and the update shuffles only
+    O(k·d·partitions) partial sums. Per-round 6-dp re-quantization of
+    the model makes the whole {i}-round pipeline value-hash-checkable
+    against a chained-CTE DuckDB oracle — cross-engine float drift
+    collapses at every round boundary instead of compounding.
+    """
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    model = lloyd(vecs, k=_KM_K, iters=_KM_ITERS)
+    return model.select(
+        "cell_id", "n_members", F.posexplode("centroid").alias("dim", "x")
+    )
+
+
+q_kmeans.__doc__ = q_kmeans.__doc__.format(k=_KM_K, i=_KM_ITERS)

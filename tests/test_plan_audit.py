@@ -158,6 +158,18 @@ def test_similarity_ann_cell_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_kmeans_assignment_is_shuffle_free_projection(spark, sf_dir):
+    """Q76's final-round plan: the model is driver-held literals, so
+    assignment must be a pure narrow projection — NO join of any kind,
+    and the vector table is never repartitioned (no hashpartitioning on
+    vec_id). The only exchanges are the O(k·d) model-update aggregations
+    keyed on (cell, dim) / (cell)."""
+    plan = plan_of(spark, sf_dir, "q_kmeans")
+    assert "Join" not in plan, plan
+    assert not re.search(r"hashpartitioning\(vec_id", plan), plan
+    assert re.search(r"hashpartitioning\(cell", plan), plan
+
+
 def test_pii_mask_is_shuffle_free(spark, sf_dir):
     """Q69's scrub must be a pure narrow map — regex + hash inside
     codegen, no Exchange and no Python eval anywhere (the property that
