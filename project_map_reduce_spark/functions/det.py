@@ -45,3 +45,31 @@ def sum6(col: Column | str) -> Column:
 
 # Oracle-side template matching sum6 (use .format(expr=...)).
 SUM6 = "CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+_EPOCH_NTZ = "1970-01-01 00:00:00"
+
+
+def epoch_micros(col: Column | str) -> Column:
+    """Microseconds since the epoch for a TIMESTAMP_NTZ column.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ) and raises on the NTZ
+    columns Spark ≥4.1 produces for the nanos-precision events fixture.
+    ``timestamp_diff`` is NTZ-exact and timezone-independent (no session
+    zone enters the computation). If the input is LTZ, Spark coerces the
+    epoch literal with the session zone — a uniform base shift, so
+    differences and fixed-width bucketing stay correct; don't compare the
+    absolute value against external epoch constants in that case.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit(_EPOCH_NTZ).cast("timestamp_ntz"), c
+    )
+
+
+def micros_between(start: Column | str, end: Column | str) -> Column:
+    """µs-exact ``end - start`` for timestamp columns of either flavor
+    (both sides must be the same flavor; NTZ- and LTZ-safe)."""
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    return F.timestamp_diff("MICROSECOND", s, e)

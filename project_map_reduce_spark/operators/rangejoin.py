@@ -29,11 +29,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.det import epoch_micros
+
 _US = 1_000_000  # microseconds per second
 
 
 def _micros(c: Column) -> Column:
-    return F.unix_micros(c)
+    # NTZ-safe epoch micros (events.ts is TIMESTAMP_NTZ on Spark ≥4.1);
+    # bucketing only needs a consistent base, which epoch_micros gives
+    # for either timestamp flavor.
+    return epoch_micros(c)
 
 
 def interval_join(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_map_reduce_spark.functions.det import r6d, sum6
+from project_map_reduce_spark.functions.det import micros_between, r6d, sum6
 from project_map_reduce_spark.operators.asof import asof_join_keyed
 from project_map_reduce_spark.operators.rangejoin import interval_join
 from project_map_reduce_spark.registry import register
@@ -313,6 +313,6 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_id",
         "pur_id",
         F.round(
-            (F.unix_micros("pur_ts") - F.unix_micros("err_ts")) / 1_000_000.0, 6
+            micros_between("err_ts", "pur_ts") / 1_000_000.0, 6
         ).alias("secs_after"),
     )

@@ -132,7 +132,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
     FROM events
     GROUP BY event_type

@@ -238,9 +238,9 @@ _TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_ws_tokens,
-           sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_re_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS total_re_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
     """,

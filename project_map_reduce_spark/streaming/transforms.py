@@ -22,7 +22,17 @@ from project_map_reduce_spark.functions.det import r6d
 
 
 def with_watermark(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
-    """Declare allowed event-time lateness (state-eviction horizon)."""
+    """Declare allowed event-time lateness (state-eviction horizon).
+
+    Spark's watermark tracker only accepts TIMESTAMP (LTZ); the events
+    fixture reads as TIMESTAMP_NTZ on Spark ≥4.1, so cast here. The
+    engine session pins the zone to UTC (session.py), making the cast
+    value-exact; streaming is a capability surface (no DuckDB oracle),
+    so the LTZ flavor never reaches a hash comparison.
+    """
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.to_timestamp_ltz("ts"))
     return df.withWatermark("ts", delay)
 
 
@@ -70,9 +80,10 @@ def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
         # µs-exact difference floored to whole seconds (unix_timestamp
-        # would truncate each endpoint first — off-by-one vs the oracle).
+        # would truncate each endpoint first — off-by-one vs the oracle;
+        # timestamp_diff is NTZ-safe where unix_micros is LTZ-only).
         F.expr(
-            "(unix_micros(session_window.end) - unix_micros(session_window.start))"
+            "timestampdiff(MICROSECOND, session_window.start, session_window.end)"
             " div 1000000"
         ).alias("duration_secs"),
         "n_events",

@@ -38,19 +38,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet (FIXTURES.md). A vanilla
-        # SparkSession rejects that physical type (PARQUET_TYPE_ILLEGAL),
-        # so opt in to the legacy long-nanos read here — the conf is
-        # runtime-settable, and setting it in the loader means any caller's
-        # session (driver, tests, notebooks) can read the table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is TIMESTAMP(NANOS) parquet (FIXTURES.md). Spark ≥4.1
+        # reads it natively as TIMESTAMP_NTZ (µs-truncated); older Sparks
+        # reject the physical type unless the legacy long-nanos conf is on.
+        # Set it for back-compat — a no-op where the native read exists.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # removed conf on some future version — fine
+            pass
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # Truncate long nanos to µs TimestampType — byte-identical to
-        # DuckDB's µs view.
         ts_field = df.schema["ts"]
         if ts_field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Legacy long-nanos path: truncate to µs and build TIMESTAMP_NTZ
+            # via timestamp_add from the epoch — timezone-independent, so
+            # the value is byte-identical to DuckDB's naive µs view and to
+            # the native NTZ read on newer Sparks.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_add(
+                    "MICROSECOND",
+                    F.expr("ts div 1000"),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                ),
+            )
     return df
 
 

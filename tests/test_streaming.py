@@ -220,7 +220,8 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, chunked_events)
         .select(
             F.col("user_id").alias("e_user"),
             F.col("event_id").alias("err_id"),
-            F.col("ts").alias("err_ts"),
+            # watermark tracking is LTZ-only; fixture ts is NTZ on Spark ≥4.1
+            F.to_timestamp_ltz("ts").alias("err_ts"),
         )
         .withWatermark("err_ts", "2 hours")
     )
@@ -230,7 +231,7 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, chunked_events)
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("pur_id"),
-            F.col("ts").alias("pur_ts"),
+            F.to_timestamp_ltz("ts").alias("pur_ts"),
         )
         .withWatermark("pur_ts", "2 hours")
     )

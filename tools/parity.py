@@ -52,11 +52,27 @@ def canon_table(rows, colnames):
     return sorted(colnames), out
 
 
+# DuckDB types that lose or change representation on the pandas fetch
+# path (fetchdf): HUGEINT and DECIMAL become float64, so "123" hashes as
+# "123.0" in a driver that fetches via pandas. Oracles must CAST these
+# away (sum(BIGINT) -> HUGEINT is the common trap). Root cause of the
+# round-2 q_token_count / q_json_extract driver mismatches.
+_HAZARD_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT", "UBIGINT")
+
+
 def compare(name, spark_df, duck_rel) -> list[str]:
     problems = []
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = list(duck_rel.columns)
+    for col, typ in zip(duck_rel.columns, duck_rel.types):
+        if any(h in str(typ).upper() for h in _HAZARD_TYPES):
+            problems.append(
+                f"driver-hazard: oracle column '{col}' has type {typ} — "
+                "becomes float64 on the pandas fetch path; CAST it in the SQL"
+            )
+    if problems:
+        return problems
     d_rows = duck_rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
