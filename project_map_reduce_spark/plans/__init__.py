@@ -3,31 +3,100 @@
 Importing this package registers every query with
 ``project_map_reduce_spark.registry``. One module per inventory family.
 
-Import order IS registration order, and the correctness driver checks the
-first 50 registrations per round. Modules are therefore ordered so queries
-that most need a fresh driver signal register first (previously unchecked
-windows/udfs/text ops, then families that had environmental failures),
-while the long-stable trivial families (scans, filters, sort/topk, setops)
-take the back of the queue.
+The external correctness driver hash-checks the FIRST 50 registrations
+per round, so registration order is an explicit, versioned decision:
+``_DRIVER_WINDOW`` below lists exactly which 50 queries occupy the
+window this round (never-driver-checked queries first, then this
+round's new/changed queries, then families whose last green signal
+predates the Spark 4.1 environment change). Everything else was
+driver-green in round 2 and unchanged since; it keeps pytest + local
+parity coverage at positions 51+.
 """
 
+from project_map_reduce_spark import registry
 from project_map_reduce_spark.plans import (  # noqa: F401
-    windows,  # Q22-Q25: never driver-checked in r1 (50-cap)
-    udfs,  # Q49, Q50, Q59: never driver-checked in r1
-    text_analysis,  # Q46-47, Q55-58, Q61: 4 of 7 never checked
-    streaming_shaped,  # Q39-Q42: failed on events conf, now fixed
-    agg_extra,  # Q16-Q21: 3 failed on events conf
-    joins,  # Q06-Q14 + Q74 range join: asof failed on events conf in r1
-    scalars,  # Q33-Q38, Q60: json_extract failed on events conf
-    dedup,  # Q43-44, Q51-53: fuzzy had no oracle, now has one
-    similarity,  # Q45, Q54: ann had no oracle, now has one
-    aggregates,  # Q15 flagship
-    scans,  # Q01-Q02: stable green
-    filters,  # Q03-Q05, Q48: stable green
-    sort_topk,  # Q26-Q28: stable green
-    setops,  # Q29-Q32: stable green
-    sampling,  # Q62-Q63: round-2 additions, driver-unchecked (past the 50-cap)
-    olap_extra,  # Q64-Q66: pivot/percentiles/corr, also past the 50-cap
-    pipeline_guard,  # Q68-Q70: decontam/PII/repetition, also past the 50-cap
-    event_analytics,  # Q72-Q73: retention/funnel, also past the 50-cap
+    windows,
+    udfs,
+    text_analysis,
+    streaming_shaped,
+    agg_extra,
+    joins,
+    scalars,
+    dedup,
+    similarity,
+    aggregates,
+    scans,
+    filters,
+    sort_topk,
+    setops,
+    sampling,
+    olap_extra,
+    pipeline_guard,
+    event_analytics,
+    sql_surface,
+    packing,
 )
+
+_DRIVER_WINDOW = [
+    # -- round-2 additions that registered past the 50-cap: never checked
+    "q_kmeans",
+    "q_sample_stratified",
+    "q_source_quota",
+    "q_pivot_status",
+    "q_percentiles",
+    "q_corr_stats",
+    "q_approx_quantile_check",
+    "q_decontaminate",
+    "q_pii_mask",
+    "q_repetition",
+    "q_events_retention",
+    "q_events_funnel",
+    # -- round-3 additions
+    "q_string_agg",
+    "q_minmax_by",
+    "q_unpivot",
+    "q_scalar_subquery",
+    "q_time_rollup",
+    "q_pack_sequences",
+    "q_length_deciles",
+    "q_zscore_outliers",
+    # -- round-2 driver hash mismatches, fixed this round (HUGEINT oracles)
+    "q_token_count",
+    "q_json_extract",
+    # -- timestamp semantics changed under Spark 4.1 (events.ts is now NTZ):
+    #    re-verify every events/timestamp query under the new environment
+    "q_events_session",
+    "q_join_range",
+    "q_join_asof",
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_stream_dedup",
+    "q_approx_count_distinct",
+    "q_grouped_count",
+    # -- last driver signal was round 1: re-confirm under the new env
+    "q_pricing_summary",
+    "q_scan_project",
+    "q_scan_count",
+    "q_filter_predicate",
+    "q_case_when",
+    "q_job_pipeline",
+    "q_udf_python",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_sort_multi",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_except",
+    # -- round-2 green but highest-variance paths (Arrow/pandas UDFs,
+    #    ml MinHash, iterative components) — cheap insurance re-checks
+    "q_pandas_udf_scalar",
+    "q_grouped_map",
+    "q_udaf_weighted_mean",
+    "q_dedup_fuzzy",
+    "q_similarity_ann",
+    "q_dedup_clusters",
+]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+registry.reorder(_DRIVER_WINDOW)

@@ -1,0 +1,182 @@
+"""B.10 extension: training-batch shaping — sequence packing, corpus
+length profiling, and statistical outlier screening (Q81-Q83).
+
+The last mile of a training-data pipeline after dedup/quality/split:
+shape the surviving documents into fixed-capacity training sequences,
+profile the length distribution that drives the packing capacity
+choice, and screen metric outliers. All three are window/agg
+compositions — no UDFs, no collects, shuffle O(rows) once.
+
+Reference analog: none (`ext` rows); the closest reference behavior is
+the gather step's fixed result-file assembly (Manager.java:287-312),
+which packs per-job, not per-capacity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load
+
+_PACK_CAPACITY = 2048  # tokens per training sequence
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id, md5(text) AS h,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT lang, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks
+    )
+    SELECT lang,
+           CAST(floor(cum_before / {_PACK_CAPACITY}.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(CAST(sum(n_tokens) AS BIGINT) / {_PACK_CAPACITY}.0, 6)
+               AS fill_ratio
+    FROM placed
+    GROUP BY lang, bin_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q81: sequence packing — assign documents to fixed-capacity
+    ({_cap}-token) training bins per language, in a deterministic
+    content-hash order (same order as Q61's leakage-safe split, so
+    packing is reproducible run-to-run and independent of scan order).
+    bin = floor(running-token-count-before / capacity): the streaming
+    one-pass packer (documents may straddle a boundary; the real writer
+    splits the straddler — a narrow flatMap — which doesn't change bin
+    assignment). One window (shuffle on lang, per-partition sort) + one
+    grouped agg; at 100 TB the partition key becomes (lang, hash-prefix)
+    so no language serializes on one reducer, at the cost of per-prefix
+    bin offsets — documented, not needed at test scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    g = placed.groupBy(
+        "lang",
+        F.floor(F.col("cum_before") / _PACK_CAPACITY).alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+    return g.select(
+        "lang",
+        "bin_id",
+        "n_docs",
+        "bin_tokens",
+        r6d(F.col("bin_tokens") / float(_PACK_CAPACITY), "fill_ratio"),
+    )
+
+
+q_pack_sequences.__doc__ = q_pack_sequences.__doc__.format(_cap=_PACK_CAPACITY)
+
+
+@register(
+    "q_length_deciles",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT decile,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM t
+    GROUP BY decile
+    """,
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q82: corpus length profiling — documents bucketed into deciles
+    by character length (unique doc_id tiebreak → deterministic ntile),
+    with per-decile count/min/max/mean. The distribution that chooses
+    Q81's packing capacity and Q56's length cutoffs. ntile over a
+    global ORDER BY serializes one sort partition at 100 TB — the scale
+    form computes decile boundaries from approx_percentile (fixed-size
+    sketch, Q75's discipline) and assigns by range comparison map-side;
+    same output contract."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    t = d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        r6d(F.avg("n_chars"), "avg_chars"),
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_pop(value) AS sigma
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (
+               WHERE round(abs((e.value - s.mu) / s.sigma), 6) > 3.0
+           ) AS BIGINT) AS n_outliers,
+           round(max(round(abs((e.value - s.mu) / s.sigma), 6)), 6)
+               AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q83: statistical outlier screen — events whose value sits more
+    than 3 population-σ from their type's mean (the metric-anomaly
+    gate a pipeline runs before trusting a batch). Two-pass shape:
+    tiny per-type moments (partial+final agg, O(types) rows) broadcast
+    back onto the stream for a map-side z-score — the same
+    aggregate-then-broadcast pattern as Q50's z-score normalization
+    and Q79's decorrelated subquery, and the only scalable form (a
+    window over event_type would shuffle everything onto hot type
+    reducers). Boundary-determinism: the z is rounded to 6dp before
+    the >3 comparison so both engines agree at the threshold."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.round(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")), 6)
+    joined = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", z.alias("abs_z")
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("abs_z") > 3.0, 1)).alias("n_outliers"),
+        r6d(F.max("abs_z"), "max_abs_z"),
+    )

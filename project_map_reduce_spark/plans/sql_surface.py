@@ -1,0 +1,238 @@
+"""B.4/B.8 extension: remaining ANSI-SQL analytic surface — ordered
+string aggregation, arg-min/max, UNPIVOT, correlated scalar subquery,
+and a time-dimension rollup (Q76-Q80).
+
+These round out the SQL surface a reference user would expect from a
+drop-in analytics engine. Every query is a single-pass grouped
+aggregate or a Catalyst-decorrelated join — no new physical shapes,
+which is the point: the engine's scale story (partial+final agg,
+broadcast small sides, no cartesians) carries unchanged.
+
+Reference analog: none (the reference has no SQL layer at all,
+SURVEY.md §2 Part A "does NOT implement" list); all rows are `ext`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d
+from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.tables import load, register_views
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q76: ordered string aggregation (LISTAGG/STRING_AGG) — nation
+    names per region as a sorted CSV. Spark's collect_list is
+    shuffle-order-nondeterministic, so determinism comes from sorting
+    the collected array BEFORE joining — the canonical form of every
+    ordered-listagg at scale (the sort is per-group, size = group
+    cardinality, never a global sort). Groups here are tiny by
+    construction (dimension tables); a 100 TB listagg over a hot key
+    would cap or sketch the list instead (collect_list is unbounded
+    state — same discipline as Q26's top-k vs full sort)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
+    )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+    SELECT c_mktsegment,
+           round((max(struct_pack(a := round(c_acctbal, 6), k := c_custkey,
+                                  n := c_name))).a, 6) AS top_acctbal,
+           (max(struct_pack(a := round(c_acctbal, 6), k := c_custkey,
+                            n := c_name))).k AS top_custkey,
+           (max(struct_pack(a := round(c_acctbal, 6), k := c_custkey,
+                            n := c_name))).n AS top_name,
+           round((min(struct_pack(a := round(c_acctbal, 6), k := c_custkey,
+                                  n := c_name))).a, 6) AS bot_acctbal,
+           (min(struct_pack(a := round(c_acctbal, 6), k := c_custkey,
+                            n := c_name))).k AS bot_custkey,
+           (min(struct_pack(a := round(c_acctbal, 6), k := c_custkey,
+                            n := c_name))).n AS bot_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q77: arg-max / arg-min (MAX_BY/MIN_BY) — the customer with the
+    highest and lowest account balance per market segment. Plain
+    ``max_by(x, y)`` is nondeterministic on ties in both engines, so the
+    engine form is the struct-max idiom: max(struct(ordering..., payload))
+    with the unique key inside the ordering — one mergeable aggregate,
+    deterministic by construction, and the same trick the as-of join's
+    running carry uses (operators/asof.py). Single partial+final
+    HashAggregate; shuffle O(segments)."""
+    c = load(spark, sf_dir, "customer")
+    arg = F.struct(
+        F.round("c_acctbal", 6).alias("a"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("n"),
+    )
+    g = c.groupBy("c_mktsegment").agg(
+        F.max(arg).alias("__top"), F.min(arg).alias("__bot")
+    )
+    return g.select(
+        "c_mktsegment",
+        r6d(F.col("__top.a"), "top_acctbal"),
+        F.col("__top.k").alias("top_custkey"),
+        F.col("__top.n").alias("top_name"),
+        r6d(F.col("__bot.a"), "bot_acctbal"),
+        F.col("__bot.k").alias("bot_custkey"),
+        F.col("__bot.n").alias("bot_name"),
+    )
+
+
+_UNPIVOT_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+         st AS (SELECT * FROM (VALUES ('F'), ('O'), ('P')) s(status)),
+         cnt AS (SELECT o_orderpriority, o_orderstatus AS status,
+                        count(*) AS n
+                 FROM orders GROUP BY 1, 2)
+    SELECT pr.o_orderpriority,
+           st.status,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
+    FROM pr CROSS JOIN st
+    LEFT JOIN cnt ON cnt.o_orderpriority = pr.o_orderpriority
+                 AND cnt.status = st.status
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q78: UNPIVOT (wide → long) — melt Q64's pivoted status counts
+    back into (priority, status, n) rows, zero-cells preserved. Spark's
+    ``unpivot`` compiles to an Expand node (each input row emitted once
+    per value column) — a narrow map, no shuffle beyond the pivot's own
+    aggregate. The oracle builds the same dense grid with a tiny
+    dims-only cross join (priorities × 3 statuses)."""
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_UNPIVOT_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    wide = wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(s)
+            for s in _UNPIVOT_STATUSES
+        ],
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"], list(_UNPIVOT_STATUSES), "status", "n_orders"
+    )
+    return long.select("o_orderpriority", "status", "n_orders")
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(count(*) FILTER (WHERE above_avg) AS BIGINT) AS n_above_avg,
+           round(any_value(seg_avg), 6) AS seg_avg_acctbal
+    FROM (
+        SELECT c1.c_mktsegment,
+               round(c1.c_acctbal, 6) >
+                   round((SELECT avg(c2.c_acctbal) FROM customer c2
+                          WHERE c2.c_mktsegment = c1.c_mktsegment), 6)
+                   AS above_avg,
+               (SELECT avg(c2.c_acctbal) FROM customer c2
+                WHERE c2.c_mktsegment = c1.c_mktsegment) AS seg_avg
+        FROM customer c1
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q79: correlated scalar subquery — customers above their own
+    segment's average balance. Catalyst decorrelates the subquery into
+    an aggregate-then-join (visible in the plan: one HashAggregate over
+    customer grouped by segment, joined back on the segment key) — the
+    textbook rewrite, executed as two scans + one small join rather
+    than one subquery per row. At 100 TB the per-segment aggregate is
+    tiny and broadcast; the big side is scanned once."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               count(CASE WHEN above_avg THEN 1 END) AS n_above_avg,
+               round(any_value(seg_avg), 6) AS seg_avg_acctbal
+        FROM (
+            SELECT c1.c_mktsegment,
+                   round(c1.c_acctbal, 6) >
+                       round((SELECT avg(c2.c_acctbal) FROM customer c2
+                              WHERE c2.c_mktsegment = c1.c_mktsegment), 6)
+                       AS above_avg,
+                   (SELECT avg(c2.c_acctbal) FROM customer c2
+                    WHERE c2.c_mktsegment = c1.c_mktsegment) AS seg_avg
+            FROM customer c1
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+    SELECT CAST(grouping(d) + grouping(h) AS INTEGER) AS lvl,
+           CAST(d AS DATE)      AS day,
+           CAST(h AS TIMESTAMP) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM (
+        SELECT CAST(ts AS DATE) AS d, date_trunc('hour', ts) AS h, value
+        FROM events
+    )
+    GROUP BY ROLLUP(d, h)
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q80: hypertable-style time rollup — event counts and value sums
+    at hour grain, day grain, and grand total in ONE pass via
+    ROLLUP(day, hour). This is the continuous-aggregate shape a
+    time-series store maintains incrementally; in Spark it is a single
+    Expand + partial/final HashAggregate (each row contributes to its
+    3 grouping sets map-side), shuffle O(days + hours + 1) — not three
+    scans. ``lvl``: 0 = hour cell, 1 = day subtotal, 2 = grand total."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        base.rollup("day", "hour")
+        .agg(
+            # grouping() is only resolvable inside the rollup's agg list
+            (F.grouping("day") + F.grouping("hour")).cast("int").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            r6d(F.sum("value"), "sum_value"),
+        )
+        .select("lvl", "day", "hour", "n_events", "sum_value")
+    )

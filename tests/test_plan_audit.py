@@ -224,3 +224,40 @@ def test_range_join_is_bucketed_equijoin(spark, sf_dir):
     assert "__bucket" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_zscore_broadcasts_moments(spark, sf_dir):
+    """Q83's per-type moments must broadcast back onto the event stream
+    (aggregate-then-broadcast), so the z-score is computed map-side —
+    the big side is never shuffled by event_type for the join."""
+    plan = plan_of(spark, sf_dir, "q_zscore_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Q81 must cost exactly one exchange: the window's hash partition
+    on lang. The downstream (lang, bin) aggregate reuses that
+    partitioning (lang is a prefix of the grouping key), so no second
+    shuffle appears."""
+    plan = plan_of(spark, sf_dir, "q_pack_sequences")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_time_rollup_is_one_pass(spark, sf_dir):
+    """Q80's three grains (hour/day/total) must come from ONE scan +
+    ONE Expand + partial/final aggregate — not three scans or a union
+    of three aggregates."""
+    plan = plan_of(spark, sf_dir, "q_time_rollup")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2, plan
+
+
+def test_scalar_subquery_decorrelates(spark, sf_dir):
+    """Q79's correlated subquery must decorrelate into aggregate-then-
+    broadcast-join (no per-row subplan execution, no cartesian)."""
+    plan = plan_of(spark, sf_dir, "q_scalar_subquery")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
