@@ -201,8 +201,9 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_time_rollup",
     oracle="""
     SELECT CAST(grouping(d) + grouping(h) AS INTEGER) AS lvl,
-           CAST(d AS DATE)      AS day,
-           CAST(h AS TIMESTAMP) AS hour,
+           COALESCE(CAST(d AS DATE), DATE '1970-01-01')           AS day,
+           COALESCE(CAST(h AS TIMESTAMP),
+                    TIMESTAMP '1970-01-01 00:00:00')              AS hour,
            count(*) AS n_events,
            round(sum(value), 6) AS sum_value
     FROM (
@@ -219,7 +220,12 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series store maintains incrementally; in Spark it is a single
     Expand + partial/final HashAggregate (each row contributes to its
     3 grouping sets map-side), shuffle O(days + hours + 1) — not three
-    scans. ``lvl``: 0 = hour cell, 1 = day subtotal, 2 = grand total."""
+    scans. ``lvl``: 0 = hour cell, 1 = day subtotal, 2 = grand total.
+    Rolled-up grain cells are epoch sentinels, not NULLs: ``lvl``
+    already disambiguates, and NULL temporal cells render
+    asymmetrically across result-fetch paths (None vs NaT) — the same
+    hazard class as the HUGEINT float64 coercion that
+    ``tools/parity.py`` screens oracles for."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(
         F.col("ts").cast("date").alias("day"),
@@ -234,5 +240,16 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             r6d(F.sum("value"), "sum_value"),
         )
-        .select("lvl", "day", "hour", "n_events", "sum_value")
+        .select(
+            "lvl",
+            F.coalesce(F.col("day"), F.lit("1970-01-01").cast("date")).alias(
+                "day"
+            ),
+            F.coalesce(
+                F.col("hour"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
     )
