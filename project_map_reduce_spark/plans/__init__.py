@@ -60,6 +60,7 @@ _DRIVER_WINDOW = [
     "q_pack_sequences",
     "q_length_deciles",
     "q_zscore_outliers",
+    "q_value_histogram",
     # -- round-2 driver hash mismatches, fixed this round (HUGEINT oracles)
     "q_token_count",
     "q_json_extract",
@@ -95,7 +96,6 @@ _DRIVER_WINDOW = [
     "q_udaf_weighted_mean",
     "q_dedup_fuzzy",
     "q_similarity_ann",
-    "q_dedup_clusters",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -1,10 +1,10 @@
 """B.10 extension: training-batch shaping — sequence packing, corpus
-length profiling, and statistical outlier screening (Q81-Q83).
+length profiling, and statistical screens (Q81-Q83, Q85).
 
 The last mile of a training-data pipeline after dedup/quality/split:
 shape the surviving documents into fixed-capacity training sequences,
-profile the length distribution that drives the packing capacity
-choice, and screen metric outliers. All three are window/agg
+profile the length and value distributions that drive capacity and
+cutoff choices, and screen metric outliers. All are window/agg
 compositions — no UDFs, no collects, shuffle O(rows) once.
 
 Reference analog: none (`ext` rows); the closest reference behavior is
@@ -179,4 +179,46 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col("abs_z") > 3.0, 1)).alias("n_outliers"),
         r6d(F.max("abs_z"), "max_abs_z"),
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    WITH rng AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(least(floor((e.value - r.lo) / (r.hi - r.lo) * 10), 9)
+                AS INTEGER) AS bucket,
+           count(*) AS n_events
+    FROM events e JOIN rng r ON e.event_type = r.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q85: fixed-width histogram — 10 equal-width buckets of event
+    value per type (the width_bucket profiling shape). Same
+    aggregate-then-broadcast skeleton as Q83: the per-type [min, max]
+    range is O(types) rows broadcast back, bucket assignment is
+    map-side, and the final count is an ordinary partial+final agg.
+
+    Cross-engine determinism needs no rounding here: lo/hi are exact
+    selections and (value-lo)/(hi-lo)*10 is a fixed chain of single
+    IEEE ops, so both engines floor the identical double; the top edge
+    (value = hi) is pinned into bucket 9 by least() on both sides."""
+    ev = load(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10),
+        F.lit(9),
+    ).cast("int")
+    return (
+        ev.join(F.broadcast(rng), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
