@@ -61,6 +61,7 @@ _DRIVER_WINDOW = [
     "q_length_deciles",
     "q_zscore_outliers",
     "q_value_histogram",
+    "q_salted_agg",
     # -- round-2 driver hash mismatches, fixed this round (HUGEINT oracles)
     "q_token_count",
     "q_json_extract",
@@ -93,7 +94,6 @@ _DRIVER_WINDOW = [
     #    ml MinHash, iterative components) — cheap insurance re-checks
     "q_pandas_udf_scalar",
     "q_grouped_map",
-    "q_udaf_weighted_mean",
     "q_dedup_fuzzy",
     "q_similarity_ann",
 ]

@@ -163,3 +163,50 @@ def q_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", (F.col("user_id") % 5).cast("bigint").alias("user_bucket")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-immune aggregation: per-type count/sum/min/max computed
+    through ``operators/skew.py::salted_groupby_agg`` — phase 1 groups
+    by (event_type, row-hash salt) spreading each hot key over 16
+    reducers, phase 2 combines the ≤16·|types| partials. event_type has
+    exactly the shape AQE can't always save (5 values over millions of
+    rows → 5 reducers regardless of cluster size); salting is the
+    explicit fix, and this query makes the operator's losslessness
+    driver-visible: the oracle is the PLAIN group-by, so the hash only
+    matches if the two-phase split is exact. Sum determinism: doubles
+    re-associate across the extra combine, so the rounded sum relies on
+    the same ≪1e-6 drift bound every rounded aggregate here uses."""
+    from project_map_reduce_spark.operators.skew import salted_groupby_agg
+
+    ev = load(spark, sf_dir, "events")
+    g = salted_groupby_agg(
+        ev.select("event_type", "value"),
+        keys=["event_type"],
+        aggs={
+            "n_events": ("*", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salt=16,
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        r6d(F.col("sum_value"), "sum_value"),
+        r6d(F.col("min_value"), "min_value"),
+        r6d(F.col("max_value"), "max_value"),
+    )
