@@ -121,9 +121,11 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-decile count/min/max/mean. The distribution that chooses
     Q81's packing capacity and Q56's length cutoffs. ntile over a
     global ORDER BY serializes one sort partition at 100 TB — the scale
-    form computes decile boundaries from approx_percentile (fixed-size
-    sketch, Q75's discipline) and assigns by range comparison map-side;
-    same output contract."""
+    form is IMPLEMENTED as ``operators/bucketize.py`` (approx_percentile
+    boundary sketch + shuffle-free map-side assignment, Q75's sketch
+    discipline; ≥95% ntile agreement and a no-Exchange plan contracted
+    in tests/test_bucketize.py). This query keeps the exact ntile so the
+    oracle hash stays rank-exact."""
     d = load(spark, sf_dir, "documents")
     w = Window.orderBy("n_chars", "doc_id")
     t = d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
