@@ -142,6 +142,48 @@ def pdf_to_text(df: DataFrame) -> DataFrame:
     return df.select("path", "content").mapInPandas(batches, schema=PDF_TEXT_SCHEMA)
 
 
+PDF_HTML_SCHEMA = "path string, html string, status string, error string"
+
+
+def pdf_to_html(df: DataFrame) -> DataFrame:
+    """ToHTML (ref Workers.java:162-184), for real: the reference runs
+    pdfbox ``PDFText2HTML`` — extracted text wrapped in an HTML page —
+    and its client report renders one ``<line><br>`` per record
+    (LocalApp.java:312-333). Same here: the stdlib PDF text extraction,
+    HTML-escaped, one ``<br>``-joined paragraph per source line, in a
+    minimal page skeleton. With ToText real and ToHTML real, the only
+    remaining stub of the reference's three worker operations is the
+    ToImage rasterizer (no codec libs in this container — declared).
+    Shuffle-free Arrow-batched map, in-band error rows, like its
+    siblings."""
+    import html as _html
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("path", "html", "status", "error")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                out["path"].append(path)
+                try:
+                    text = extract_pdf_text(raw)
+                    body = "<br>\n".join(
+                        _html.escape(line) for line in text.splitlines()
+                    )
+                    out["html"].append(
+                        "<!DOCTYPE html>\n<html><head><meta charset="
+                        '"utf-8"></head>\n<body>\n' + body + "\n</body></html>"
+                    )
+                    out["status"].append("ok")
+                    out["error"].append(None)
+                except Exception as ex:  # noqa: BLE001 — error channel is data
+                    out["html"].append(None)
+                    out["status"].append("error")
+                    out["error"].append(f"Error: {ex}")
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(batches, schema=PDF_HTML_SCHEMA)
+
+
 _N_BINS = 16
 
 

@@ -146,6 +146,25 @@ def test_pdf_to_text_operator(spark, binary_dir):
     os.remove(pdf_path)
 
 
+def test_pdf_to_html_operator(spark, binary_dir):
+    """ToHTML analog (ref Workers.java:162-184 / PDFText2HTML): the
+    extracted text lands HTML-escaped inside a page skeleton; non-PDF
+    payloads are in-band error rows."""
+    pdf_path = os.path.join(ART, "real.pdf")
+    with open(pdf_path, "wb") as f:
+        f.write(_make_pdf(compress=True))
+    df = readers.read_binary(spark, binary_dir)
+    out = {os.path.basename(r.path): r for r in multimodal.pdf_to_html(df).collect()}
+    row = out["real.pdf"]
+    assert row.status == "ok"
+    assert row.html.startswith("<!DOCTYPE html>")
+    assert "Hello" in row.html and "</body></html>" in row.html
+    # the literal "(two)" text must arrive escaped-safe (no raw < or >)
+    assert "<script" not in row.html
+    assert out["a.png"].status == "error"
+    os.remove(pdf_path)
+
+
 def test_fetch_url_bytes(spark, binary_dir):
     """URL-fetch ingestion (ref Workers.java:127-129): executors pull
     payload bytes per row; dead links are in-band error rows. file://
