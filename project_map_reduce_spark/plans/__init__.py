@@ -62,6 +62,7 @@ _DRIVER_WINDOW = [
     "q_zscore_outliers",
     "q_value_histogram",
     "q_salted_agg",
+    "q_udtf_sentences",
     # -- round-2 driver hash mismatches, fixed this round (HUGEINT oracles)
     "q_token_count",
     "q_json_extract",
@@ -92,7 +93,6 @@ _DRIVER_WINDOW = [
     "q_set_except",
     # -- round-2 green but highest-variance paths (Arrow/pandas UDFs,
     #    ml MinHash, iterative components) — cheap insurance re-checks
-    "q_pandas_udf_scalar",
     "q_grouped_map",
     "q_dedup_fuzzy",
     "q_similarity_ann",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from project_map_reduce_spark.registry import register
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, register_views
 
 
 # NB: @pandas_udf parses its DDL return type via the active SparkContext,
@@ -116,4 +116,55 @@ def q_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_weighted_mean("l_discount", "l_quantity"), 6).alias(
             "wavg_discount"
         )
+    )
+
+
+@register(
+    "q_udtf_sentences",
+    oracle="""
+    WITH s AS (
+        SELECT lang, trim(unnest(string_split(text, '.')), ' ') AS sentence
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sentences,
+           round(avg(length(sentence)), 6) AS avg_sentence_chars
+    FROM s
+    WHERE sentence <> ''
+    GROUP BY lang
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q87: a REAL Python UDTF (table function), not just explode —
+    Spark 4's ``@udtf`` row-generating transform, lateral-joined per
+    document: one input row → n sentence rows. Sentence split is the
+    canonical UDTF shape a text pipeline needs (explode covers
+    array-typed columns; a UDTF owns the segmentation logic itself).
+    Row-at-a-time Python is the declared slow path (same contrast role
+    as Q48's scalar UDF vs the pandas family); the 100 TB form of THIS
+    segmentation is `split` + explode, which q_array_ops exercises —
+    the UDTF exists to prove the lateral table-function wiring.
+    Determinism: split on '.', strip spaces only (matching DuckDB
+    ``trim(x, ' ')``), drop empties — pure string ops, identical in
+    both engines."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: ANN001
+            for part in (text or "").split("."):
+                s = part.strip(" ")
+                if s:
+                    yield s, len(s)
+
+    spark.udtf.register("split_sentences", SentenceSplit)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT lang,
+               count(*) AS n_sentences,
+               round(avg(s.n_chars), 6) AS avg_sentence_chars
+        FROM documents, LATERAL split_sentences(text) AS s
+        GROUP BY lang
+        """
     )
