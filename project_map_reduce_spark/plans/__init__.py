@@ -63,6 +63,7 @@ _DRIVER_WINDOW = [
     "q_value_histogram",
     "q_salted_agg",
     "q_udtf_sentences",
+    "q_doc_logprob",
     # -- round-2 driver hash mismatches, fixed this round (HUGEINT oracles)
     "q_token_count",
     "q_json_extract",
@@ -94,7 +95,6 @@ _DRIVER_WINDOW = [
     # -- round-2 green but highest-variance paths (Arrow/pandas UDFs,
     #    ml MinHash, iterative components) — cheap insurance re-checks
     "q_grouped_map",
-    "q_dedup_fuzzy",
     "q_similarity_ann",
 ]
 

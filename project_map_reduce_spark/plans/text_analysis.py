@@ -387,3 +387,57 @@ def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6d(F.avg("__n_tok"), "avg_tokens"),
         )
     )
+
+
+@register(
+    "q_doc_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    model AS (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               round(ln(m.c / tot.n), 6) AS lp
+        FROM tok t JOIN model m ON t.w = m.w CROSS JOIN tot
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           round(avg(lp), 6) AS avg_token_logprob,
+           round(min(lp), 6) AS min_token_logprob
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q88: corpus-LM quality scoring (the CCNet/KenLM filter shape):
+    score every token by its log-probability under the corpus's own
+    unigram model, aggregate per language. Two passes, both scale-safe:
+    (1) the model = word counts (Q37's explode + map-side-combined
+    groupBy, shuffle O(vocab)); (2) scoring joins tokens to the model
+    on the word key — at test scale Catalyst broadcasts the vocab, at
+    100 TB it's a shuffle join on the zipfian word key whose hot head
+    ("the") is exactly what AQE skew-split / the salted join
+    (operators/skew.py) exist for. Per-token ln() values are rounded
+    6dp BEFORE averaging (libm vs JVM Math.log differ in the last ulp;
+    both engines' rounded values coincide far above that)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    model = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = float(model.agg(F.sum("c")).first()[0])
+    scored = tok.join(model, "w").select(
+        "doc_id",
+        "lang",
+        F.round(F.log(F.col("c") / F.lit(total)), 6).alias("lp"),
+    )
+    return scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        r6d(F.avg("lp"), "avg_token_logprob"),
+        r6d(F.min("lp"), "min_token_logprob"),
+    )
