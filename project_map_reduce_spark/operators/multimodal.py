@@ -184,6 +184,64 @@ def pdf_to_html(df: DataFrame) -> DataFrame:
     return df.select("path", "content").mapInPandas(batches, schema=PDF_HTML_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "path string, src_width int, src_height int, width int, height int, "
+    "content binary, status string, error string"
+)
+
+
+def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize plumbing (brief: decode / feature-extract / RESIZE /
+    frame-sample): per-record target-dimension image resample as an
+    Arrow-batched shuffle-free map with typed metadata and in-band
+    errors. The pixel resample itself is STUBBED like ``_decode_stub``
+    (no codec libs in this container): the fake output raster is a
+    deterministic stride-sample of the payload bytes to exactly
+    width*height bytes, so batch shape, output sizing, schema, and
+    error channel — everything Spark-side — is real and testable; a
+    deployment swaps the raster body for PIL's ``Image.resize`` with
+    identical signature and callers."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad target size {width}x{height}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in it:
+            out = {k: [] for k in (
+                "path", "src_width", "src_height", "width", "height",
+                "content", "status", "error",
+            )}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                out["path"].append(path)
+                try:
+                    sniffed = _sniff(raw)
+                    if sniffed is None or sniffed[0] != "image":
+                        raise ValueError("not an image payload")
+                    sw, sh = _decode_stub(raw, sniffed[1])
+                    # deterministic fake raster: stride-sample payload
+                    # bytes to the exact target pixel count
+                    idx = [(i * len(raw)) // n_out for i in range(n_out)]
+                    out["src_width"].append(sw)
+                    out["src_height"].append(sh)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["content"].append(bytes(raw[i] for i in idx))
+                    out["status"].append("ok")
+                    out["error"].append(None)
+                except Exception as ex:  # noqa: BLE001 — error channel is data
+                    out["src_width"].append(None)
+                    out["src_height"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["content"].append(None)
+                    out["status"].append("error")
+                    out["error"].append(f"Error: {ex}")
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 _N_BINS = 16
 
 

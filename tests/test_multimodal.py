@@ -165,6 +165,34 @@ def test_pdf_to_html_operator(spark, binary_dir):
     os.remove(pdf_path)
 
 
+def test_resize_image_plumbing(spark, binary_dir):
+    """Resize plumbing: every ok row carries exactly width*height raster
+    bytes plus source + target dims; non-image payloads are in-band
+    error rows; target validation rejects bad sizes eagerly."""
+    df = readers.read_binary(spark, binary_dir)
+    rows = {
+        os.path.basename(r.path): r
+        for r in multimodal.resize_image(df, width=8, height=6).collect()
+    }
+    ok = [r for r in rows.values() if r.status == "ok"]
+    assert ok, "no image payloads resized"
+    for r in ok:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.content) == 8 * 6
+        assert r.src_width >= 1 and r.src_height >= 1
+    assert rows["c.pdf"].status == "error"  # document, not image
+    assert "not an image" in rows["c.pdf"].error
+    with pytest.raises(ValueError):
+        multimodal.resize_image(df, width=0, height=6)
+    # determinism: same payloads -> identical raster bytes
+    again = {
+        os.path.basename(r.path): r.content
+        for r in multimodal.resize_image(df, width=8, height=6).collect()
+        if r.status == "ok"
+    }
+    assert {os.path.basename(r.path): r.content for r in ok} == again
+
+
 def test_fetch_url_bytes(spark, binary_dir):
     """URL-fetch ingestion (ref Workers.java:127-129): executors pull
     payload bytes per row; dead links are in-band error rows. file://
