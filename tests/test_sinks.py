@@ -103,3 +103,48 @@ def test_orc_round_trip_pushdown_and_pruning(spark, tmp_path):
     )
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200], plan
     assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan, plan
+
+
+def test_streaming_sink_is_idempotent_exactly_once(spark, sf_dir, tmp_path):
+    """write_stream_idempotent: the full streamed output equals the
+    batch input exactly once, and REPLAYING a batch (same batchId, same
+    data) leaves the result unchanged — the engine's answer to the
+    reference's at-least-once double-count (SURVEY.md §1.4)."""
+    import shutil
+
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+    from project_map_reduce_spark.tables import load
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream_idempotent(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+    # Replay: re-write batch 0's directory through the same code path
+    # (simulates the crash-between-write-and-commit redelivery) — the
+    # overwrite must leave totals identical, not append duplicates.
+    # Materialize the batch before overwriting its own source directory
+    # (a lazy self-overwrite would delete its input mid-read).
+    b0_rows = spark.read.parquet(out + "/batch_id=0").collect()
+    n_b0 = len(b0_rows)
+    spark.createDataFrame(b0_rows, schema).write.mode("overwrite").parquet(
+        out + "/batch_id=0"
+    )
+    again = spark.read.parquet(out)
+    assert again.count() == ev.count()
+    assert spark.read.parquet(out + "/batch_id=0").count() == n_b0
+    shutil.rmtree(src, ignore_errors=True)
