@@ -226,3 +226,43 @@ def test_interval_join_matches_brute_force(spark, lefts, rights):
         if lk == rk and ls < rs <= ls + 45
     )
     assert got == want
+
+
+@given(edges=_edges)
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_components_jump_matches_plain(spark, edges):
+    """The O(log)-round hook+compress variant must produce exactly the
+    plain min-label fixpoint on any random graph."""
+    from project_map_reduce_spark.operators.components import (
+        connected_components,
+        connected_components_jump,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plain = {r.node: r.comp for r in connected_components(df).collect()}
+    jump = {r.node: r.comp for r in connected_components_jump(df).collect()}
+    assert jump == plain
+
+
+def test_components_jump_collapses_long_chain(spark):
+    """A 64-node path graph has diameter 63: the plain propagation
+    needs ~63 rounds (it raises under max_iter=16), while pointer
+    jumping must converge within 16 — the O(diameter) vs O(log)
+    difference made observable."""
+    import pytest as _pytest
+
+    from project_map_reduce_spark.operators.components import (
+        connected_components,
+        connected_components_jump,
+    )
+
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {
+        r.node: r.comp
+        for r in connected_components_jump(df, max_iter=16).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=16)
