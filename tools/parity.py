@@ -60,10 +60,47 @@ def canon_table(rows, colnames):
 _HAZARD_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT", "UBIGINT")
 
 
-def compare(name, spark_df, duck_rel) -> list[str]:
+def _pandas_rows(df) -> list[tuple]:
+    """Canonical row tuples out of a pandas frame — the fetch path an
+    external driver typically uses (`toPandas` / `fetchdf`). Converts
+    pandas' own null/typing artifacts back to plain Python so the same
+    canon_cell applies: NaT -> None, numpy scalars -> Python scalars,
+    numpy arrays -> lists."""
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        conv = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                conv.append(v)
+            elif isinstance(v, pd.Timestamp):
+                # DATE columns diverge across engines on this path
+                # (Spark keeps date objects, DuckDB promotes to midnight
+                # Timestamps) while real drivers compare them equal —
+                # normalize tz-naive midnight to the date. Symmetric for
+                # genuine midnight timestamps: both sides collapse.
+                dt_ = v.to_pydatetime()
+                if dt_.tzinfo is None and dt_.time() == dt_.min.time():
+                    conv.append(dt_.date())
+                else:
+                    conv.append(dt_)
+            elif v is pd.NaT:
+                conv.append(None)
+            elif isinstance(v, np.generic):
+                conv.append(v.item())
+            elif isinstance(v, np.ndarray):
+                conv.append(v.tolist())
+            else:
+                conv.append(v)
+        out.append(tuple(conv))
+    return out
+
+
+def compare(name, spark_df, duck_rel, *, pandas_path: bool = False) -> list[str]:
     problems = []
     s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = list(duck_rel.columns)
     for col, typ in zip(duck_rel.columns, duck_rel.types):
         if any(h in str(typ).upper() for h in _HAZARD_TYPES):
@@ -73,7 +110,15 @@ def compare(name, spark_df, duck_rel) -> list[str]:
             )
     if problems:
         return problems
-    d_rows = duck_rel.fetchall()
+    if pandas_path:
+        # Mirror the external driver's fetch path exactly: Arrow/pandas
+        # on both sides, then the same canonicalization. Catches
+        # representation asymmetries row-based fetching can't see.
+        s_rows = _pandas_rows(spark_df.toPandas())
+        d_rows = _pandas_rows(duck_rel.fetchdf())
+    else:
+        s_rows = [tuple(r) for r in spark_df.collect()]
+        d_rows = duck_rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
@@ -97,6 +142,14 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names (default: all with oracles)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--rows-only", action="store_true", help="include oracle-less queries")
+    ap.add_argument(
+        "--pandas",
+        action="store_true",
+        help="fetch both result sets through the pandas path (Spark "
+        "toPandas / DuckDB fetchdf) — mirrors an external driver that "
+        "compares dataframes; catches representation asymmetries the "
+        "row-based fetch can't see",
+    )
     ap.add_argument(
         "--vanilla",
         action="store_true",
@@ -145,7 +198,7 @@ def main() -> int:
                 n = sdf.count()
                 print(f"ROWS-ONLY {name}: {n} rows ({time.time() - t0:.1f}s)")
                 continue
-            problems = compare(name, sdf, con.sql(e.oracle))
+            problems = compare(name, sdf, con.sql(e.oracle), pandas_path=args.pandas)
         except Exception as ex:  # noqa: BLE001
             problems = [f"exception: {type(ex).__name__}: {ex}"]
         dt = time.time() - t0
