@@ -148,3 +148,56 @@ def test_streaming_sink_is_idempotent_exactly_once(spark, sf_dir, tmp_path):
     assert again.count() == ev.count()
     assert spark.read.parquet(out + "/batch_id=0").count() == n_b0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_csv_roundtrip_with_schema_and_corrupt_row(spark, sf_dir, tmp_path):
+    """read_csv: schema-first read round-trips values exactly; PERMISSIVE
+    mode keeps a malformed row as data (nulls) instead of failing the
+    job — the in-band discipline (ref A7) at the source layer."""
+    from project_map_reduce_spark.sources.readers import read_csv
+    from project_map_reduce_spark.tables import load
+
+    path = str(tmp_path / "cust_csv")
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    src.coalesce(1).write.option("header", "true").csv(path)
+    # a separate malformed file (appending in place trips Spark's
+    # file-status cache; header=true means each file's first line skips)
+    with open(os.path.join(path, "zz_bad.csv"), "w") as f:
+        f.write("c_custkey,c_name,c_acctbal\nnot_a_number,onlytwo\n")
+    got = read_csv(
+        spark, path, "c_custkey bigint, c_name string, c_acctbal double"
+    )
+    rows = got.collect()
+    assert len(rows) == src.count() + 1
+    bad = [r for r in rows if r.c_custkey is None]
+    assert len(bad) == 1 and bad[0].c_name == "onlytwo"
+    good = sorted((r.c_custkey, r.c_name) for r in rows if r.c_custkey is not None)
+    expect = sorted((r.c_custkey, r.c_name) for r in src.collect())
+    assert good == expect
+
+
+def test_json_roundtrip_with_corrupt_record(spark, sf_dir, tmp_path):
+    """read_json: JSON-lines round-trip with explicit schema; a corrupt
+    line lands in _corrupt_record, never a task failure."""
+    from project_map_reduce_spark.sources.readers import read_json
+    from project_map_reduce_spark.tables import load
+
+    path = str(tmp_path / "nation_json")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    src.coalesce(1).write.json(path)
+    with open(os.path.join(path, "zz_bad.json"), "w") as f:
+        f.write('{"n_nationkey": 99, "n_name": broken\n')
+    got = read_json(
+        spark,
+        path,
+        "n_nationkey bigint, n_name string, _corrupt_record string",
+    )
+    rows = got.collect()
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and "broken" in corrupt[0]._corrupt_record
+    good = sorted(
+        (r.n_nationkey, r.n_name) for r in rows if r._corrupt_record is None
+    )
+    assert good == sorted((r.n_nationkey, r.n_name) for r in src.collect())
