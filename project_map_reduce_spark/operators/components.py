@@ -78,7 +78,7 @@ def connected_components(
         new_labels = new_labels.localCheckpoint()
         # Aggregating over the just-materialized checkpoint partitions:
         # no join, no extra shuffle — a map-side sum + single-row merge.
-        changed = new_labels.agg(F.sum("__changed")).first()[0]
+        changed = new_labels.agg(F.sum("__changed")).first()[0] or 0
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
@@ -162,7 +162,7 @@ def connected_components_jump(
             .alias("__changed"),
         )
         jumped = jumped.localCheckpoint()
-        changed = jumped.agg(F.sum("__changed")).first()[0]
+        changed = jumped.agg(F.sum("__changed")).first()[0] or 0
         labels = jumped.drop("__changed")
         if changed == 0:
             break

@@ -59,11 +59,12 @@ def _assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     dispatches per row), and a calm-host A/B at sf0.1 measured the UDF
     form ~35% faster end-to-end (min 2.0 s vs 3.1 s, consistent across
     paired trials). Bit-exactness with DuckDB's sequential
-    ``list_dot_product`` is preserved: ``np.cumsum`` accumulates
-    strictly left-to-right (verified bit-identical to the Python fold
-    and to DuckDB on the fixture embeddings), the elementwise products
-    are the same IEEE doubles, and ``nv - 2·dot + nc`` keeps the same
-    operation order. ROUNDING, tie-break, and argmin stay JVM-side
+    ``list_dot_product`` is preserved: the per-dimension accumulation
+    loop adds strictly left-to-right from 0.0 — the identical IEEE
+    operation sequence as the Catalyst ``aggregate`` fold it replaces
+    (verified bit-identical to the Python fold and to DuckDB on the
+    fixture embeddings) — the elementwise products are the same IEEE
+    doubles, and ``nv - 2·dot + nc`` keeps the same operation order. ROUNDING, tie-break, and argmin stay JVM-side
     (round/getItem/array_min are codegen'd), so the cross-engine 6-dp
     rounding contract never crosses the UDF boundary.
     """
@@ -84,8 +85,13 @@ def _assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
             return pd.Series([], dtype=object)
         mat = np.asarray(model, dtype=np.float64)  # k×d
         vmat = np.asarray(v.tolist(), dtype=np.float64)  # n×d
-        # strict left-to-right accumulation per (row, centroid)
-        dots = np.cumsum(vmat[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+        # Strict left-to-right accumulation per (row, centroid): one
+        # dimension at a time into an n×k buffer — the same IEEE add
+        # order as an n×k×d cumsum but at 1/d the peak memory (no
+        # throwaway product/prefix tensors).
+        dots = np.zeros((vmat.shape[0], mat.shape[0]), dtype=np.float64)
+        for j in range(mat.shape[1]):
+            dots += vmat[:, j, None] * mat[None, :, j]
         d2 = nv.to_numpy()[:, None] - 2.0 * dots + np.asarray(norms)[None, :]
         return pd.Series(list(d2))
 

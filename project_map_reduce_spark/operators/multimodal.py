@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.operators.pdftext import extract_pdf_text
+from project_map_reduce_spark.registry import fmt_doc
 
 # Typed result schema for decode/feature extraction. Errors are data
 # (status/error), never exceptions — ref Workers.java:186-221.
@@ -270,7 +271,7 @@ def byte_histogram_features(df: DataFrame) -> DataFrame:
     return df.select("path", "content").mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
-byte_histogram_features.__doc__ = byte_histogram_features.__doc__.format(n=_N_BINS)
+fmt_doc(byte_histogram_features, n=_N_BINS)
 
 
 def frame_sample(df: DataFrame, *, every_n_bytes: int = 1024) -> DataFrame:

@@ -98,5 +98,8 @@ _DRIVER_WINDOW = [
     "q_similarity_ann",
 ]
 
-assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O
+    raise RuntimeError(
+        f"_DRIVER_WINDOW must hold exactly 50 queries, has {len(_DRIVER_WINDOW)}"
+    )
 registry.reorder(_DRIVER_WINDOW)

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -187,9 +187,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(_TOP_PAIRS)
 
 
-q_dedup_ngram_jaccard.__doc__ = q_dedup_ngram_jaccard.__doc__.format(
-    k=_SHINGLE_K, n=_TOP_PAIRS, df=_STOP_SHINGLE_DF
-)
+fmt_doc(q_dedup_ngram_jaccard, k=_SHINGLE_K, n=_TOP_PAIRS, df=_STOP_SHINGLE_DF)
 
 
 # ---------------------------------------------------------------------------
@@ -480,9 +478,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_dedup_fuzzy.__doc__ = q_dedup_fuzzy.__doc__.format(
-    t=_FUZZY_MAX_DIST, b=_LSH_BANDS, r=_LSH_ROWS, cap=_LSH_BUCKET_CAP
-)
+fmt_doc(q_dedup_fuzzy, t=_FUZZY_MAX_DIST, b=_LSH_BANDS, r=_LSH_ROWS, cap=_LSH_BUCKET_CAP)
 
 
 def minhash_lsh_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,9 +525,7 @@ def minhash_lsh_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-minhash_lsh_ml_pairs.__doc__ = minhash_lsh_ml_pairs.__doc__.format(
-    t=_FUZZY_MAX_DIST
-)
+fmt_doc(minhash_lsh_ml_pairs, t=_FUZZY_MAX_DIST)
 
 
 # ---------------------------------------------------------------------------
@@ -601,7 +595,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_dedup_embedding.__doc__ = q_dedup_embedding.__doc__.format(t=_COS_THRESHOLD)
+fmt_doc(q_dedup_embedding, t=_COS_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

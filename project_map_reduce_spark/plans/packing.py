@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import r6d
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 _PACK_CAPACITY = 2048  # tokens per training sequence
@@ -95,7 +95,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_pack_sequences.__doc__ = q_pack_sequences.__doc__.format(_cap=_PACK_CAPACITY)
+fmt_doc(q_pack_sequences, _cap=_PACK_CAPACITY)
 
 
 @register(
@@ -150,9 +150,11 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            count(*) AS n_events,
            CAST(count(*) FILTER (
-               WHERE round(abs((e.value - s.mu) / s.sigma), 6) > 3.0
+               WHERE CASE WHEN s.sigma <> 0
+                     THEN round(abs((e.value - s.mu) / s.sigma), 6) END > 3.0
            ) AS BIGINT) AS n_outliers,
-           round(max(round(abs((e.value - s.mu) / s.sigma), 6)), 6)
+           round(max(CASE WHEN s.sigma <> 0
+                     THEN round(abs((e.value - s.mu) / s.sigma), 6) END), 6)
                AS max_abs_z
     FROM events e JOIN stats s ON e.event_type = s.event_type
     GROUP BY e.event_type
@@ -168,12 +170,19 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Q79's decorrelated subquery, and the only scalable form (a
     window over event_type would shuffle everything onto hot type
     reducers). Boundary-determinism: the z is rounded to 6dp before
-    the >3 comparison so both engines agree at the threshold."""
+    the >3 comparison so both engines agree at the threshold. A
+    constant-valued type has sigma = 0; its z is NULL on BOTH sides
+    (the engine session runs ANSI mode where a bare /0 throws, and
+    DuckDB NULLs it — the explicit guard makes the engines agree
+    instead of crash-vs-NULL)."""
     ev = load(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
     )
-    z = F.round(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")), 6)
+    z = F.when(
+        F.col("sigma") != 0,
+        F.round(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")), 6),
+    )
     joined = ev.join(F.broadcast(stats), "event_type").select(
         "event_type", z.alias("abs_z")
     )
@@ -192,8 +201,9 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           CAST(least(floor((e.value - r.lo) / (r.hi - r.lo) * 10), 9)
-                AS INTEGER) AS bucket,
+           CAST(CASE WHEN r.hi > r.lo
+                THEN least(floor((e.value - r.lo) / (r.hi - r.lo) * 10), 9)
+                ELSE 0 END AS INTEGER) AS bucket,
            count(*) AS n_events
     FROM events e JOIN rng r ON e.event_type = r.event_type
     GROUP BY 1, 2
@@ -209,15 +219,29 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism needs no rounding here: lo/hi are exact
     selections and (value-lo)/(hi-lo)*10 is a fixed chain of single
     IEEE ops, so both engines floor the identical double; the top edge
-    (value = hi) is pinned into bucket 9 by least() on both sides."""
+    (value = hi) is pinned into bucket 9 by least() on both sides. A
+    constant-valued type (hi == lo) would divide by zero — which ANSI
+    Spark raises and DuckDB NULLs — so both sides pin that degenerate
+    range into bucket 0 explicitly."""
     ev = load(spark, sf_dir, "events")
     rng = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
-    bucket = F.least(
-        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10),
-        F.lit(9),
-    ).cast("int")
+    bucket = (
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ),
+                F.lit(9),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
     return (
         ev.join(F.broadcast(rng), "event_type")
         .select("event_type", bucket.alias("bucket"))

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from project_map_reduce_spark.operators.pii import mask_digits, pseudonymize
 from project_map_reduce_spark.plans.dedup import _SHINGLE_K, shingle_expr
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 # Every doc_id ≡ 0 (mod 97) plays the role of a benchmark document —
@@ -109,7 +109,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_decontaminate.__doc__ = q_decontaminate.__doc__.format(k=_SHINGLE_K)
+fmt_doc(q_decontaminate, k=_SHINGLE_K)
 
 
 @register(

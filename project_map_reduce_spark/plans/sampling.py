@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 # Per-language keep rates, in 16ths of the md5 first-hex-digit space:
@@ -99,4 +99,4 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_source_quota.__doc__ = q_source_quota.__doc__.format(q=_SOURCE_QUOTA)
+fmt_doc(q_source_quota, q=_SOURCE_QUOTA)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.operators.kmeans import lloyd
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 _QUERY_MOD = 50  # query set = vec_id % 50 == 0 (2% of vectors)
@@ -130,7 +130,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_similarity_topk.__doc__ = q_similarity_topk.__doc__.format(k=_TOP_K, m=_QUERY_MOD)
+fmt_doc(q_similarity_topk, k=_TOP_K, m=_QUERY_MOD)
 
 
 _N_CELLS = 16
@@ -239,7 +239,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_similarity_ann.__doc__ = q_similarity_ann.__doc__.format(c=_N_CELLS)
+fmt_doc(q_similarity_ann, c=_N_CELLS)
 
 
 _KM_K = 8
@@ -319,4 +319,4 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_kmeans.__doc__ = q_kmeans.__doc__.format(k=_KM_K, i=_KM_ITERS)
+fmt_doc(q_kmeans, k=_KM_K, i=_KM_ITERS)

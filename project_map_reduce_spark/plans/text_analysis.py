@@ -430,7 +430,9 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     model = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = float(model.agg(F.sum("c")).first()[0])
+    # `or 1.0`: empty-corpus sum is NULL; any non-zero base keeps the
+    # (empty) plan well-typed instead of TypeError-ing on float(None).
+    total = float(model.agg(F.sum("c")).first()[0] or 1.0)
     scored = tok.join(model, "w").select(
         "doc_id",
         "lang",

@@ -40,6 +40,13 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def fmt_doc(fn, **kw) -> None:
+    """Interpolate constants into a query docstring, tolerating
+    docstring-stripped interpreters (python -OO sets __doc__ = None)."""
+    if fn.__doc__:
+        fn.__doc__ = fn.__doc__.format(**kw)
+
+
 def reorder(priority: list[str]) -> None:
     """Re-insert registry entries so ``priority`` names come first, in
     the given order; everything else keeps its relative import order

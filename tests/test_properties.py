@@ -266,3 +266,17 @@ def test_components_jump_collapses_long_chain(spark):
     assert got == {i: 0 for i in range(64)}
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=16)
+
+
+def test_components_accept_empty_edge_sets(spark):
+    """Zero near-dup pairs must yield zero components — not a
+    non-convergence crash (sum over an empty frame is NULL, which the
+    convergence check must treat as 0)."""
+    from project_map_reduce_spark.operators.components import (
+        connected_components,
+        connected_components_jump,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    assert connected_components_jump(empty).count() == 0
