@@ -308,3 +308,40 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Spark's runtime Bloom-filter injection — the mechanism that
+    pre-filters a big probe side by a selective build side BEFORE the
+    shuffle (SURVEY §4.2 'free from Catalyst' list) — must appear as a
+    might_contain predicate on the lineitem scan side when joining
+    against a brand-filtered part (thresholds opened to fixture
+    scale)."""
+    from pyspark.sql import functions as F
+
+    from project_map_reduce_spark.tables import load
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part").filter(
+            F.col("p_brand") == "Brand#1"
+        )
+        j = li.join(part.hint("merge"), li.l_partkey == part.p_partkey).select(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
