@@ -64,6 +64,7 @@ _DRIVER_WINDOW = [
     "q_salted_agg",
     "q_udtf_sentences",
     "q_doc_logprob",
+    "q_dedup_lines",
     # -- round-2 driver hash mismatches, fixed this round (HUGEINT oracles)
     "q_token_count",
     "q_json_extract",
@@ -95,7 +96,6 @@ _DRIVER_WINDOW = [
     # -- round-2 green but highest-variance paths (Arrow/pandas UDFs,
     #    ml MinHash, iterative components) — cheap insurance re-checks
     "q_grouped_map",
-    "q_similarity_ann",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_map_reduce_spark.functions.det import r6d
 from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
@@ -645,4 +646,67 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+@register(
+    "q_dedup_lines",
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id, lang,
+               trim(unnest(string_split(text, '.')), ' ') AS line
+        FROM documents
+    ),
+    nonempty AS (SELECT * FROM lines WHERE line <> ''),
+    freq AS (SELECT line, count(*) AS cnt FROM nonempty GROUP BY line),
+    per_doc AS (
+        SELECT n.doc_id, n.lang,
+               count(*) AS n_lines,
+               CAST(count(*) FILTER (WHERE f.cnt > 1) AS BIGINT)
+                   AS n_dup_lines
+        FROM nonempty n JOIN freq f ON n.line = f.line
+        GROUP BY n.doc_id, n.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_lines) AS BIGINT) AS total_lines,
+           CAST(sum(n_dup_lines) AS BIGINT) AS total_dup_lines,
+           round(avg(n_dup_lines * 1.0 / n_lines), 6) AS avg_dup_fraction
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup stats (the C4 preprocessing rule: drop lines
+    duplicated anywhere in the corpus): per document, the fraction of
+    its sentences that occur 2+ times corpus-wide, aggregated per
+    language. Scale shape: explode → line-frequency aggregate (map-side
+    combined, shuffle O(distinct lines)) → join lines back to their
+    frequency (the zipfian hot head is the skew-operator use case, same
+    as Q88's token join) → two cheap grouped aggs. The removal variant
+    is the same plan with a filter instead of counters; stats form
+    keeps the oracle deterministic. Line = '.'-split, space-trimmed,
+    nonempty — matching Q87's segmentation exactly."""
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", r"\.")).alias("raw"),
+    ).select(
+        "doc_id", "lang", F.trim(F.col("raw")).alias("line")
+    ).filter(F.col("line") != "")
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        lines.join(freq, "line")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("cnt") > 1, 1)).alias("n_dup_lines"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").alias("total_lines"),
+        F.sum("n_dup_lines").alias("total_dup_lines"),
+        r6d(F.avg(F.col("n_dup_lines") * 1.0 / F.col("n_lines")), "avg_dup_fraction"),
     )
