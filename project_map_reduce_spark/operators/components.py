@@ -145,6 +145,11 @@ def connected_components_jump(
             F.least(F.col("comp"), F.col("nbr_comp")).alias("comp"),
             F.col("comp").alias("__old"),
         )
+        # Materialize the hook result before self-joining: `parent` is
+        # derived from `hooked`, so without a checkpoint the hook
+        # join+groupBy lineage executes twice per round — doubling the
+        # claimed 3-shuffle round budget.
+        hooked = hooked.localCheckpoint()
         # 2. compress: one pointer jump L(u) <- L(L(u)). The parent's
         # label row always exists (labels cover every node and
         # comp is itself a node id), but keep the coalesce so a missing

@@ -13,9 +13,13 @@ and partitioning are already correct. Reference analog: the per-record
 PDF transforms (Workers.java:131-184) — fetch bytes, transform, emit
 typed result with in-band errors (A7).
 
-The PDF ``ToText`` analog is NOT stubbed: ``pdf_to_text`` runs a real
-pure-Python extractor (operators/pdftext.py — stream scan + zlib
-inflate + text-operator walk) over the same Arrow-batched plumbing.
+The PDF worker ops are NOT stubbed — all three of the reference's
+worker operations (Workers.java:131-184) run for real on stdlib only:
+``pdf_to_text`` (extractor in operators/pdftext.py — stream scan +
+zlib inflate + text-operator walk), ``pdf_to_html`` (same extraction,
+escaped into a page skeleton), and ``pdf_to_image`` (text raster +
+PNG encoder in operators/rasterize.py), each over the same
+Arrow-batched plumbing.
 """
 
 from __future__ import annotations
@@ -152,11 +156,8 @@ def pdf_to_html(df: DataFrame) -> DataFrame:
     and its client report renders one ``<line><br>`` per record
     (LocalApp.java:312-333). Same here: the stdlib PDF text extraction,
     HTML-escaped, one ``<br>``-joined paragraph per source line, in a
-    minimal page skeleton. With ToText real and ToHTML real, the only
-    remaining stub of the reference's three worker operations is the
-    ToImage rasterizer (no codec libs in this container — declared).
-    Shuffle-free Arrow-batched map, in-band error rows, like its
-    siblings."""
+    minimal page skeleton. Shuffle-free Arrow-batched map, in-band
+    error rows, like its siblings."""
     import html as _html
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -183,6 +184,57 @@ def pdf_to_html(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("path", "content").mapInPandas(batches, schema=PDF_HTML_SCHEMA)
+
+
+PDF_IMAGE_SCHEMA = (
+    "path string, width int, height int, png binary, status string, error string"
+)
+
+
+def pdf_to_image(df: DataFrame) -> DataFrame:
+    """ToImage (ref Workers.java:150-160), for real: the reference
+    renders page 0 of each PDF to an image file (pdfbox PDFToImage);
+    here each PDF's extracted text is rendered through the stdlib-only
+    rasterizer (operators/rasterize.py — 5×7 bitmap font onto a
+    grayscale page, emitted as a spec-valid PNG via zlib/struct). No
+    codec library involved, yet the output decodes in any PNG reader —
+    closing the last of the reference's three worker operations.
+
+    Same 100 TB shape as its siblings: shuffle-free Arrow-batched map,
+    per-record failures as status='error' rows (in-band, ref A7). The
+    render clips to one page (max 100×60 cells), mirroring the
+    reference's page-0-only semantics, so output size is bounded
+    (~600×500 px) regardless of document length."""
+    from project_map_reduce_spark.operators.rasterize import (
+        encode_png_gray,
+        render_text_bitmap,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "path", "width", "height", "png", "status", "error",
+            )}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                out["path"].append(path)
+                try:
+                    text = extract_pdf_text(raw)
+                    w, h, pixels = render_text_bitmap(text)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["png"].append(encode_png_gray(w, h, pixels))
+                    out["status"].append("ok")
+                    out["error"].append(None)
+                except Exception as ex:  # noqa: BLE001 — error channel is data
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["png"].append(None)
+                    out["status"].append("error")
+                    out["error"].append(f"Error: {ex}")
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(batches, schema=PDF_IMAGE_SCHEMA)
 
 
 RESIZED_SCHEMA = (

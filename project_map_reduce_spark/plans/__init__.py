@@ -38,64 +38,65 @@ from project_map_reduce_spark.plans import (  # noqa: F401
 )
 
 _DRIVER_WINDOW = [
-    # -- round-2 additions that registered past the 50-cap: never checked
-    "q_kmeans",
-    "q_sample_stratified",
-    "q_source_quota",
-    "q_pivot_status",
-    "q_percentiles",
-    "q_corr_stats",
-    "q_approx_quantile_check",
-    "q_decontaminate",
-    "q_pii_mask",
-    "q_repetition",
-    "q_events_retention",
-    "q_events_funnel",
-    # -- round-3 additions
-    "q_string_agg",
-    "q_minmax_by",
-    "q_unpivot",
-    "q_scalar_subquery",
-    "q_time_rollup",
+    # -- round-4 rotation (VERDICT r3 item 1): the 39 queries whose last
+    #    authoritative driver signal is round-2 vintage — every one was
+    #    green then and is unchanged, but the environment moved to
+    #    Spark 4.1 between rounds; give each a current-env driver hash.
+    "q_join_inner",
+    "q_join_multi",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_theta",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_moving",
+    "q_window_range",
+    "q_window_distribution",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_ops",
+    "q_map_ops",
+    "q_datediff",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_similarity_topk",
+    "q_similarity_ann",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_lang_id",
+    "q_text_quality",
+    "q_doc_fingerprint",
+    "q_split_train_val",
+    "q_pandas_udf_scalar",
+    "q_udaf_weighted_mean",
+    # -- round-4 new queries: streaming end-to-end + salted join
+    "q_stream_totals",
+    "q_join_salted",
+    # -- changed this round (ADVICE r3: pinned window null ordering)
     "q_pack_sequences",
-    "q_length_deciles",
-    "q_zscore_outliers",
-    "q_value_histogram",
-    "q_salted_agg",
-    "q_udtf_sentences",
-    "q_doc_logprob",
-    "q_dedup_lines",
-    # -- round-2 driver hash mismatches, fixed this round (HUGEINT oracles)
-    "q_token_count",
-    "q_json_extract",
-    # -- timestamp semantics changed under Spark 4.1 (events.ts is now NTZ):
-    #    re-verify every events/timestamp query under the new environment
-    "q_events_session",
-    "q_join_range",
-    "q_join_asof",
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_stream_dedup",
-    "q_approx_count_distinct",
-    "q_grouped_count",
-    # -- last driver signal was round 1: re-confirm under the new env
-    "q_pricing_summary",
-    "q_scan_project",
-    "q_scan_count",
-    "q_filter_predicate",
-    "q_case_when",
-    "q_job_pipeline",
-    "q_udf_python",
-    "q_topk_global",
-    "q_topk_per_group",
-    "q_sort_multi",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_intersect",
-    "q_set_except",
-    # -- round-2 green but highest-variance paths (Arrow/pandas UDFs,
-    #    ml MinHash, iterative components) — cheap insurance re-checks
+    # -- padding to 50: r3-green insurance re-checks on the
+    #    highest-variance paths (Arrow UDFs, iterative algos, past
+    #    hazard classes: HUGEINT oracles, temporal sentinels)
     "q_grouped_map",
+    "q_kmeans",
+    "q_doc_logprob",
+    "q_salted_agg",
+    "q_time_rollup",
+    "q_json_extract",
+    "q_token_count",
+    "q_udtf_sentences",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

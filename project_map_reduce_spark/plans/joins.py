@@ -316,3 +316,49 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             micros_between("err_ts", "pur_ts") / 1_000_000.0, 6
         ).alias("secs_after"),
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    model AS (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT)          AS n_tokens,
+           CAST(sum(m.c) AS BIGINT)          AS sum_freq,
+           CAST(max(m.c) AS BIGINT)          AS max_freq
+    FROM tok t JOIN model m ON t.w = m.w
+    GROUP BY t.lang
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q91: skew-immune join, driver-proven LOSSLESS. The token→vocab
+    join from Q88 has the canonical zipfian hot key ("the" carries a
+    constant fraction of all rows — one reducer saturates no matter the
+    cluster size); this query routes it through
+    ``operators/skew.py::salted_join`` — the skewed token side gets a
+    deterministic row-hash salt in [0,16), the vocab side is exploded
+    16× — so each hot word spreads over 16 reducers. The oracle is the
+    PLAIN join (DuckDB knows nothing of salt), so the driver hash
+    matches only if salting changes the distribution and nothing else.
+    Complements Q86 (salted aggregation) for full skew-operator driver
+    coverage; chained-count semantics (sum/max of the word frequency)
+    make silent row loss or duplication arithmetically visible."""
+    from project_map_reduce_spark.operators.skew import salted_join
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    model = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    joined = salted_join(tok, model, on=["w"], n_salt=16)
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("c").alias("sum_freq"),
+        F.max("c").alias("max_freq"),
+    )

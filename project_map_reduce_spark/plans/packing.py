@@ -35,7 +35,8 @@ _PACK_CAPACITY = 2048  # tokens per training sequence
     placed AS (
         SELECT lang, n_tokens,
                COALESCE(sum(n_tokens) OVER (
-                   PARTITION BY lang ORDER BY h, doc_id
+                   PARTITION BY lang
+                   ORDER BY h NULLS LAST, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS cum_before
         FROM toks
@@ -69,9 +70,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("h"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
+    # NULLS LAST pinned on both engines: Spark ASC defaults to NULLS
+    # FIRST while DuckDB's window ORDER BY defaults to NULLS LAST, so a
+    # NULL text row (h = NULL) would silently shift every cum_before.
     w = (
         Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
+        .orderBy(F.asc_nulls_last("h"), "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     placed = toks.select(

@@ -1,9 +1,15 @@
-"""B.9 streaming-shaped analytics, batch-checked (Q39-Q42).
+"""B.9 streaming-shaped analytics, batch-checked (Q39-Q42, Q90).
 
-Each query applies the batch/stream-unified transforms from
+Q39-Q42 apply the batch/stream-unified transforms from
 streaming/transforms.py to the batch events table; the identical
 transform objects run under ``readStream`` in the streaming smoke test
 (tests/test_streaming.py), which is the capability proof.
+
+Q90 goes further: it runs an ACTUAL Structured Streaming query —
+file-source micro-batches through ``applyInPandasWithState`` into the
+idempotent foreachBatch sink — and hands the sink's final accounting to
+the driver's hash gate, so the streaming path itself (not just its
+batch-shaped twin) carries a driver correctness signal.
 """
 
 from __future__ import annotations
@@ -116,4 +122,86 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.agg(
         F.count(F.lit(1)).alias("n_rows"),
         r6d(F.sum("value"), "sum_value"),
+    )
+
+
+@register(
+    "q_stream_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6)     AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q90: end-to-end STREAMING correctness, driver-hash-checked.
+
+    The events table is staged as 4 parquet files and re-read as a
+    file-source stream (``maxFilesPerTrigger=1`` + available-now → 4
+    micro-batches), flows through the custom stateful operator
+    ``streaming/stateful.py::running_user_totals``
+    (``applyInPandasWithState``, update mode: per-user running
+    count/sum, state = 2 scalars/key), and lands in the exactly-once
+    sink ``sources/sinks.py::write_stream_idempotent`` (per-batchId
+    directory + overwrite — replay-safe where the reference's SQS
+    visibility-timeout redelivery double-counts, SURVEY.md §1.4).
+    The final accounting — each user's LAST update across batches —
+    must equal the plain batch aggregate, which is exactly the oracle.
+
+    Driver-collect note: the sink snapshot is O(distinct users)
+    (150 @ sf0.01, 1.5k @ sf0.1) and is localized so the staging
+    directory can be deleted before returning; this bounded collect is
+    itself the row-accounting surface under test, not a data path.
+    At 100 TB the snapshot stays parquet and downstream jobs read the
+    sink root directly — the localization is test-harness-only.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from project_map_reduce_spark.functions.det import r6d
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+    from project_map_reduce_spark.streaming.stateful import running_user_totals
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="pmrs_q90_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src, sink, ckpt = (f"{tmp}/{d}" for d in ("src", "sink", "ckpt"))
+        ev.repartition(3).write.parquet(src)
+        # State-store partitioning follows shuffle.partitions at query
+        # start; 200 (vanilla default) means 200 state dirs per batch
+        # for 150 keys. Pin low for the stream, restore after.
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = write_stream_idempotent(
+            running_user_totals(stream, evict_idle=False),
+            sink,
+            ckpt,
+            output_mode="update",
+        )
+        q.awaitTermination(300)
+        if q.exception():
+            raise q.exception()
+
+        snap = spark.read.option("basePath", sink).parquet(sink)
+        last = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+        final = (
+            snap.withColumn("__rn", F.row_number().over(last))
+            .where(F.col("__rn") == 1)
+            .select("user_id", "n_events", r6d(F.col("sum_value"), "sum_value"))
+        )
+        rows = final.collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_events bigint, sum_value double"
     )

@@ -80,6 +80,7 @@ def write_stream_idempotent(
     checkpoint: str,
     *,
     trigger_available_now: bool = True,
+    output_mode: str = "append",
 ):
     """Exactly-once streaming file sink via idempotent foreachBatch.
 
@@ -107,6 +108,7 @@ def write_stream_idempotent(
 
     writer = (
         stream_df.writeStream.foreachBatch(_write_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
     )
     if trigger_available_now:

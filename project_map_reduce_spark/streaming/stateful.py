@@ -25,44 +25,61 @@ RUNNING_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, s double"
 
 
-def _update_running(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        # Quiet key: emit final snapshot and evict state.
-        n, s = state.get
-        state.remove()
+def _make_update_running(set_timeout: bool):
+    def _update_running(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Quiet key: emit final snapshot and evict state.
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if set_timeout:
+            state.setTimeoutDuration(3_600_000)  # 1 h idle → evict
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
         )
-        return
-    n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    state.setTimeoutDuration(3_600_000)  # 1 h idle → evict
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return _update_running
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(events: DataFrame, *, evict_idle: bool = True) -> DataFrame:
     """Running (n_events, sum_value) per user, updated each micro-batch.
 
     Works on a streaming frame via ``applyInPandasWithState``; on a
     batch frame the same semantics reduce to a plain groupBy (use
     ``batch_user_totals`` — unified-API escape hatch for tests/oracle).
+
+    ``evict_idle=True`` (perpetual streams) arms a 1 h processing-time
+    timeout so quiet keys are flushed and evicted — the state-size
+    discipline above. Pass ``evict_idle=False`` for FINITE runs under
+    ``Trigger.AvailableNow``: with a processing-time timeout armed, the
+    trigger can never declare the stream drained (a timer might still
+    fire) and keeps scheduling empty timeout-check batches forever.
     """
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_running,
+            _make_update_running(evict_idle),
             outputStructType=RUNNING_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if evict_idle
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -253,3 +253,70 @@ def test_reference_pipeline_end_to_end(spark, binary_dir):
     assert "Hello" in ok.text
     os.remove(pdf_a)
     os.remove(task_file)
+
+
+def test_png_encoder_roundtrip():
+    """encode_png_gray emits a spec-valid PNG (signature, CRC-framed
+    chunks, filter-0 zlib scanlines) that the matching reader — and by
+    construction any compliant reader — decodes byte-exactly."""
+    from project_map_reduce_spark.operators.rasterize import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    w, h = 7, 5
+    pixels = bytes((x * 37 + y * 11) % 256 for y in range(h) for x in range(w))
+    png = encode_png_gray(w, h, pixels)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png.endswith(b"IEND" + png[-4:])
+    assert decode_png_gray(png) == (w, h, pixels)
+    # deterministic: same input, byte-identical file (idempotent sinks)
+    assert encode_png_gray(w, h, pixels) == png
+    with pytest.raises(ValueError):
+        encode_png_gray(3, 3, b"\x00" * 8)  # wrong buffer size
+
+
+def test_render_text_bitmap_ink_and_clip():
+    from project_map_reduce_spark.operators.rasterize import render_text_bitmap
+
+    w, h, pix = render_text_bitmap("HI")
+    # 2 cells wide + margins, 1 line high + margins
+    assert (w, h) == (2 * 6 + 8, 8 + 8)
+    assert pix.count(0) > 0 and pix.count(255) > pix.count(0)
+    # 'I' column (cell 2) must have ink; unknown glyphs fall back to box
+    _, _, boxed = render_text_bitmap("é")  # not in FONT_5X7
+    assert boxed.count(0) >= 16  # the outlined glyph-box
+    # clipping: long lines/pages are bounded to one rendered page
+    w2, h2, _ = render_text_bitmap(("x" * 500 + "\n") * 100)
+    assert w2 == 100 * 6 + 8 and h2 == 60 * 8 + 8
+    # empty text still yields a decodable blank page
+    w3, h3, blank = render_text_bitmap("")
+    assert w3 > 0 and h3 > 0 and blank.count(0) == 0
+
+
+def test_pdf_to_image_operator(spark, binary_dir):
+    """ToImage analog (ref Workers.java:150-160), REAL: PDF → extracted
+    text → rasterized page → valid PNG bytes, per-record errors
+    in-band. Round-trips through the stdlib decoder: dimensions match
+    the IHDR, ink pixels exist for non-empty text."""
+    from project_map_reduce_spark.operators.rasterize import decode_png_gray
+
+    pdf_path = os.path.join(ART, "img.pdf")
+    with open(pdf_path, "wb") as f:
+        f.write(_make_pdf(compress=True))
+    df = readers.read_binary(spark, binary_dir)
+    out = {os.path.basename(r.path): r for r in multimodal.pdf_to_image(df).collect()}
+
+    ok = out["img.pdf"]
+    assert ok.status == "ok" and ok.error is None
+    w, h, pixels = decode_png_gray(bytes(ok.png))
+    assert (w, h) == (ok.width, ok.height)
+    assert pixels.count(0) > 0  # rendered ink
+    # c.pdf: magic but no stream → empty text → blank page, still ok
+    blank = out["c.pdf"]
+    assert blank.status == "ok"
+    bw, bh, bpix = decode_png_gray(bytes(blank.png))
+    assert (bw, bh) == (blank.width, blank.height) and bpix.count(0) == 0
+    # non-PDF payloads land on the error channel, not as exceptions
+    assert out["a.png"].status == "error" and out["a.png"].png is None
+    os.remove(pdf_path)

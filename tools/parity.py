@@ -102,14 +102,15 @@ def compare(name, spark_df, duck_rel, *, pandas_path: bool = False) -> list[str]
     problems = []
     s_cols = spark_df.columns
     d_cols = list(duck_rel.columns)
+    # Flag hazard-typed oracle columns but keep comparing: the hazard
+    # only bites on the pandas fetch path, and returning early here
+    # would mask a genuine value regression behind the type warning.
     for col, typ in zip(duck_rel.columns, duck_rel.types):
         if any(h in str(typ).upper() for h in _HAZARD_TYPES):
             problems.append(
                 f"driver-hazard: oracle column '{col}' has type {typ} — "
                 "becomes float64 on the pandas fetch path; CAST it in the SQL"
             )
-    if problems:
-        return problems
     if pandas_path:
         # Mirror the external driver's fetch path exactly: Arrow/pandas
         # on both sides, then the same canonicalization. Catches
