@@ -44,10 +44,17 @@ def connected_components(
     nodes (absent from ``edges``) are the caller's to union in — every
     node present gets exactly one output row.
     """
-    sym = edges.select(
+    # Materialize the caller's edge plan ONCE, before symmetrizing: the
+    # union's two branches would otherwise each re-execute the upstream
+    # lineage (for the near-dup graph that lineage is the whole
+    # shingle-index join — it dominated q_dedup_clusters' wall time).
+    # The swap-union over the checkpointed partitions is then free.
+    directed = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    sym = sym.localCheckpoint()
+    ).localCheckpoint()
+    sym = directed.union(
+        directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
 
     labels = (
         sym.select(F.col("s").alias("node"))
@@ -74,10 +81,11 @@ def connected_components(
             (F.col("nbr_comp") < F.col("comp")).cast("long").alias("__changed"),
         )
         # Cut lineage each round — otherwise the plan doubles per
-        # iteration and round N replays rounds 1..N-1.
-        new_labels = new_labels.localCheckpoint()
-        # Aggregating over the just-materialized checkpoint partitions:
-        # no join, no extra shuffle — a map-side sum + single-row merge.
+        # iteration and round N replays rounds 1..N-1. LAZY checkpoint:
+        # the changed-count agg below is the round's single action — it
+        # materializes the checkpoint as a side effect, so a round costs
+        # ONE Spark job, not a materialize-job plus an agg-job.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.agg(F.sum("__changed")).first()[0] or 0
         labels = new_labels.drop("__changed")
         if changed == 0:
@@ -121,10 +129,15 @@ def connected_components_jump(
     this for high-diameter graphs; near-dup graphs (tiny components)
     converge in 2-3 rounds under either.
     """
-    sym = edges.select(
+    # Same single-materialization discipline as connected_components:
+    # checkpoint the directed edges once, symmetrize over the
+    # checkpointed partitions.
+    directed = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    sym = sym.localCheckpoint()
+    ).localCheckpoint()
+    sym = directed.union(
+        directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
 
     labels = (
         sym.select(F.col("s").alias("node"))
@@ -166,7 +179,9 @@ def connected_components_jump(
             .cast("long")
             .alias("__changed"),
         )
-        jumped = jumped.localCheckpoint()
+        # Lazy checkpoint: the changed-count agg is the round's only
+        # action and materializes the checkpoint in the same job.
+        jumped = jumped.localCheckpoint(eager=False)
         changed = jumped.agg(F.sum("__changed")).first()[0] or 0
         labels = jumped.drop("__changed")
         if changed == 0:
