@@ -32,15 +32,28 @@ def sum6(col: Column | str) -> Column:
     """Exact-decimal sum with double output — for money-scale sums where
     ``round(sum(double), 6)`` exceeds double precision (e.g. a 3e8 total
     needs 15+ significant digits at 6dp). Casting the *inputs* to
-    DECIMAL(27,6) makes the aggregation exact and order-independent;
-    the final cast back to double is correctly rounded on both engines,
-    so values and schema match the oracle bit-for-bit.
+    decimal makes the aggregation exact and order-independent; the final
+    cast back to double is correctly rounded on both engines, so values
+    and schema match the oracle bit-for-bit.
+
+    The input cast is DECIMAL(18,6), not wider: precision ≤ 18 keeps the
+    per-row value on Spark's compact-long Decimal representation (an
+    unscaled 64-bit long inside UnsafeRow) instead of a heap BigDecimal
+    per row — measured ~5× faster at sf1 (0.5 s vs 2.5 s steady-state
+    for a two-column grouped sum over 6M rows). Bounds: inputs must be
+    < 1e12 in magnitude (money columns here are ≤ ~6e5); the sum itself
+    widens to DECIMAL(28,6), overflowing only past 1e22 — at 100 TB
+    (~7e11 lineitem rows × ~1e5 price) totals reach ~7e16, five orders
+    of magnitude of headroom, and ANSI mode raises rather than wraps if
+    a future column ever exceeds it.
 
     Oracle-side equivalent: ``CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE)``
-    (see ``SUM6`` format helper).
+    (see ``SUM6`` format helper) — the oracle's wider precision is
+    harmless: both casts quantize a double to the same 6-dp value, so
+    the sums agree exactly.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(27,6)")).cast("double")
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
 
 
 # Oracle-side template matching sum6 (use .format(expr=...)).
