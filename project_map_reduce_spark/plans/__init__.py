@@ -81,22 +81,24 @@ _DRIVER_WINDOW = [
     "q_split_train_val",
     "q_pandas_udf_scalar",
     "q_udaf_weighted_mean",
-    # -- round-4 new queries: streaming end-to-end + salted join
+    # -- round-4 new queries: streaming end-to-end, salted join,
+    #    incremental dedup, NOT EXISTS decorrelation, composed pipeline
     "q_stream_totals",
     "q_join_salted",
-    # -- changed this round (ADVICE r3: pinned window null ordering)
+    "q_dedup_incremental",
+    "q_not_exists",
+    "q_pipeline_e2e",
+    # -- changed this round: pinned window null ordering (ADVICE r3)
+    #    and the sum6 compact-decimal rework (q_pricing_summary and
+    #    q_join_asof are its only consumers not already listed above)
     "q_pack_sequences",
+    "q_pricing_summary",
+    "q_join_asof",
     # -- padding to 50: r3-green insurance re-checks on the
-    #    highest-variance paths (Arrow UDFs, iterative algos, past
-    #    hazard classes: HUGEINT oracles, temporal sentinels)
+    #    highest-variance paths (Arrow UDFs, iterative algos)
     "q_grouped_map",
     "q_kmeans",
-    "q_doc_logprob",
     "q_salted_agg",
-    "q_time_rollup",
-    "q_json_extract",
-    "q_token_count",
-    "q_udtf_sentences",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -710,3 +710,70 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_dup_lines").alias("total_dup_lines"),
         r6d(F.avg(F.col("n_dup_lines") * 1.0 / F.col("n_lines")), "avg_dup_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q92 — incremental dedup: new batch vs existing corpus
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, source, n_chars, md5(text) AS fp
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    novel AS (
+        SELECT * FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    )
+    SELECT min(doc_id) AS survivor_doc_id,
+           count(*) AS n_batch_copies,
+           min(source) AS source,
+           CAST(min(n_chars) AS BIGINT) AS n_chars
+    FROM novel
+    GROUP BY fp
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q92: incremental dedup — admit only documents from an incoming
+    batch whose content fingerprint is absent from the already-ingested
+    corpus, then exact-dedup within the batch (survivor = min doc_id).
+    This is how a growing training corpus is actually maintained: the
+    corpus is never re-deduped; each ingest batch is anti-joined against
+    the accumulated fingerprint set and only novel survivors append.
+    (Batch = doc_id % 5 == 0 here — a deterministic stand-in for "the
+    new crawl snapshot".)
+
+    Scale shape: the corpus side is a compact fingerprint-only relation
+    (16-byte md5 keys, no document bodies — at 100 TB that's a ~2% side
+    table maintained incrementally by appending each admitted batch's
+    fingerprints). The anti-join is a shuffle hash join on fp; keeping
+    the fingerprint table bucketed on fp (``sources.sinks.write_bucketed``)
+    makes every future ingest shuffle ONLY the new batch — the corpus
+    side is already hash-partitioned on disk. Within-batch dedup is one
+    further hash-agg on the same key, which AQE plans shuffle-free when
+    it lands on the anti-join's partitioning.
+    """
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    corpus = (
+        d.filter(F.col("doc_id") % 5 != 0).select(fp.alias("fp")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", "n_chars", fp.alias("fp")
+    )
+    novel = batch.join(corpus, "fp", "left_anti")
+    return (
+        novel.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+            F.min("source").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("fp")
+    )

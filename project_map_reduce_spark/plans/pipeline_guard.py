@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_map_reduce_spark.functions.det import r6d
 from project_map_reduce_spark.operators.pii import mask_digits, pseudonymize
 from project_map_reduce_spark.plans.dedup import _SHINGLE_K, shingle_expr
 from project_map_reduce_spark.registry import fmt_doc, register
@@ -243,4 +244,86 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_token_frac") > _DUP_TOKEN_MAX)
             | (F.col("top_bigram_frac") > _TOP_BIGRAM_MAX)
         ).alias("flag_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q94 — the full cleaning pipeline, composed end-to-end
+
+_MIN_TOKENS = 20  # quality gate: drop fragments shorter than this
+
+
+@register(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, source, md5(text) AS fp,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+        WHERE lang = 'en'
+          AND len(string_split(text, ' ')) >= {_MIN_TOKENS}
+    ),
+    dedup AS (
+        SELECT fp, min(doc_id) AS doc_id, min(source) AS source,
+               min(n_tok) AS n_tok
+        FROM kept GROUP BY fp
+    )
+    SELECT CASE WHEN substr(fp, 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(fp, 1, 1) IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(n_tok), 6) AS avg_tokens
+    FROM dedup
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q94: the cleaning pipeline COMPOSED end-to-end — language gate →
+    length/quality gate → exact dedup → deterministic split → per
+    (split, source) token accounting. Each stage exists standalone
+    (Q55 lang-id, Q56 quality, Q43 dedup, Q61 split, Q57 tokens); this
+    query proves they compose into one Catalyst plan the way a real
+    C4/FineWeb-style preprocessing job runs them, with no materialization
+    between stages.
+
+    Scale shape (the reason composition matters at 100 TB): the lang and
+    length filters are narrow row-level predicates evaluated in the scan
+    stage — rejected documents never reach a shuffle. The only wide
+    stage shuffles (fp, n_tok, source, doc_id) — a ~40-byte record, NOT
+    the document body, because the dedup key is the md5 fingerprint and
+    every downstream stage (split assignment, accounting) needs only
+    the fingerprint. One shuffle for dedup + one tiny final agg; the
+    split label derives from the same fingerprint with zero extra
+    hashing. Wrong composition (dedup-then-filter, or shuffling text)
+    costs 25-50x the shuffle bytes.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    kept = d.filter(F.col("lang") == "en").filter(n_tok >= _MIN_TOKENS).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        n_tok.alias("n_tok"),
+    )
+    dedup = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    first_hex = F.substring(F.col("fp"), 1, 1)
+    split = (
+        F.when(first_hex.between("0", "b"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        dedup.select(split.alias("split"), "source", "n_tok")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            r6d(F.avg("n_tok"), "avg_tokens"),
+        )
     )

@@ -253,3 +253,48 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_not_exists",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_custs,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    WHERE round(c_acctbal, 6) >
+            (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q93: correlated NOT EXISTS (TPC-H Q22 shape, phone column swapped
+    for nationkey) — wealthy customers who never placed an order,
+    counted per nation. Exercises the decorrelation path Q79's scalar
+    subquery doesn't: Catalyst rewrites NOT EXISTS into a LEFT ANTI
+    join on the correlation key, and the uncorrelated scalar average
+    into a one-row broadcast — visible in the plan as exactly one
+    anti-join plus one tiny aggregate, no per-row subquery execution.
+
+    At 100 TB the anti-join shuffles customer and orders on custkey
+    once; the average is a full-scan partial+final agg whose single-row
+    result broadcasts. Both comparison sides are rounded to 6 dp so the
+    selection boundary is engine-stable (same discipline as Q79).
+    """
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               count(*) AS n_custs,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer c
+        WHERE round(c_acctbal, 6) >
+                (SELECT round(avg(c_acctbal), 6) FROM customer
+                 WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        """
+    )
