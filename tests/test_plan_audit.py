@@ -345,3 +345,37 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    """Q93's NOT EXISTS must compile to a LEFT ANTI join on the
+    correlation key — never a per-row subquery or a nested-loop join."""
+    plan = plan_of(spark, sf_dir, "q_not_exists")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_incremental_is_anti_join_on_fingerprint(spark, sf_dir):
+    """Q92's batch-vs-corpus check must be an anti equi-join (hash or
+    broadcast) on the md5 key, with the corpus side reduced to distinct
+    fingerprints BEFORE the join — not a join against full documents."""
+    plan = plan_of(spark, sf_dir, "q_dedup_incremental")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # corpus side: distinct() is an aggregate somewhere below the join
+    assert "HashAggregate" in plan, plan
+
+
+def test_pipeline_e2e_filters_in_scan_stage(spark, sf_dir):
+    """Q94's language gate must reach the parquet reader as a pushed
+    filter, and columns the composed plan never uses (n_chars — and even
+    doc_id, whose min() is dead code after the final projection) must be
+    pruned from the scan."""
+    plan = plan_of(spark, sf_dir, "q_pipeline_e2e")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(lang,en)" in m.group(1), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "n_chars" not in cols, cols
+    assert "text" in cols and "lang" in cols, cols
