@@ -562,6 +562,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: candidate pairs only within a cluster — the join is an
     equi-join on the cluster id (shuffle-partitionable, AQE-skew-safe),
     never a global crossJoin. Norms are precomputed once per vector.
+
+    Cost model (the sf1 probe's 9.8× at 10× rows is this, not a plan
+    defect): within-block pair count is O(n²/k) for k blocks, so with
+    the fixture's FIXED label cardinality the work grows quadratically
+    in n — as does the declared OUTPUT (all qualifying pairs). At scale
+    k must grow with the corpus (that is what IVF/k-means assignment
+    does — Q84 produces exactly such labels), keeping per-block size
+    roughly constant; per-block work is then flat and total work linear.
     """
     # Repartition first: one parquet file = one partition, and the
     # pair-scoring fold below is CPU-bound — without this the whole
