@@ -763,8 +763,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint table bucketed on fp (``sources.sinks.write_bucketed``)
     makes every future ingest shuffle ONLY the new batch — the corpus
     side is already hash-partitioned on disk. Within-batch dedup is one
-    further hash-agg on the same key, which AQE plans shuffle-free when
-    it lands on the anti-join's partitioning.
+    further agg on the same key, which AQE plans shuffle-free when it
+    lands on the anti-join's partitioning (min(source)'s string buffer
+    makes it a SortAggregate — the single-shuffle-plus-sort trade
+    documented at q_pipeline_e2e).
     """
     d = load(spark, sf_dir, "documents")
     fp = F.md5(F.col("text").cast("binary"))

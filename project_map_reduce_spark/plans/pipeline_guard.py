@@ -298,6 +298,13 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     split label derives from the same fingerprint with zero extra
     hashing. Wrong composition (dedup-then-filter, or shuffling text)
     costs 25-50x the shuffle bytes.
+
+    Plan note: min(source)'s string buffer drops both dedup agg phases
+    to SortAggregate (Spark's hash agg needs fixed-width buffers). The
+    all-hash alternative — group by (fp, source) first, then by fp —
+    trades the sort for a SECOND full exchange of comparable volume;
+    one shuffle + spillable sort is the better cluster economics, so
+    the sort is deliberate (same trade as Q77's struct-max idiom).
     """
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
