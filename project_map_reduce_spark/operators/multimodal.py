@@ -1,13 +1,18 @@
 """Multimodal column operators (SURVEY.md §2 B.10 capability row).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata, processed by Arrow-batched pandas iterators (``mapInPandas``)
-— the Spark-side plumbing (schemas, batch iteration, partitioning,
-column pruning) is real and tested; the actual codec work is STUBBED
-behind ``_decode_stub`` because no image/audio library ships in this
-container (brief: stub the decode, make the plumbing real).
+metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
+The Spark-side plumbing (schemas, batch iteration, partitioning, column
+pruning) is real and tested — and since round 4 the codec layer mostly
+is too (``operators/codecs.py``, stdlib-only): PNG metadata AND pixel
+decode (full five-filter unfilter for the 8-bit gray subset), JPEG/GIF
+true dimensions from their headers, WAV channels/rate/frames via the
+stdlib ``wave`` reader. The ONLY step still stubbed is compressed-pixel
+decode for JPEG/GIF (their entropy coders need native libs the
+container lacks — brief-sanctioned): ``_pixel_stub`` fakes exactly that
+step, deterministically, for the resize fallback path.
 
-Swap-in path for production: replace ``_decode_stub`` with PIL/ffmpeg
+Swap-in path for production: replace ``_pixel_stub`` with PIL/ffmpeg
 calls inside the same ``mapInPandas`` generator — batch shape, schema
 and partitioning are already correct. Reference analog: the per-record
 PDF transforms (Workers.java:131-184) — fetch bytes, transform, emit
@@ -34,10 +39,13 @@ from project_map_reduce_spark.operators.pdftext import extract_pdf_text
 from project_map_reduce_spark.registry import fmt_doc
 
 # Typed result schema for decode/feature extraction. Errors are data
-# (status/error), never exceptions — ref Workers.java:186-221.
+# (status/error), never exceptions — ref Workers.java:186-221. The
+# audio fields are NULL for non-audio rows (typed per-modality
+# metadata, not a stringly map).
 DECODED_SCHEMA = (
     "path string, modality string, byte_len bigint, "
     "width int, height int, format string, "
+    "n_channels int, sample_rate int, n_frames bigint, "
     "status string, error string"
 )
 
@@ -46,6 +54,7 @@ FEATURES_SCHEMA = "path string, byte_len bigint, features array<double>"
 _MAGIC = {
     b"\x89PNG": ("image", "png"),
     b"\xff\xd8\xff": ("image", "jpeg"),
+    b"GIF8": ("image", "gif"),
     b"%PDF": ("document", "pdf"),
     b"RIFF": ("audio", "wav"),
 }
@@ -58,54 +67,68 @@ def _sniff(content: bytes) -> tuple[str, str] | None:
     return None
 
 
-def _decode_stub(content: bytes, fmt: str) -> tuple[int, int]:
-    """STUB: deterministic fake decode (no codec libs in this container).
-
-    A real deployment replaces this body with e.g. PIL.Image.open —
-    signature and callers stay identical. The fake derives stable
-    "dimensions" from the payload so tests are deterministic.
-    """
+def _pixel_stub(content: bytes, width: int, height: int) -> bytes:
+    """STUB for the one codec step stdlib can't do: compressed-pixel
+    decode of JPEG/GIF (entropy coders need native libs this container
+    lacks). Deterministic fake raster — a stride-sample of the payload
+    bytes to exactly width*height bytes — so batch shape, output
+    sizing, and the error channel stay real and testable. A deployment
+    swaps this body for PIL with identical signature and callers."""
     if not content:
         raise ValueError("empty payload")
-    w = 1 + content[0] % 64
-    h = 1 + content[-1] % 64
-    return w, h
+    n_out = width * height
+    idx = [(i * len(content)) // n_out for i in range(n_out)]
+    return bytes(content[i] for i in idx)
 
 
 def decode_binary(df: DataFrame) -> DataFrame:
-    """Decode a binaryFile frame (path, content, ...) into typed image/
-    document metadata. One Arrow batch in, one out; per-record failures
-    become status='error' rows (in-band, ref A7)."""
+    """Decode a binaryFile frame (path, content, ...) into typed
+    per-modality metadata — REAL header/metadata parsing for every
+    sniffed format (operators/codecs.py: PNG IHDR, JPEG SOF walk, GIF
+    screen descriptor, stdlib ``wave``). One Arrow batch in, one out;
+    per-record failures (corrupt payloads included — the parsers
+    CRC/structure-check) become status='error' rows (in-band, ref A7)."""
+    from project_map_reduce_spark.operators import codecs
+
+    cols = (
+        "path", "modality", "byte_len", "width", "height", "format",
+        "n_channels", "sample_rate", "n_frames", "status", "error",
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "path", "modality", "byte_len", "width", "height",
-                "format", "status", "error",
-            )}
+            out = {k: [] for k in cols}
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                out["path"].append(path)
-                out["byte_len"].append(len(raw))
+                row = dict.fromkeys(cols)
+                row["path"], row["byte_len"] = path, len(raw)
                 sniffed = _sniff(raw)
                 try:
                     if sniffed is None:
                         raise ValueError("unknown format")
-                    modality, fmt = sniffed
-                    w, h = _decode_stub(raw, fmt)
-                    out["modality"].append(modality)
-                    out["format"].append(fmt)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["status"].append("ok")
-                    out["error"].append(None)
+                    row["modality"], row["format"] = sniffed
+                    if row["format"] == "png":
+                        row["width"], row["height"], _, _ = codecs.png_info(raw)
+                    elif row["format"] == "jpeg":
+                        row["width"], row["height"], _ = codecs.jpeg_info(raw)
+                    elif row["format"] == "gif":
+                        row["width"], row["height"] = codecs.gif_info(raw)
+                    elif row["format"] == "wav":
+                        (
+                            row["n_channels"],
+                            row["sample_rate"],
+                            row["n_frames"],
+                        ) = codecs.wav_info(raw)
+                    # pdf: document modality, no intrinsic raster dims
+                    row["status"] = "ok"
                 except Exception as ex:  # noqa: BLE001 — error channel is data
-                    out["modality"].append(None)
-                    out["format"].append(None)
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["status"].append("error")
-                    out["error"].append(f"Error: {ex}")
+                    row.update(dict.fromkeys(
+                        ("modality", "format", "width", "height",
+                         "n_channels", "sample_rate", "n_frames")
+                    ))
+                    row["status"], row["error"] = "error", f"Error: {ex}"
+                for k in cols:
+                    out[k].append(row[k])
             yield pd.DataFrame(out)
 
     return df.select("path", "content").mapInPandas(batches, schema=DECODED_SCHEMA)
@@ -239,57 +262,82 @@ def pdf_to_image(df: DataFrame) -> DataFrame:
 
 RESIZED_SCHEMA = (
     "path string, src_width int, src_height int, width int, height int, "
-    "content binary, status string, error string"
+    "content binary, decoder string, status string, error string"
 )
 
 
 def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Resize plumbing (brief: decode / feature-extract / RESIZE /
-    frame-sample): per-record target-dimension image resample as an
-    Arrow-batched shuffle-free map with typed metadata and in-band
-    errors. The pixel resample itself is STUBBED like ``_decode_stub``
-    (no codec libs in this container): the fake output raster is a
-    deterministic stride-sample of the payload bytes to exactly
-    width*height bytes, so batch shape, output sizing, schema, and
-    error channel — everything Spark-side — is real and testable; a
-    deployment swaps the raster body for PIL's ``Image.resize`` with
-    identical signature and callers."""
+    """Resize (brief: decode / feature-extract / RESIZE / frame-sample):
+    per-record target-dimension image resample as an Arrow-batched
+    shuffle-free map with typed metadata and in-band errors.
+
+    For the 8-bit grayscale PNG subset the whole chain is REAL on
+    stdlib: full five-filter pixel decode (codecs.decode_png_gray8) →
+    numpy nearest-neighbor resample → spec-valid PNG re-encode
+    (rasterize.encode_png_gray); ``decoder='stdlib-png'`` and the
+    output content is itself a decodable PNG. For JPEG/GIF (and PNGs
+    outside that subset) true header dimensions are still parsed for
+    src_width/src_height, but the pixel plane comes from
+    ``_pixel_stub`` (``decoder='stub'``, raw raster bytes) — the one
+    step native codec libs would replace. Deterministic either way."""
+    import numpy as np
+
+    from project_map_reduce_spark.operators import codecs
+    from project_map_reduce_spark.operators.rasterize import encode_png_gray
+
     if width < 1 or height < 1:
         raise ValueError(f"bad target size {width}x{height}")
 
+    cols = (
+        "path", "src_width", "src_height", "width", "height",
+        "content", "decoder", "status", "error",
+    )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_out = width * height
         for pdf in it:
-            out = {k: [] for k in (
-                "path", "src_width", "src_height", "width", "height",
-                "content", "status", "error",
-            )}
+            out = {k: [] for k in cols}
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                out["path"].append(path)
+                row = dict.fromkeys(cols)
+                row["path"] = path
                 try:
                     sniffed = _sniff(raw)
                     if sniffed is None or sniffed[0] != "image":
                         raise ValueError("not an image payload")
-                    sw, sh = _decode_stub(raw, sniffed[1])
-                    # deterministic fake raster: stride-sample payload
-                    # bytes to the exact target pixel count
-                    idx = [(i * len(raw)) // n_out for i in range(n_out)]
-                    out["src_width"].append(sw)
-                    out["src_height"].append(sh)
-                    out["width"].append(width)
-                    out["height"].append(height)
-                    out["content"].append(bytes(raw[i] for i in idx))
-                    out["status"].append("ok")
-                    out["error"].append(None)
+                    fmt = sniffed[1]
+                    pixels = None
+                    if fmt == "png":
+                        sw, sh, depth, color = codecs.png_info(raw)
+                        if (depth, color) == (8, 0):
+                            _, _, pixels = codecs.decode_png_gray8(raw)
+                    elif fmt == "jpeg":
+                        sw, sh, _ = codecs.jpeg_info(raw)
+                    else:  # gif
+                        sw, sh = codecs.gif_info(raw)
+                    if pixels is not None:
+                        # real path: nearest-neighbor index grid
+                        src = np.frombuffer(pixels, np.uint8).reshape(sh, sw)
+                        ys = (np.arange(height) * sh) // height
+                        xs = (np.arange(width) * sw) // width
+                        resampled = src[np.ix_(ys, xs)].tobytes()
+                        row["content"] = encode_png_gray(
+                            width, height, resampled
+                        )
+                        row["decoder"] = "stdlib-png"
+                    else:
+                        row["content"] = _pixel_stub(raw, width, height)
+                        row["decoder"] = "stub"
+                    row["src_width"], row["src_height"] = sw, sh
+                    row["width"], row["height"] = width, height
+                    row["status"] = "ok"
                 except Exception as ex:  # noqa: BLE001 — error channel is data
-                    out["src_width"].append(None)
-                    out["src_height"].append(None)
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["content"].append(None)
-                    out["status"].append("error")
-                    out["error"].append(f"Error: {ex}")
+                    row.update(dict.fromkeys(
+                        ("src_width", "src_height", "width", "height",
+                         "content", "decoder")
+                    ))
+                    row["status"], row["error"] = "error", f"Error: {ex}"
+                for k in cols:
+                    out[k].append(row[k])
             yield pd.DataFrame(out)
 
     return df.select("path", "content").mapInPandas(batches, schema=RESIZED_SCHEMA)

@@ -1,33 +1,72 @@
 """Multimodal capability smoke (SURVEY.md §2 B.10 capability row):
-binaryFile source → typed decode (stubbed codec) → feature extraction.
-The Spark plumbing — schema, Arrow batching, error channel, pruning —
-is the thing under test."""
+binaryFile source → typed decode (REAL stdlib codec metadata; pixel
+decode real for the gray-PNG subset, stubbed only for JPEG/GIF entropy
+coding) → feature extraction. The Spark plumbing — schema, Arrow
+batching, error channel, pruning — plus the codec layer are under
+test. Fixture payloads are spec-valid files, built with stdlib only."""
 
 from __future__ import annotations
 
+import io
 import os
 import shutil
+import struct
+import wave as _wave
 
 import pytest
 
 from project_map_reduce_spark.operators import multimodal
+from project_map_reduce_spark.operators.rasterize import encode_png_gray
 from project_map_reduce_spark.sources import readers
 
 ART = os.path.join(os.path.dirname(__file__), ".artifacts", "binary")
+
+_PNG_W, _PNG_H = 20, 12
+_PNG_PIXELS = bytes(
+    (x * 13 + y * 7) % 256 for y in range(_PNG_H) for x in range(_PNG_W)
+)
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    """Minimal structurally-valid JPEG header stream: SOI, APP0, SOF0
+    (1 component), EOI — enough for any T.81 marker walk to find the
+    frame dimensions."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + bytes(6)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + b"\x01\x11\x00"  # component id / sampling / quant table
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _make_wav(channels: int, rate: int, frames: int) -> bytes:
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(2 * channels * frames))
+    return buf.getvalue()
+
+
+def _payloads() -> dict[str, bytes]:
+    return {
+        "a.png": encode_png_gray(_PNG_W, _PNG_H, _PNG_PIXELS),
+        "b.jpg": _make_jpeg(40, 30),
+        "c.pdf": b"%PDF-1.4 fake body",
+        "d.wav": _make_wav(1, 8000, 100),
+        "e.bin": b"\x00\x01mystery",  # unknown format → error row
+        "f.gif": b"GIF89a" + struct.pack("<HH", 11, 7) + bytes(3),
+        "g.png": b"\x89PNG\r\n\x1a\n" + bytes(range(40)),  # corrupt body
+    }
 
 
 @pytest.fixture(scope="module")
 def binary_dir():
     shutil.rmtree(ART, ignore_errors=True)
     os.makedirs(ART, exist_ok=True)
-    payloads = {
-        "a.png": b"\x89PNG\r\n\x1a\n" + bytes(range(200)),
-        "b.jpg": b"\xff\xd8\xff\xe0" + bytes(100),
-        "c.pdf": b"%PDF-1.4 fake body",
-        "d.wav": b"RIFF" + b"\x01\x02" * 50,
-        "e.bin": b"\x00\x01mystery",  # unknown format → error row
-    }
-    for name, data in payloads.items():
+    for name, data in _payloads().items():
         with open(os.path.join(ART, name), "wb") as f:
             f.write(data)
     return ART
@@ -36,30 +75,43 @@ def binary_dir():
 def test_binary_source_schema(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     assert {"path", "content", "length"} <= set(df.columns)
-    assert df.count() == 5
+    assert df.count() == 7
 
 
-def test_decode_stub_typed_results(spark, binary_dir):
+def test_decode_real_metadata(spark, binary_dir):
+    """decode_binary parses REAL per-format metadata (PNG IHDR, JPEG
+    SOF, GIF screen descriptor, stdlib wave) and turns corrupt or
+    unknown payloads into in-band error rows (ref Workers.java:186-221)."""
     df = readers.read_binary(spark, binary_dir)
     out = multimodal.decode_binary(df).collect()
     by_name = {os.path.basename(r.path): r for r in out}
-    assert by_name["a.png"].status == "ok"
-    assert by_name["a.png"].modality == "image"
-    assert by_name["a.png"].format == "png"
-    assert by_name["a.png"].width >= 1 and by_name["a.png"].height >= 1
-    assert by_name["c.pdf"].modality == "document"
-    assert by_name["d.wav"].modality == "audio"
-    # In-band error channel (ref Workers.java:186-221): unknown format
-    # is a status row, not an exception.
+    png = by_name["a.png"]
+    assert (png.status, png.modality, png.format) == ("ok", "image", "png")
+    assert (png.width, png.height) == (_PNG_W, _PNG_H)
+    jpg = by_name["b.jpg"]
+    assert (jpg.status, jpg.format) == ("ok", "jpeg")
+    assert (jpg.width, jpg.height) == (40, 30)
+    gif = by_name["f.gif"]
+    assert (gif.status, gif.width, gif.height) == ("ok", 11, 7)
+    wav = by_name["d.wav"]
+    assert (wav.status, wav.modality) == ("ok", "audio")
+    assert (wav.n_channels, wav.sample_rate, wav.n_frames) == (1, 8000, 100)
+    assert by_name["a.png"].n_channels is None  # audio fields null elsewhere
+    pdf = by_name["c.pdf"]
+    assert (pdf.status, pdf.modality) == ("ok", "document")
+    assert pdf.width is None  # no intrinsic raster dims
+    # In-band error channel: unknown format AND corrupt known format
+    # are status rows, not exceptions.
     assert by_name["e.bin"].status == "error"
     assert by_name["e.bin"].error.startswith("Error:")
     assert by_name["e.bin"].byte_len == 9
+    assert by_name["g.png"].status == "error"  # magic ok, body corrupt
 
 
 def test_byte_histogram_features(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     feats = multimodal.byte_histogram_features(df).collect()
-    assert len(feats) == 5
+    assert len(feats) == 7
     for r in feats:
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-9  # normalized
@@ -165,32 +217,49 @@ def test_pdf_to_html_operator(spark, binary_dir):
     os.remove(pdf_path)
 
 
-def test_resize_image_plumbing(spark, binary_dir):
-    """Resize plumbing: every ok row carries exactly width*height raster
-    bytes plus source + target dims; non-image payloads are in-band
-    error rows; target validation rejects bad sizes eagerly."""
+def test_resize_image_real_and_stub_paths(spark, binary_dir):
+    """Resize: the gray-PNG payload goes through the REAL chain (pixel
+    decode → nearest-neighbor resample → PNG re-encode — the output is
+    itself a decodable PNG of the target size, with resampled pixel
+    values from the source raster); JPEG/GIF get true header dims but a
+    stub pixel plane; non-image payloads are in-band error rows."""
+    from project_map_reduce_spark.operators.rasterize import decode_png_gray
+
     df = readers.read_binary(spark, binary_dir)
     rows = {
         os.path.basename(r.path): r
         for r in multimodal.resize_image(df, width=8, height=6).collect()
     }
-    ok = [r for r in rows.values() if r.status == "ok"]
-    assert ok, "no image payloads resized"
-    for r in ok:
-        assert (r.width, r.height) == (8, 6)
-        assert len(r.content) == 8 * 6
-        assert r.src_width >= 1 and r.src_height >= 1
+    png = rows["a.png"]
+    assert (png.status, png.decoder) == ("ok", "stdlib-png")
+    assert (png.src_width, png.src_height) == (_PNG_W, _PNG_H)
+    w, h, pix = decode_png_gray(bytes(png.content))
+    assert (w, h) == (8, 6)
+    # nearest-neighbor: output (0,0) is source (0,0); output (x,y) is
+    # source (x*W//8, y*H//6)
+    assert pix[0] == _PNG_PIXELS[0]
+    assert pix[8 * 3 + 2] == _PNG_PIXELS[(3 * _PNG_H // 6) * _PNG_W
+                                         + (2 * _PNG_W // 8)]
+    for name, sw, sh in (("b.jpg", 40, 30), ("f.gif", 11, 7)):
+        r = rows[name]
+        assert (r.status, r.decoder) == ("ok", "stub")
+        assert (r.src_width, r.src_height) == (sw, sh)  # REAL header dims
+        assert len(r.content) == 8 * 6  # stub raster, raw bytes
     assert rows["c.pdf"].status == "error"  # document, not image
     assert "not an image" in rows["c.pdf"].error
+    assert rows["g.png"].status == "error"  # corrupt body caught by CRC
     with pytest.raises(ValueError):
         multimodal.resize_image(df, width=0, height=6)
-    # determinism: same payloads -> identical raster bytes
+    # determinism: same payloads -> identical output bytes
     again = {
         os.path.basename(r.path): r.content
         for r in multimodal.resize_image(df, width=8, height=6).collect()
         if r.status == "ok"
     }
-    assert {os.path.basename(r.path): r.content for r in ok} == again
+    assert {
+        os.path.basename(r.path): r.content
+        for r in rows.values() if r.status == "ok"
+    } == again
 
 
 def test_fetch_url_bytes(spark, binary_dir):
@@ -204,7 +273,7 @@ def test_fetch_url_bytes(spark, binary_dir):
     )
     rows = {r.url: r for r in readers.fetch_url_bytes(df).collect()}
     assert rows[good].status == "ok"
-    assert rows[good].byte_len == 208  # 8-byte magic + 200 payload bytes
+    assert rows[good].byte_len == len(_payloads()["a.png"])
     assert bytes(rows[good].content)[:4] == b"\x89PNG"
     assert rows[missing].status == "error"
     assert rows[missing].content is None
