@@ -374,6 +374,76 @@ def byte_histogram_features(df: DataFrame) -> DataFrame:
 fmt_doc(byte_histogram_features, n=_N_BINS)
 
 
+WAV_FEATURES_SCHEMA = (
+    "path string, n_channels int, sample_rate int, n_frames bigint, "
+    "rms double, zero_cross_rate double, dominant_hz double, "
+    "status string, error string"
+)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction — no stub anywhere in this path:
+    stdlib ``wave`` decodes the PCM frames, numpy computes RMS level,
+    zero-crossing rate, and the dominant frequency via rFFT. 16-bit PCM
+    (the overwhelmingly common WAV encoding); other sample widths are
+    in-band error rows. Same 100 TB shape as its siblings: shuffle-free
+    Arrow-batched map emitting a narrow typed feature row per payload —
+    the audio analog of ``byte_histogram_features``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    cols = (
+        "path", "n_channels", "sample_rate", "n_frames",
+        "rms", "zero_cross_rate", "dominant_hz", "status", "error",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                row = dict.fromkeys(cols)
+                row["path"] = path
+                try:
+                    with wave.open(io.BytesIO(raw)) as w:
+                        nch, width, rate, nframes = (
+                            w.getnchannels(), w.getsampwidth(),
+                            w.getframerate(), w.getnframes(),
+                        )
+                        if width != 2:
+                            raise ValueError(f"unsupported sample width {width}")
+                        pcm = np.frombuffer(
+                            w.readframes(nframes), dtype="<i2"
+                        ).astype(np.float64)
+                    if nch > 1:
+                        pcm = pcm.reshape(-1, nch).mean(axis=1)
+                    if not len(pcm):
+                        raise ValueError("no audio frames")
+                    pcm /= 32768.0
+                    row["n_channels"], row["sample_rate"] = nch, rate
+                    row["n_frames"] = nframes
+                    row["rms"] = float(np.sqrt(np.mean(pcm * pcm)))
+                    row["zero_cross_rate"] = float(
+                        np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))
+                    )
+                    spec = np.abs(np.fft.rfft(pcm))
+                    row["dominant_hz"] = float(
+                        np.argmax(spec) * rate / len(pcm)
+                    )
+                    row["status"] = "ok"
+                except Exception as ex:  # noqa: BLE001 — error channel is data
+                    row["status"], row["error"] = "error", f"Error: {ex}"
+                for k in cols:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(
+        batches, schema=WAV_FEATURES_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, *, every_n_bytes: int = 1024) -> DataFrame:
     """STUB frame-sampler: emits one row per sampled "frame" offset
     (explode — a row-generating transform, the UDTF shape). Real

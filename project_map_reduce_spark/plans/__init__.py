@@ -35,6 +35,7 @@ from project_map_reduce_spark.plans import (  # noqa: F401
     event_analytics,
     sql_surface,
     packing,
+    multimodal_shaped,
 )
 
 _DRIVER_WINDOW = [
@@ -88,6 +89,7 @@ _DRIVER_WINDOW = [
     "q_dedup_incremental",
     "q_not_exists",
     "q_pipeline_e2e",
+    "q_multimodal_dims",
     # -- changed this round: pinned window null ordering (ADVICE r3)
     #    and the sum6 compact-decimal rework (q_pricing_summary and
     #    q_join_asof are its only consumers not already listed above)
@@ -98,7 +100,6 @@ _DRIVER_WINDOW = [
     #    highest-variance paths (Arrow UDFs, iterative algos)
     "q_grouped_map",
     "q_kmeans",
-    "q_salted_agg",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -389,3 +389,49 @@ def test_pdf_to_image_operator(spark, binary_dir):
     # non-PDF payloads land on the error channel, not as exceptions
     assert out["a.png"].status == "error" and out["a.png"].png is None
     os.remove(pdf_path)
+
+
+def test_wav_features_real_signal(spark, binary_dir):
+    """wav_features is fully real: a synthesized 440 Hz sine must come
+    back with dominant_hz == 440 (exact — the tone is an integer number
+    of cycles over the window), rms == amplitude/sqrt(2), and the
+    zero-crossing rate of 2 crossings per cycle."""
+    import math
+
+    rate, secs, freq, amp = 8000, 1, 440, 0.5
+    n = rate * secs
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+                )
+                for i in range(n)
+            )
+        )
+    tone = os.path.join(ART, "tone.wav")
+    with open(tone, "wb") as f:
+        f.write(buf.getvalue())
+    try:
+        df = readers.read_binary(spark, binary_dir)
+        rows = {
+            os.path.basename(r.path): r
+            for r in multimodal.wav_features(df).collect()
+        }
+        t = rows["tone.wav"]
+        assert t.status == "ok"
+        assert (t.n_channels, t.sample_rate, t.n_frames) == (1, rate, n)
+        assert abs(t.dominant_hz - freq) < 1e-9
+        assert abs(t.rms - amp / math.sqrt(2)) < 1e-3
+        assert abs(t.zero_cross_rate - 2 * freq / rate) < 1e-3
+        # non-WAV payloads are in-band error rows, never failures
+        assert rows["a.png"].status == "error"
+        # the all-zero fixture wav: silence has no dominant tone claim,
+        # but decodes fine with rms 0
+        assert rows["d.wav"].status == "ok" and rows["d.wav"].rms == 0.0
+    finally:
+        os.remove(tone)
