@@ -141,3 +141,25 @@ def test_wav_info():
     assert codecs.wav_info(buf.getvalue()) == (2, 44100, 7)
     with pytest.raises(ValueError):
         codecs.wav_info(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_png_roundtrip_property():
+    """Property: decode(encode(pixels)) is the identity for arbitrary
+    sizes and contents — including 1x1, single-row, and single-column
+    rasters (the stride edge cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, seed):
+        pixels = bytes((seed * 2654435761 + i * 40503) % 256 for i in range(w * h))
+        png = encode_png_gray(w, h, pixels)
+        assert codecs.decode_png_gray8(png) == (w, h, pixels)
+        assert codecs.png_info(png) == (w, h, 8, 0)
+
+    check()
