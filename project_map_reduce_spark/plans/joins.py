@@ -362,3 +362,73 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("sum_freq"),
         F.max("c").alias("max_freq"),
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q96: the co-located bucketed join DRIVER-PROVEN correct. Both
+    sides are written as bucketed+sorted managed tables on the join key
+    (``sources/sinks.py::write_bucketed``, 8 buckets) and re-read
+    through the catalog; the join then plans with NO shuffle exchange
+    on either side — the layout the plan-audit suite pins
+    (tests/test_sinks.py) — and this query proves the exchange-free
+    path produces byte-identical results: the oracle is the PLAIN join
+    (same SQL as Q06), so the driver hash matches only if bucketed
+    pre-partitioning changes the physical plan and nothing else.
+
+    This is the 100 TB pattern for every RECURRING fact⋈fact join:
+    pay one bucketed write, then every subsequent join/aggregation on
+    that key is exchange-free forever. The function raises loudly if
+    the bucketed layout failed to eliminate the join shuffle, so a
+    silent planner regression becomes a driver failure, not a quiet
+    2× shuffle cost.
+
+    Driver-collect note (same pattern as Q90): the joined aggregate is
+    O(segments) = 5 rows; it is localized so the scratch tables can be
+    dropped before returning — the bounded collect is harness-only, at
+    scale the bucketed tables are the durable asset, not scratch.
+    """
+    import uuid
+
+    from project_map_reduce_spark.sources.sinks import read_table, write_bucketed
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"t_q96_orders_{tag}", f"t_q96_customer_{tag}"
+    try:
+        write_bucketed(o, t_o, "o_custkey", n_buckets=8)
+        write_bucketed(c, t_c, "c_custkey", n_buckets=8)
+        ob, cb = read_table(spark, t_o), read_table(spark, t_c)
+        # merge hint: at test SFs the planner would rather broadcast the
+        # small side (also correct, but then nothing exercises the
+        # layout); SMJ is the strategy the bucketed path exists for —
+        # at 100 TB both sides are far beyond broadcast anyway.
+        joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise RuntimeError(
+                f"bucketed join still shuffles — layout regression:\n{plan}"
+            )
+        res = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum6("o_totalprice").alias("total_revenue"),
+        )
+        rows = res.collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+    return spark.createDataFrame(
+        rows,
+        schema="c_mktsegment string, n_orders bigint, total_revenue double",
+    )
