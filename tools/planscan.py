@@ -1,0 +1,65 @@
+"""Fleet-wide physical-plan smell scan.
+
+Compiles every registered query against a fixture dir and flags the
+plan shapes that silently cost at scale: SortAggregate (string/struct
+agg buffers falling off the hash-agg fast path), CartesianProduct,
+BroadcastNestedLoopJoin. tests/test_plan_audit.py pins the per-query
+properties; this tool is the sweep that finds NEW smells after a
+refactor, across the whole inventory at once.
+
+Known/adjudicated sites (see VERDICT r3/r4): the three BNLJ hits are
+broadcast-tiny crossJoins (O(1)-row frames); the SortAggregate hits
+are deliberate single-shuffle min(string) survivor picks, documented
+in q_pipeline_e2e's docstring.
+
+Usage:
+    python tools/planscan.py [--sf-dir /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from project_map_reduce_spark.registry import entries  # noqa: E402
+from project_map_reduce_spark.session import get_spark  # noqa: E402
+
+# Queries that execute side effects at plan-build time (streaming jobs,
+# table writes) — compiled plans of their final localized frame are not
+# the interesting part; their shapes are covered by dedicated tests.
+_SKIP = {"q_stream_totals", "q_join_bucketed"}
+
+_SMELLS = ("SortAggregate", "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    a = p.parse_args()
+    spark = get_spark("planscan")
+    flagged = 0
+    for name, e in sorted(entries().items()):
+        if name in _SKIP:
+            continue
+        try:
+            df = e.fn(spark, a.sf_dir)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERR  {name}: {type(ex).__name__}: {ex}")
+            flagged += 1
+            continue
+        marks = [s for s in _SMELLS if s in plan]
+        if marks:
+            print(f"FLAG {name}: {', '.join(marks)}")
+            flagged += 1
+    print(f"scanned {len(entries()) - len(_SKIP)} plans, {flagged} flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
