@@ -91,15 +91,13 @@ _DRIVER_WINDOW = [
     "q_pipeline_e2e",
     "q_multimodal_dims",
     "q_join_bucketed",
+    "q_sample_temperature",
     # -- changed this round: pinned window null ordering (ADVICE r3)
     #    and the sum6 compact-decimal rework (q_pricing_summary and
     #    q_join_asof are its only consumers not already listed above)
     "q_pack_sequences",
     "q_pricing_summary",
     "q_join_asof",
-    # -- padding to 50: r3-green insurance re-check on the
-    #    highest-variance path (Arrow grouped-map UDF)
-    "q_grouped_map",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -100,3 +100,69 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_source_quota, q=_SOURCE_QUOTA)
+
+
+_ALPHA = 0.5  # mixing temperature: sampled share ∝ count^alpha
+_HEX_SPAN = float(16 ** 6)  # u = first 6 md5 hex chars as uniform [0,1)
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n) AS n_min FROM counts),
+    rates AS (
+        SELECT source, sqrt(CAST(n_min AS DOUBLE) / n) AS r
+        FROM counts CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates USING (source)
+    WHERE CAST(('0x' || substr(md5(d.text), 1, 6)) AS BIGINT)
+              / {_HEX_SPAN} < r
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q97: temperature-based source mixing (the multilingual-T5 /
+    XLM-R recipe): sampled share per source ∝ count^α with α = {a} —
+    big sources are down-sampled toward the small ones so no crawl
+    dominates, without the hard cliff of Q63's fixed quota. Keep-rate
+    per source is r_s = (n_min / n_s)^(1-α) (smallest source keeps
+    100%), and membership is deterministic: keep iff the first 6 hex
+    chars of md5(text), read as a uniform in [0,1), fall under r_s.
+
+    Unlike Q62's HARD-CODED per-language rates, the rates here are
+    DATA-DEPENDENT — computed from the corpus itself in the same job.
+    Scale shape: the count aggregate is O(sources) rows and broadcast
+    back (aggregate-then-broadcast, same as Q83's moments); membership
+    is then a shuffle-free map-side filter on a codegen'd hash — no
+    second shuffle of the corpus, and duplicated documents sample
+    identically everywhere (content-hash discipline, Q61/Q62).
+
+    Boundary determinism: u is an exact multiple of 2^-24 and both
+    engines compute r_s with the same IEEE double divide + sqrt, so
+    u < r_s can only disagree if u == r_s exactly — impossible unless
+    r_s is dyadic, which sqrt of a non-square count ratio never is
+    (and the r_s = 1.0 case accepts every u < 1 on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n")).alias("r"),
+    )
+    u = (
+        F.expr(
+            "conv(substr(md5(cast(text as binary)), 1, 6), 16, 10)"
+        ).cast("double")
+        / F.lit(_HEX_SPAN)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("r"))
+        .select("doc_id", "source")
+    )
+
+
+fmt_doc(q_sample_temperature, a=_ALPHA)

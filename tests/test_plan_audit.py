@@ -83,7 +83,12 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 # Queries that INTENTIONALLY contain a broadcast-nested-loop stage: a
 # crossJoin against a broadcast side that is tiny by construction
 # (centroid table, 1-row scalar). Everything else must be hash-joinable.
-_BNLJ_ALLOWED = {"q_similarity_ann", "q_similarity_topk", "q_text_tfidf"}
+_BNLJ_ALLOWED = {
+    "q_similarity_ann",
+    "q_similarity_topk",
+    "q_text_tfidf",
+    "q_sample_temperature",  # 1-row n_min scalar broadcast into rates
+}
 
 
 @pytest.mark.parametrize(
@@ -379,3 +384,13 @@ def test_pipeline_e2e_filters_in_scan_stage(spark, sf_dir):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert "n_chars" not in cols, cols
     assert "text" in cols and "lang" in cols, cols
+
+
+def test_sample_temperature_broadcasts_rates(spark, sf_dir):
+    """Q97's data-dependent rates must be aggregate-then-broadcast: the
+    per-source rate relation joins the corpus as a BroadcastHashJoin,
+    so the corpus itself is never shuffled for membership — the only
+    exchange feeds the O(sources) count aggregate."""
+    plan = plan_of(spark, sf_dir, "q_sample_temperature")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
