@@ -83,7 +83,9 @@ _DRIVER_WINDOW = [
     "q_pandas_udf_scalar",
     "q_udaf_weighted_mean",
     # -- round-4 new queries: streaming end-to-end, salted join,
-    #    incremental dedup, NOT EXISTS decorrelation, composed pipeline
+    #    incremental dedup, NOT EXISTS decorrelation, composed pipeline,
+    #    multimodal render-decode, bucketed co-located join, temperature
+    #    source mixing
     "q_stream_totals",
     "q_join_salted",
     "q_dedup_incremental",
