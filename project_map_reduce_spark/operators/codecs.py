@@ -25,12 +25,31 @@ that into in-band status='error' rows (ref Workers.java:186-221).
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
 import zlib
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _valueerror_contract(fn):
+    """Enforce the module contract: malformed payloads raise ValueError.
+
+    Truncated inputs would otherwise surface as struct.error /
+    zlib.error / IndexError from the parsing internals — and a caller
+    that (correctly) catches only ValueError would crash its executor
+    task instead of emitting an in-band status='error' row."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        try:
+            return fn(*args, **kw)
+        except (struct.error, zlib.error, IndexError) as ex:
+            raise ValueError(f"malformed payload: {ex}") from ex
+
+    return wrapped
 
 
 def _png_chunks(raw: bytes):
@@ -53,11 +72,14 @@ def _png_chunks(raw: bytes):
     raise ValueError("no IEND chunk")
 
 
+@_valueerror_contract
 def png_info(raw: bytes) -> tuple[int, int, int, int]:
     """(width, height, bit_depth, color_type) from IHDR — any PNG."""
     for tag, data in _png_chunks(raw):
         if tag != b"IHDR":
             raise ValueError("first chunk is not IHDR")
+        if len(data) != 13:  # spec-fixed IHDR length
+            raise ValueError(f"IHDR length {len(data)} != 13")
         w, h, depth, color = struct.unpack(">IIBB", data[:10])
         if w < 1 or h < 1:
             raise ValueError(f"bad dimensions {w}x{h}")
@@ -73,6 +95,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_valueerror_contract
 def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
     """Full pixel decode of an 8-bit grayscale non-interlaced PNG,
     honoring all five scanline filters. Returns (width, height, pixels)
@@ -81,6 +104,8 @@ def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
     idat = b""
     for tag, data in _png_chunks(raw):
         if tag == b"IHDR":
+            if len(data) != 13:  # spec-fixed IHDR length
+                raise ValueError(f"IHDR length {len(data)} != 13")
             width, height, depth, color = struct.unpack(">IIBB", data[:10])
             interlace = data[12]
             if (depth, color) != (8, 0):
@@ -133,6 +158,7 @@ _SOF_MARKERS = {
 }
 
 
+@_valueerror_contract
 def jpeg_info(raw: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from the first SOF segment."""
     if raw[:2] != b"\xff\xd8":
@@ -164,6 +190,7 @@ def jpeg_info(raw: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF segment found")
 
 
+@_valueerror_contract
 def gif_info(raw: bytes) -> tuple[int, int]:
     """(width, height) from the GIF logical screen descriptor."""
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
@@ -176,6 +203,7 @@ def gif_info(raw: bytes) -> tuple[int, int]:
     return w, h
 
 
+@_valueerror_contract
 def wav_info(raw: bytes) -> tuple[int, int, int]:
     """(n_channels, sample_rate, n_frames) via the stdlib wave reader
     (validates the RIFF/WAVE/fmt chunk structure for real)."""

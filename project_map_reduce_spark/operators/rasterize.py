@@ -174,34 +174,11 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def decode_png_gray(png: bytes) -> tuple[int, int, bytes]:
-    """Inverse of ``encode_png_gray`` (filter-0 grayscale subset), so
-    tests round-trip without an image library. Validates signature,
-    chunk CRCs, and scanline filter bytes."""
-    if png[:8] != _PNG_SIG:
-        raise ValueError("bad PNG signature")
-    pos, width, height, idat = 8, None, None, b""
-    while pos < len(png):
-        (length,) = struct.unpack(">I", png[pos : pos + 4])
-        tag = png[pos + 4 : pos + 8]
-        data = png[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", png[pos + 8 + length : pos + 12 + length])
-        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
-            raise ValueError(f"bad CRC in {tag!r}")
-        if tag == b"IHDR":
-            width, height, depth, color = struct.unpack(">IIBB", data[:10])
-            if (depth, color) != (8, 0):
-                raise ValueError("not 8-bit grayscale")
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride = width + 1
-    pixels = bytearray()
-    for y in range(height):
-        row = raw[y * stride : (y + 1) * stride]
-        if row[0] != 0:
-            raise ValueError(f"unexpected filter {row[0]} on row {y}")
-        pixels += row[1:]
-    return width, height, bytes(pixels)
+    """Inverse of ``encode_png_gray``, so tests round-trip without an
+    image library. Delegates to the full five-filter reader in
+    ``operators/codecs.py`` (one chunk-walker to maintain; strictly
+    more robust than the filter-0-only reader this used to be — proper
+    ValueErrors on truncated chunks, missing IHDR, bad CRCs)."""
+    from project_map_reduce_spark.operators.codecs import decode_png_gray8
+
+    return decode_png_gray8(png)

@@ -5,9 +5,11 @@ puts the render→PNG-encode→PNG-decode chain under the driver's DuckDB
 hash gate. The oracle can verify it because the rasterizer's page
 geometry (operators/rasterize.py::render_text_bitmap — 6×8 cells, 4 px
 margins, 100-cell line clip) is a pure SQL-expressible function of the
-text length for the fixture's single-line documents, and the decoded
-dimensions can only match if BOTH the encoder produced a spec-valid
-PNG and the decoder's chunk/CRC/unfilter walk read it back correctly.
+text LENGTH: line separators are normalized to spaces 1-for-1 before
+rendering, so the page is single-line with exactly length(text) cells
+for ANY document, and the decoded dimensions can only match if BOTH
+the encoder produced a spec-valid PNG and the decoder's chunk/CRC/
+unfilter walk read it back correctly.
 
 Reference parity: this is the ToImage worker op (Workers.java:150-160)
 driven end-to-end as a declared query instead of a smoke test.
@@ -52,6 +54,16 @@ def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     in, four scalars out; the PNG bytes never leave the executor).
     """
 
+    import re
+
+    # Every char str.splitlines() treats as a line boundary, replaced
+    # 1-for-1 by a space (a blank cell) BEFORE rendering: the page is
+    # then single-line with exactly length(text) cells, so the oracle's
+    # pure-length geometry formula holds for ANY text — not just the
+    # fixture's newline-free documents. (The driver fixture has no
+    # newlines today; this makes the invariant enforced, not assumed.)
+    _line_seps = re.compile("[\n\r\v\f\x1c\x1d\x1e\x85\u2028\u2029]")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from project_map_reduce_spark.operators.codecs import decode_png_gray8
         from project_map_reduce_spark.operators.rasterize import (
@@ -63,7 +75,9 @@ def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {k: [] for k in ("doc_id", "width", "height", "status")}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 try:
-                    w, h, pixels = render_text_bitmap(text or "")
+                    w, h, pixels = render_text_bitmap(
+                        _line_seps.sub(" ", text or "")
+                    )
                     png = encode_png_gray(w, h, pixels)
                     dw, dh, _ = decode_png_gray8(png)
                     out["doc_id"].append(doc_id)

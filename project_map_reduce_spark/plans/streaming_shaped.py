@@ -138,8 +138,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q90: end-to-end STREAMING correctness, driver-hash-checked.
 
-    The events table is staged as 4 parquet files and re-read as a
-    file-source stream (``maxFilesPerTrigger=1`` + available-now → 4
+    The events table is staged as 3 parquet files and re-read as a
+    file-source stream (``maxFilesPerTrigger=1`` + available-now → 3
     micro-batches), flows through the custom stateful operator
     ``streaming/stateful.py::running_user_totals``
     (``applyInPandasWithState``, update mode: per-user running
@@ -187,9 +187,19 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt,
             output_mode="update",
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         if q.exception():
             raise q.exception()
+        if not finished:
+            # A timed-out stream must fail LOUDLY: reading the sink now
+            # would return partial per-user totals (a driver hash
+            # mismatch that looks like a logic bug), and the finally
+            # block would rmtree the source under a live query.
+            q.stop()
+            raise RuntimeError(
+                "q_stream_totals: stream did not finish within 300s "
+                "(host stall?) — refusing to read a partial sink"
+            )
 
         snap = spark.read.option("basePath", sink).parquet(sink)
         last = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))

@@ -40,17 +40,37 @@ import os
 
 import duckdb
 
-# table -> columns to offset by replica * (max+1). Empty list = replicate
-# rows verbatim (no keys; only tiny fixed dims opt out of replication).
-_OFFSET_KEYS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+# Logical surrogate keys: stride comes from the OWNING table's max, and
+# every table referencing the key (PK or FK column) offsets by that same
+# stride. Computing strides per-referencing-table would misalign joins
+# whenever a FK's max differs from the PK's max (true for real dbgen
+# output, where e.g. custkeys divisible by 3 place no orders).
+_KEY_OWNERS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+# table -> {column: logical key}. Tables absent here are replicated only
+# if listed; tiny fixed dims opt out entirely.
+_OFFSET_COLS = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 _FIXED = ["region", "nation"]
 
@@ -64,15 +84,20 @@ def build(src: str, out: str, copies: int) -> None:
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied verbatim")
-    for t, keys in _OFFSET_KEYS.items():
+    # one stride per LOGICAL key, from its owning table
+    key_stride = {
+        key: con.execute(
+            f"SELECT max({col}) + 1 FROM '{src}/{owner}.parquet'"
+        ).fetchone()[0]
+        for key, (owner, col) in _KEY_OWNERS.items()
+    }
+    for t, cols in _OFFSET_COLS.items():
         base = f"'{src}/{t}.parquet'"
-        # one offset literal per key column: replica r shifts the key by
-        # r * (max(key)+1) — disjoint ranges, FK-consistent because every
-        # referencing table uses the same per-key stride.
-        strides = {
-            k: con.execute(f"SELECT max({k}) + 1 FROM {base}").fetchone()[0]
-            for k in keys
-        }
+        # replica r shifts each key column by r * owner-stride —
+        # disjoint ranges, FK-consistent because the referencing and
+        # owning tables share the stride by construction.
+        strides = {c: key_stride[k] for c, k in cols.items()}
+        keys = list(cols)
         selects = []
         for r in range(copies):
             cols = ["*"]
