@@ -7,10 +7,12 @@ BroadcastNestedLoopJoin. tests/test_plan_audit.py pins the per-query
 properties; this tool is the sweep that finds NEW smells after a
 refactor, across the whole inventory at once.
 
-Known/adjudicated sites (see VERDICT r3/r4): the three BNLJ hits are
-broadcast-tiny crossJoins (O(1)-row frames); the SortAggregate hits
-are deliberate single-shuffle min(string) survivor picks, documented
-in q_pipeline_e2e's docstring.
+Known/adjudicated sites (see VERDICT r3/r4): the four BNLJ hits are
+broadcast-tiny crossJoins (O(1)-row or 16-row frames — similarity
+centroids/queries, tfidf totals, Q97's 1-row n_min scalar); the three
+SortAggregate hits are deliberate single-shuffle min(string) survivor
+picks, documented in q_pipeline_e2e's docstring. Current expected
+total: 7 flagged, all documented.
 
 Usage:
     python tools/planscan.py [--sf-dir /root/testdata/sf0.01]
