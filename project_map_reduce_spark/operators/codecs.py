@@ -15,7 +15,12 @@ is parseable from the public specs with ``struct`` + ``zlib`` + ``wave``:
   dimensions + component count. Pixel decode would need the entropy
   coder — that single step stays stubbed upstream, and is the ONLY
   stubbed codec step left.
-- **GIF** (GIF87a/89a): logical-screen descriptor for dimensions.
+- **GIF** (GIF87a/89a): logical-screen descriptor for dimensions AND
+  full first-frame pixel decode — variable-width LSB-first LZW with
+  clear/end codes and the 12-bit dictionary cap, 4-pass deinterlace,
+  global/local palettes mapped to grayscale by integer luminance,
+  partial frames composited onto the background canvas. LZW is pure
+  table arithmetic; no native lib involved.
 - **WAV** (RIFF/WAVE): stdlib ``wave`` for channels / sample rate /
   frame count.
 
@@ -212,3 +217,155 @@ def wav_info(raw: bytes) -> tuple[int, int, int]:
             return w.getnchannels(), w.getframerate(), w.getnframes()
     except wave.Error as ex:
         raise ValueError(str(ex)) from ex
+
+
+# --- GIF pixel decode (LZW is pure table arithmetic — no native lib) --
+
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
+    """GIF-variant LZW decode (GIF89a spec appendix F): LSB-first
+    variable-width codes, clear/end codes, 12-bit dictionary cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + code_size > total_bits:
+            raise ValueError("truncated LZW stream (no end code)")
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"LZW code {code} beyond table")
+            if len(table) < 4096:  # spec cap: dictionary freezes at 12 bits
+                table.append(prev + entry[:1])
+                # widen when the NEXT code could index the new entry
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("LZW output exceeds pixel count")
+    if len(out) != expected:
+        raise ValueError(f"LZW output {len(out)} != {expected} pixels")
+    return bytes(out)
+
+
+def _deinterlace(indices: bytes, w: int, h: int) -> bytes:
+    """GIF 4-pass interlace → sequential row order."""
+    out = bytearray(len(indices))
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = indices[src : src + w]
+            src += w
+    return bytes(out)
+
+
+@_valueerror_contract
+def decode_gif_gray(raw: bytes) -> tuple[int, int, bytes]:
+    """Full pixel decode of a GIF's FIRST image frame (page-0
+    semantics, like the PDF ops): LZW-expand the index stream,
+    deinterlace if flagged, and map palette entries to 8-bit grayscale
+    by integer luminance ((299 R + 587 G + 114 B) // 1000). Frames
+    smaller than the logical screen are composited onto a background-
+    color canvas. Returns (screen_width, screen_height, pixels)."""
+    w, h = gif_info(raw)
+    packed = raw[10]
+    bg_index = raw[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = raw[pos : pos + 3 * size]
+        if len(gct) != 3 * size:
+            raise ValueError("truncated global color table")
+        pos += 3 * size
+
+    def lum(palette: bytes, idx: int) -> int:
+        r, g, b = palette[3 * idx : 3 * idx + 3]
+        return (299 * r + 587 * g + 114 * b) // 1000
+
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x21:  # extension: introducer + label + sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += raw[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih = struct.unpack("<HHHH", raw[pos + 1 : pos + 9])
+            ipacked = raw[pos + 9]
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                palette = raw[pos : pos + 3 * size]
+                if len(palette) != 3 * size:
+                    raise ValueError("truncated local color table")
+                pos += 3 * size
+            if palette is None:
+                raise ValueError("no color table for image data")
+            if left + iw > w or top + ih > h:
+                raise ValueError("frame exceeds logical screen")
+            min_code_size = raw[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise ValueError(f"bad LZW min code size {min_code_size}")
+            data = bytearray()
+            while pos < len(raw) and raw[pos] != 0:
+                n = raw[pos]
+                chunk = raw[pos + 1 : pos + 1 + n]
+                if len(chunk) != n:
+                    raise ValueError("truncated image sub-block")
+                data += chunk
+                pos += n + 1
+            pos += 1
+            indices = _lzw_decode(min_code_size, bytes(data), iw * ih)
+            if (ipacked >> 6) & 1:
+                indices = _deinterlace(indices, iw, ih)
+            n_colors = len(palette) // 3
+            if max(indices) >= n_colors:
+                raise ValueError("pixel index beyond palette")
+            shades = bytes(lum(palette, i) for i in range(n_colors))
+            frame = bytes(shades[i] for i in indices)
+            if (left, top, iw, ih) == (0, 0, w, h):
+                return w, h, frame
+            # composite partial frame onto background canvas
+            bg = (
+                shades[bg_index]
+                if gct is not None and bg_index < len(gct) // 3
+                else 0
+            )
+            canvas = bytearray([bg]) * (w * h)
+            for y in range(ih):
+                row0 = (top + y) * w + left
+                canvas[row0 : row0 + iw] = frame[y * iw : (y + 1) * iw]
+            return w, h, bytes(canvas)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("no image frame in GIF")

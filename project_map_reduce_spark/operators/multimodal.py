@@ -5,12 +5,14 @@ metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 The Spark-side plumbing (schemas, batch iteration, partitioning, column
 pruning) is real and tested — and since round 4 the codec layer mostly
 is too (``operators/codecs.py``, stdlib-only): PNG metadata AND pixel
-decode (full five-filter unfilter for the 8-bit gray subset), JPEG/GIF
-true dimensions from their headers, WAV channels/rate/frames via the
-stdlib ``wave`` reader. The ONLY step still stubbed is compressed-pixel
-decode for JPEG/GIF (their entropy coders need native libs the
-container lacks — brief-sanctioned): ``_pixel_stub`` fakes exactly that
-step, deterministically, for the resize fallback path.
+decode (full five-filter unfilter for the 8-bit gray subset), GIF
+dimensions AND full first-frame pixel decode (LZW + deinterlace +
+palette luminance), JPEG true dimensions from the SOF marker walk, WAV
+channels/rate/frames via the stdlib ``wave`` reader. The ONLY step
+still stubbed is JPEG compressed-pixel decode (its Huffman/DCT entropy
+coder needs native libs the container lacks — brief-sanctioned):
+``_pixel_stub`` fakes exactly that step, deterministically, for the
+resize fallback path.
 
 Swap-in path for production: replace ``_pixel_stub`` with PIL/ffmpeg
 calls inside the same ``mapInPandas`` generator — batch shape, schema
@@ -68,9 +70,9 @@ def _sniff(content: bytes) -> tuple[str, str] | None:
 
 
 def _pixel_stub(content: bytes, width: int, height: int) -> bytes:
-    """STUB for the one codec step stdlib can't do: compressed-pixel
-    decode of JPEG/GIF (entropy coders need native libs this container
-    lacks). Deterministic fake raster — a stride-sample of the payload
+    """STUB for the one codec step stdlib can't do: JPEG compressed-
+    pixel decode (its Huffman/DCT entropy coder needs native libs this
+    container lacks). Deterministic fake raster — a stride-sample of the payload
     bytes to exactly width*height bytes — so batch shape, output
     sizing, and the error channel stay real and testable. A deployment
     swaps this body for PIL with identical signature and callers."""
@@ -271,15 +273,17 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
     per-record target-dimension image resample as an Arrow-batched
     shuffle-free map with typed metadata and in-band errors.
 
-    For the 8-bit grayscale PNG subset the whole chain is REAL on
-    stdlib: full five-filter pixel decode (codecs.decode_png_gray8) →
+    For gray-PNG and for ANY GIF the whole chain is REAL on stdlib:
+    pixel decode (codecs.decode_png_gray8 five-filter unfilter /
+    codecs.decode_gif_gray LZW + deinterlace + palette-luminance) →
     numpy nearest-neighbor resample → spec-valid PNG re-encode
-    (rasterize.encode_png_gray); ``decoder='stdlib-png'`` and the
-    output content is itself a decodable PNG. For JPEG/GIF (and PNGs
-    outside that subset) true header dimensions are still parsed for
-    src_width/src_height, but the pixel plane comes from
-    ``_pixel_stub`` (``decoder='stub'``, raw raster bytes) — the one
-    step native codec libs would replace. Deterministic either way."""
+    (rasterize.encode_png_gray); ``decoder='stdlib-png'`` or
+    ``'stdlib-gif'`` and the output content is itself a decodable PNG.
+    For JPEG (and PNGs outside the gray subset) true header dimensions
+    are still parsed for src_width/src_height, but the pixel plane
+    comes from ``_pixel_stub`` (``decoder='stub'``, raw raster bytes)
+    — the one step native codec libs would replace (JPEG's entropy
+    coder). Deterministic either way."""
     import numpy as np
 
     from project_map_reduce_spark.operators import codecs
@@ -306,14 +310,16 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
                         raise ValueError("not an image payload")
                     fmt = sniffed[1]
                     pixels = None
+                    real = "stdlib-png"
                     if fmt == "png":
                         sw, sh, depth, color = codecs.png_info(raw)
                         if (depth, color) == (8, 0):
                             _, _, pixels = codecs.decode_png_gray8(raw)
                     elif fmt == "jpeg":
                         sw, sh, _ = codecs.jpeg_info(raw)
-                    else:  # gif
-                        sw, sh = codecs.gif_info(raw)
+                    else:  # gif: REAL pixel decode (LZW is pure Python)
+                        sw, sh, pixels = codecs.decode_gif_gray(raw)
+                        real = "stdlib-gif"
                     if pixels is not None:
                         # real path: nearest-neighbor index grid
                         src = np.frombuffer(pixels, np.uint8).reshape(sh, sw)
@@ -323,7 +329,7 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
                         row["content"] = encode_png_gray(
                             width, height, resampled
                         )
-                        row["decoder"] = "stdlib-png"
+                        row["decoder"] = real
                     else:
                         row["content"] = _pixel_stub(raw, width, height)
                         row["decoder"] = "stub"

@@ -163,3 +163,153 @@ def test_png_roundtrip_property():
         assert codecs.png_info(png) == (w, h, 8, 0)
 
     check()
+
+
+# --- GIF: test-side encoder (real LZW) + decoder roundtrips -----------
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Spec-mirroring GIF LZW encoder: variable width LSB-first, clear
+    code first, dictionary frozen at 4096 (matching the decoder cap)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder's first read appends nothing, so its table
+            # lags ours by one entry: widen one code LATER than the
+            # decoder-side len(table) == 1<<size rule
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gray_palette(bits: int) -> bytes:
+    n = 1 << bits
+    return b"".join(
+        bytes([v, v, v]) for v in ((i * 255) // (n - 1) for i in range(n))
+    )
+
+
+def _make_gif(
+    w, h, indices, *, palette_bits=8, interlace=False, frame=None
+):
+    """Assemble a spec-valid single-frame GIF (grayscale palette, so
+    luminance mapping is the identity on palette value)."""
+    left, top, iw, ih = frame or (0, 0, w, h)
+    pal = _gray_palette(palette_bits)
+    lsd_packed = 0x80 | (palette_bits - 1)  # GCT present, size bits
+    head = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([lsd_packed, 0, 0])
+        + pal
+    )
+    idesc = b"\x2c" + struct.pack("<HHHH", left, top, iw, ih) + bytes(
+        [0x40 if interlace else 0]
+    )
+    mcs = max(2, palette_bits)
+    lzw = _lzw_encode(mcs, indices)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return head + idesc + bytes([mcs]) + blocks + b"\x00" + b"\x3b"
+
+
+def _interlace_rows(h):
+    rows = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def test_gif_decode_roundtrip():
+    """Sequential-order frame: LZW encode → full decode recovers every
+    pixel; grayscale palette makes luminance the identity. Size chosen
+    to force dictionary growth across several code widths."""
+    w, h = 61, 23
+    idx = bytes((x * x + 3 * y) % 256 for y in range(h) for x in range(w))
+    gif = _make_gif(w, h, idx)
+    shades = _gray_palette(8)[::3]
+    expected = bytes(shades[i] for i in idx)
+    assert codecs.decode_gif_gray(gif) == (w, h, expected)
+    # 2-bit palette too (different min code size path)
+    idx4 = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    gif4 = _make_gif(w, h, idx4, palette_bits=2)
+    shades4 = _gray_palette(2)[::3]
+    assert codecs.decode_gif_gray(gif4) == (
+        w, h, bytes(shades4[i] for i in idx4),
+    )
+
+
+def test_gif_decode_interlaced():
+    """Interlace flag: rows stored in 8/8/4/2 pass order must come back
+    in sequential order."""
+    w, h = 7, 13
+    seq = bytes((3 * x + 7 * y) % 256 for y in range(h) for x in range(w))
+    stored = b"".join(
+        seq[y * w : (y + 1) * w] for y in _interlace_rows(h)
+    )
+    gif = _make_gif(w, h, stored, interlace=True)
+    shades = _gray_palette(8)[::3]
+    assert codecs.decode_gif_gray(gif) == (
+        w, h, bytes(shades[i] for i in seq),
+    )
+
+
+def test_gif_decode_partial_frame_composites():
+    """A frame smaller than the logical screen lands at (left, top) on a
+    background-color canvas."""
+    w, h, iw, ih, left, top = 6, 5, 2, 2, 3, 1
+    idx = bytes([255, 254, 253, 252])[:0] + bytes([3, 2, 1, 0])
+    gif = _make_gif(w, h, idx, palette_bits=2, frame=(left, top, iw, ih))
+    dw, dh, pix = codecs.decode_gif_gray(gif)
+    assert (dw, dh) == (w, h)
+    shades = _gray_palette(2)[::3]
+    bg = shades[0]  # background index byte 11 defaults to 0
+    assert pix[top * w + left] == shades[3]
+    assert pix[(top + 1) * w + left + 1] == shades[0]
+    assert pix[0] == bg and pix[-1] == bg
+
+
+def test_gif_decode_malformed():
+    w, h = 4, 3
+    idx = bytes(range(12))
+    gif = _make_gif(w, h, idx)
+    # truncate inside the image sub-blocks → ValueError, not IndexError
+    with pytest.raises(ValueError):
+        codecs.decode_gif_gray(gif[:-6])
+    # no frame at all
+    no_frame = gif[: 13 + 3 * 256] + b"\x3b"
+    with pytest.raises(ValueError):
+        codecs.decode_gif_gray(no_frame)

@@ -50,6 +50,20 @@ def _make_wav(channels: int, rate: int, frames: int) -> bytes:
     return buf.getvalue()
 
 
+_GIF_W, _GIF_H = 11, 7
+_GIF_INDICES = bytes(
+    (x * 5 + y * 3) % 256 for y in range(_GIF_H) for x in range(_GIF_W)
+)
+
+
+def _make_gif() -> bytes:
+    # real single-frame GIF via the spec-mirroring LZW encoder the
+    # codec unit tests validate against the package decoder
+    from tests.test_codecs import _make_gif as mk
+
+    return mk(_GIF_W, _GIF_H, _GIF_INDICES)
+
+
 def _payloads() -> dict[str, bytes]:
     return {
         "a.png": encode_png_gray(_PNG_W, _PNG_H, _PNG_PIXELS),
@@ -57,7 +71,7 @@ def _payloads() -> dict[str, bytes]:
         "c.pdf": b"%PDF-1.4 fake body",
         "d.wav": _make_wav(1, 8000, 100),
         "e.bin": b"\x00\x01mystery",  # unknown format → error row
-        "f.gif": b"GIF89a" + struct.pack("<HH", 11, 7) + bytes(3),
+        "f.gif": _make_gif(),
         "g.png": b"\x89PNG\r\n\x1a\n" + bytes(range(40)),  # corrupt body
     }
 
@@ -240,11 +254,18 @@ def test_resize_image_real_and_stub_paths(spark, binary_dir):
     assert pix[0] == _PNG_PIXELS[0]
     assert pix[8 * 3 + 2] == _PNG_PIXELS[(3 * _PNG_H // 6) * _PNG_W
                                          + (2 * _PNG_W // 8)]
-    for name, sw, sh in (("b.jpg", 40, 30), ("f.gif", 11, 7)):
-        r = rows[name]
-        assert (r.status, r.decoder) == ("ok", "stub")
-        assert (r.src_width, r.src_height) == (sw, sh)  # REAL header dims
-        assert len(r.content) == 8 * 6  # stub raster, raw bytes
+    jpg = rows["b.jpg"]
+    assert (jpg.status, jpg.decoder) == ("ok", "stub")
+    assert (jpg.src_width, jpg.src_height) == (40, 30)  # REAL header dims
+    assert len(jpg.content) == 8 * 6  # stub raster, raw bytes
+    gif = rows["f.gif"]  # GIF pixel decode is REAL (LZW + palette)
+    assert (gif.status, gif.decoder) == ("ok", "stdlib-gif")
+    assert (gif.src_width, gif.src_height) == (_GIF_W, _GIF_H)
+    gw, gh, gpix = decode_png_gray(bytes(gif.content))
+    assert (gw, gh) == (8, 6)
+    # nearest-neighbor from the true decoded GIF raster (gray palette:
+    # luminance(palette[i]) == i for the 8-bit grayscale ramp)
+    assert gpix[0] == _GIF_INDICES[0]
     assert rows["c.pdf"].status == "error"  # document, not image
     assert "not an image" in rows["c.pdf"].error
     assert rows["g.png"].status == "error"  # corrupt body caught by CRC
