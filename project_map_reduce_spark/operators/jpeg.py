@@ -1,0 +1,341 @@
+"""Pure-Python/numpy baseline JPEG decoder (ITU T.81, public spec).
+
+The last codec step the multimodal layer stubbed was JPEG's
+compressed-pixel decode — but the baseline sequential DCT process is
+fully specified in T.81 and needs nothing beyond integer Huffman
+tables and an 8×8 IDCT (numpy). This module implements it:
+
+- marker segment parse: DQT (8/16-bit tables), DHT (canonical Huffman
+  code construction per Annex C), SOF0/SOF1 (baseline/extended
+  sequential), SOS, DRI;
+- entropy decode: MSB-first bit reader with byte-stuffing removal
+  (FF 00 → FF), DC diff + EXTEND (F.2.2.1), AC run-length with ZRL and
+  EOB, restart-marker handling (byte-align, reset DC predictors);
+- dequantize → de-zigzag → vectorized IDCT (einsum over the 8×8
+  DCT-II basis) → +128 level shift → clamp;
+- LUMA-ONLY output: chroma blocks are entropy-decoded to keep the bit
+  stream in sync, then discarded — the multimodal surface is grayscale
+  (same convention as the GIF palette-luminance decode). Output is
+  cropped to the true (width, height).
+
+Progressive (SOF2) and arithmetic-coded JPEGs raise ValueError —
+baseline covers the overwhelming majority of real files and everything
+the test encoder (tests/test_jpeg_codec.py, Annex K tables) emits.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# 8x8 IDCT basis: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_IDCT_M = np.array([
+    [
+        (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+        * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+class _Huff:
+    """Canonical JPEG Huffman table (T.81 Annex C): decode by walking
+    code lengths with per-length (min, max, value-offset) triples."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_off = [0] * 17
+        self.symbols = symbols
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            self.val_off[length] = k
+            self.min_code[length] = code
+            self.max_code[length] = code + n - 1 if n else -1
+            code += n
+            k += n
+            code <<= 1
+        if k != len(symbols):
+            raise ValueError("DHT symbol count mismatch")
+
+
+class _BitReader:
+    """MSB-first scan-data reader: un-stuffs FF 00, stops at markers,
+    surfaces restart markers for the MCU loop."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None  # pending non-restart marker
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # feed zeros past the end (spec: padding bits)
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                    self.data
+                ) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: NOT consumed here — the MCU loop
+                    # calls expect_restart() at the interval boundary
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.bitbuf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def huff(self, table: _Huff) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if table.max_code[length] >= 0 and code <= table.max_code[length]:
+                idx = table.val_off[length] + code - table.min_code[length]
+                return table.symbols[idx]
+        raise ValueError("invalid Huffman code in scan data")
+
+    def expect_restart(self, n: int) -> None:
+        """Byte-align and consume restart marker RSTn (mod 8)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is None:
+            self._fill()  # force the reader up to the marker
+            self.bitbuf = 0
+            self.nbits = 0
+        if self.marker != 0xD0 + (n & 7):
+            raise ValueError(
+                f"expected RST{n & 7}, found "
+                f"{'none' if self.marker is None else hex(self.marker)}"
+            )
+        self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1: map t magnitude bits to a signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_gray(raw: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JPEG's luma plane to 8-bit grayscale.
+
+    Returns (width, height, pixels) row-major. Raises ValueError for
+    non-baseline processes (progressive, arithmetic, hierarchical),
+    12-bit precision, and malformed streams."""
+    try:
+        return _decode(raw)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"malformed JPEG: {ex}") from ex
+
+
+def _decode(raw: bytes) -> tuple[int, int, bytes]:
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None  # (w, h, components)
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"marker desync at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        seg = raw[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                vals = seg[p : p + n]
+                if len(vals) != n:
+                    raise ValueError("truncated DQT")
+                arr = (
+                    np.frombuffer(vals, ">u2")
+                    if pq
+                    else np.frombuffer(vals, np.uint8)
+                ).astype(np.float64)
+                qt[tq] = arr
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = seg[p + 17 : p + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(
+                    counts, symbols
+                )
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1: sequential DCT
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG process (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — scan follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(
+                raw,
+                pos + 2 + seglen,
+                frame,
+                scan_tables,
+                qt,
+                huff_dc,
+                huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(
+    raw, pos, frame, scan_tables, qt, huff_dc, huff_ac, restart_interval
+):
+    w, h, comps = frame
+    if not comps:
+        raise ValueError("no components")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    luma = comps[0]
+    for c in comps:
+        if c["id"] not in scan_tables:
+            raise ValueError(f"component {c['id']} missing from scan")
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quant table {c['tq']}")
+        td, ta = scan_tables[c["id"]]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("missing Huffman table for scan")
+
+    r = _BitReader(raw, pos)
+    pred = {c["id"]: 0 for c in comps}
+    # luma block grid (in 8px blocks), sized to full MCUs
+    lw, lh = mcus_x * luma["h"], mcus_y * luma["v"]
+    blocks = np.zeros((lh * lw, 64), np.float64)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                r.expect_restart(n_mcu // restart_interval - 1)
+                pred = {c["id"]: 0 for c in comps}
+            n_mcu += 1
+            for c in comps:
+                td, ta = scan_tables[c["id"]]
+                dc_t, ac_t = huff_dc[td], huff_ac[ta]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = _decode_block(r, dc_t, ac_t, pred, c["id"])
+                        if c is luma:
+                            row = my * luma["v"] + by
+                            col = mx * luma["h"] + bx
+                            blocks[row * lw + col] = coef * q
+    # dezigzag + IDCT, vectorized over all luma blocks
+    dz = np.zeros_like(blocks)
+    dz[:, ZIGZAG] = blocks
+    dz = dz.reshape(-1, 8, 8)
+    pix = np.einsum("ux,nuv,vy->nxy", _IDCT_M, dz, _IDCT_M) + 128.0
+    pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+    # stitch blocks into the plane, crop to true dims
+    plane = (
+        pix.reshape(lh, lw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(lh * 8, lw * 8)
+    )
+    return w, h, plane[:h, :w].tobytes()
+
+
+def _decode_block(r, dc_t, ac_t, pred, cid):
+    coef = np.zeros(64, np.float64)
+    t = r.huff(dc_t)
+    if t > 11:
+        raise ValueError(f"bad DC magnitude category {t}")
+    diff = _extend(r.bits(t), t)
+    pred[cid] += diff
+    coef[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = r.huff(ac_t)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        coef[k] = _extend(r.bits(size), size)
+        k += 1
+    return coef

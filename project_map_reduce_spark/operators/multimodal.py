@@ -273,17 +273,16 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
     per-record target-dimension image resample as an Arrow-batched
     shuffle-free map with typed metadata and in-band errors.
 
-    For gray-PNG and for ANY GIF the whole chain is REAL on stdlib:
-    pixel decode (codecs.decode_png_gray8 five-filter unfilter /
-    codecs.decode_gif_gray LZW + deinterlace + palette-luminance) →
+    For gray-PNG, ANY GIF, and baseline JPEG the whole chain is REAL on
+    stdlib+numpy: pixel decode (codecs.decode_png_gray8 five-filter
+    unfilter / codecs.decode_gif_gray LZW + deinterlace + palette
+    luminance / operators/jpeg.py Huffman + dequant + IDCT luma) →
     numpy nearest-neighbor resample → spec-valid PNG re-encode
-    (rasterize.encode_png_gray); ``decoder='stdlib-png'`` or
-    ``'stdlib-gif'`` and the output content is itself a decodable PNG.
-    For JPEG (and PNGs outside the gray subset) true header dimensions
-    are still parsed for src_width/src_height, but the pixel plane
-    comes from ``_pixel_stub`` (``decoder='stub'``, raw raster bytes)
-    — the one step native codec libs would replace (JPEG's entropy
-    coder). Deterministic either way."""
+    (rasterize.encode_png_gray); ``decoder='stdlib-{png,gif,jpeg}'``
+    and the output content is itself a decodable PNG. Only
+    non-baseline JPEGs (progressive/arithmetic) and non-gray PNGs fall
+    back to true header dimensions + ``_pixel_stub`` raster
+    (``decoder='stub'``). Deterministic either way."""
     import numpy as np
 
     from project_map_reduce_spark.operators import codecs
@@ -317,6 +316,15 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
                             _, _, pixels = codecs.decode_png_gray8(raw)
                     elif fmt == "jpeg":
                         sw, sh, _ = codecs.jpeg_info(raw)
+                        try:  # REAL baseline decode (operators/jpeg.py)
+                            from project_map_reduce_spark.operators.jpeg import (
+                                decode_jpeg_gray,
+                            )
+
+                            _, _, pixels = decode_jpeg_gray(raw)
+                            real = "stdlib-jpeg"
+                        except ValueError:
+                            pixels = None  # non-baseline → stub raster
                     else:  # gif: REAL pixel decode (LZW is pure Python)
                         sw, sh, pixels = codecs.decode_gif_gray(raw)
                         real = "stdlib-gif"

@@ -1,9 +1,10 @@
 """Multimodal capability smoke (SURVEY.md §2 B.10 capability row):
 binaryFile source → typed decode (REAL stdlib codec metadata; pixel
-decode real for the gray-PNG subset, stubbed only for JPEG/GIF entropy
-coding) → feature extraction. The Spark plumbing — schema, Arrow
-batching, error channel, pruning — plus the codec layer are under
-test. Fixture payloads are spec-valid files, built with stdlib only."""
+decode real for gray-PNG, any GIF, and baseline JPEG — only
+non-baseline JPEG falls back to the stub raster) → feature extraction.
+The Spark plumbing — schema, Arrow batching, error channel, pruning —
+plus the codec layer are under test. Fixture payloads are spec-valid
+files, built with stdlib only."""
 
 from __future__ import annotations
 
@@ -64,15 +65,32 @@ def _make_gif() -> bytes:
     return mk(_GIF_W, _GIF_H, _GIF_INDICES)
 
 
+_JPG_W, _JPG_H = 19, 9
+_JPG_PIXELS = bytes(
+    (5 * x + 9 * y) % 256 for y in range(_JPG_H) for x in range(_JPG_W)
+)
+
+
+def _make_real_jpeg() -> bytes:
+    # real baseline JPEG via the test encoder validated in
+    # tests/test_jpeg_codec.py against the package decoder
+    from tests.test_jpeg_codec import _encode_gray_jpeg
+
+    return _encode_gray_jpeg(_JPG_W, _JPG_H, _JPG_PIXELS)
+
+
 def _payloads() -> dict[str, bytes]:
     return {
         "a.png": encode_png_gray(_PNG_W, _PNG_H, _PNG_PIXELS),
+        # headers-only JPEG (no scan): real SOF dims, but pixel decode
+        # raises -> exercises the stub-fallback path
         "b.jpg": _make_jpeg(40, 30),
         "c.pdf": b"%PDF-1.4 fake body",
         "d.wav": _make_wav(1, 8000, 100),
         "e.bin": b"\x00\x01mystery",  # unknown format → error row
         "f.gif": _make_gif(),
         "g.png": b"\x89PNG\r\n\x1a\n" + bytes(range(40)),  # corrupt body
+        "h.jpg": _make_real_jpeg(),  # full baseline scan -> real decode
     }
 
 
@@ -89,7 +107,7 @@ def binary_dir():
 def test_binary_source_schema(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     assert {"path", "content", "length"} <= set(df.columns)
-    assert df.count() == 7
+    assert df.count() == 8
 
 
 def test_decode_real_metadata(spark, binary_dir):
@@ -120,12 +138,14 @@ def test_decode_real_metadata(spark, binary_dir):
     assert by_name["e.bin"].error.startswith("Error:")
     assert by_name["e.bin"].byte_len == 9
     assert by_name["g.png"].status == "error"  # magic ok, body corrupt
+    real_jpg = by_name["h.jpg"]
+    assert (real_jpg.status, real_jpg.width, real_jpg.height) == ("ok", _JPG_W, _JPG_H)
 
 
 def test_byte_histogram_features(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     feats = multimodal.byte_histogram_features(df).collect()
-    assert len(feats) == 7
+    assert len(feats) == 8
     for r in feats:
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-9  # normalized
@@ -254,10 +274,17 @@ def test_resize_image_real_and_stub_paths(spark, binary_dir):
     assert pix[0] == _PNG_PIXELS[0]
     assert pix[8 * 3 + 2] == _PNG_PIXELS[(3 * _PNG_H // 6) * _PNG_W
                                          + (2 * _PNG_W // 8)]
-    jpg = rows["b.jpg"]
+    jpg = rows["b.jpg"]  # headers-only: pixel decode raises -> stub
     assert (jpg.status, jpg.decoder) == ("ok", "stub")
     assert (jpg.src_width, jpg.src_height) == (40, 30)  # REAL header dims
     assert len(jpg.content) == 8 * 6  # stub raster, raw bytes
+    rj = rows["h.jpg"]  # full baseline scan: REAL Huffman+IDCT decode
+    assert (rj.status, rj.decoder) == ("ok", "stdlib-jpeg")
+    assert (rj.src_width, rj.src_height) == (_JPG_W, _JPG_H)
+    jw, jh, jpix = decode_png_gray(bytes(rj.content))
+    assert (jw, jh) == (8, 6)
+    # nearest-neighbor of the true decoded luma (unit quant -> error <=3)
+    assert abs(jpix[0] - _JPG_PIXELS[0]) <= 3
     gif = rows["f.gif"]  # GIF pixel decode is REAL (LZW + palette)
     assert (gif.status, gif.decoder) == ("ok", "stdlib-gif")
     assert (gif.src_width, gif.src_height) == (_GIF_W, _GIF_H)
