@@ -12,9 +12,13 @@ is parseable from the public specs with ``struct`` + ``zlib`` + ``wave``:
   (operators/rasterize.py) emits, so the PDF→PNG→resize→PNG chain is
   real end to end.
 - **JPEG** (ITU T.81): marker walk to the SOF segment for true
-  dimensions + component count. Pixel decode would need the entropy
-  coder — that single step stays stubbed upstream, and is the ONLY
-  stubbed codec step left.
+  dimensions + component count. Full baseline pixel decode lives in
+  the sibling module ``operators/jpeg.py`` (Huffman + dequant + numpy
+  IDCT); only non-baseline processes fall back to the upstream stub.
+- **AVI** (RIFF): main-header dimensions/frame-count and movi-list
+  video frame demux — with MJPEG payloads each demuxed frame is a
+  standalone JPEG the ``jpeg`` module decodes, making video frame
+  extraction real end to end.
 - **GIF** (GIF87a/89a): logical-screen descriptor for dimensions AND
   full first-frame pixel decode — variable-width LSB-first LZW with
   clear/end codes and the 12-bit dictionary cap, 4-pass deinterlace,
@@ -369,3 +373,61 @@ def decode_gif_gray(raw: bytes) -> tuple[int, int, bytes]:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("no image frame in GIF")
+
+
+# --- AVI (RIFF) demux: video frame extraction without a codec lib ----
+
+
+def _riff_chunks(raw: bytes, pos: int, end: int):
+    """Walk RIFF chunks in raw[pos:end]: yields (fourcc, data_off,
+    size). Chunks are word-aligned (odd sizes padded)."""
+    while pos + 8 <= end:
+        fourcc = raw[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", raw, pos + 4)
+        data_off = pos + 8
+        if data_off + size > end:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, data_off, size
+        pos = data_off + size + (size & 1)
+
+
+def _require_avi(raw: bytes) -> None:
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') stream")
+
+
+@_valueerror_contract
+def avi_info(raw: bytes) -> tuple[int, int, int]:
+    """(width, height, total_frames) from the avih main header."""
+    _require_avi(raw)
+    for fourcc, off, size in _riff_chunks(raw, 12, len(raw)):
+        if fourcc == b"LIST" and raw[off : off + 4] == b"hdrl":
+            for fc2, o2, s2 in _riff_chunks(raw, off + 4, off + size):
+                if fc2 == b"avih":
+                    if s2 < 40:
+                        raise ValueError("avih header too short")
+                    vals = struct.unpack_from("<10I", raw, o2)
+                    total_frames, w, h = vals[4], vals[8], vals[9]
+                    if w < 1 or h < 1:
+                        raise ValueError(f"bad dimensions {w}x{h}")
+                    return w, h, total_frames
+    raise ValueError("no avih header")
+
+
+@_valueerror_contract
+def avi_video_frames(raw: bytes) -> list[tuple[int, int]]:
+    """(byte_offset, length) of every video frame payload in the movi
+    list — chunks '##dc' (compressed) / '##db' (uncompressed). For an
+    MJPEG AVI each payload is a standalone baseline JPEG that
+    operators/jpeg.py decodes; the demux itself is pure RIFF walking,
+    so 'video frame extraction' needs no codec library at all."""
+    _require_avi(raw)
+    frames: list[tuple[int, int]] = []
+    for fourcc, off, size in _riff_chunks(raw, 12, len(raw)):
+        if fourcc == b"LIST" and raw[off : off + 4] == b"movi":
+            for fc2, o2, s2 in _riff_chunks(raw, off + 4, off + size):
+                if fc2[2:4] in (b"dc", b"db"):
+                    frames.append((o2, s2))
+    if not frames:
+        raise ValueError("no video frames in movi list")
+    return frames

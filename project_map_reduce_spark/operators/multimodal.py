@@ -58,11 +58,18 @@ _MAGIC = {
     b"\xff\xd8\xff": ("image", "jpeg"),
     b"GIF8": ("image", "gif"),
     b"%PDF": ("document", "pdf"),
-    b"RIFF": ("audio", "wav"),
 }
 
 
 def _sniff(content: bytes) -> tuple[str, str] | None:
+    if content[:4] == b"RIFF":
+        # RIFF is a container family: the format fourcc disambiguates
+        sub = content[8:12]
+        if sub == b"WAVE":
+            return ("audio", "wav")
+        if sub == b"AVI ":
+            return ("video", "avi")
+        return None
     for magic, mf in _MAGIC.items():
         if content[: len(magic)] == magic:
             return mf
@@ -121,6 +128,12 @@ def decode_binary(df: DataFrame) -> DataFrame:
                             row["sample_rate"],
                             row["n_frames"],
                         ) = codecs.wav_info(raw)
+                    elif row["format"] == "avi":
+                        (
+                            row["width"],
+                            row["height"],
+                            row["n_frames"],
+                        ) = codecs.avi_info(raw)
                     # pdf: document modality, no intrinsic raster dims
                     row["status"] = "ok"
                 except Exception as ex:  # noqa: BLE001 — error channel is data
@@ -458,11 +471,75 @@ def wav_features(df: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_FRAMES_SCHEMA = (
+    "path string, frame_idx int, byte_offset bigint, frame_len bigint, "
+    "frame_width int, frame_height int, status string, error string"
+)
+
+
+def video_frames(df: DataFrame, *, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction for MJPEG AVI — no codec library:
+    the RIFF demux (codecs.avi_video_frames) yields each movi video
+    chunk's true byte offset/length, every ``every_n``-th frame is
+    kept (the sampling knob), and its JPEG header is parsed for
+    per-frame dimensions. Downstream, slicing ``content`` at
+    (byte_offset, frame_len) gives a standalone baseline JPEG that
+    ``operators/jpeg.py::decode_jpeg_gray`` decodes to pixels — the
+    full fetch→demux→sample→decode video pipeline with zero native
+    dependencies. Non-AVI payloads are in-band error rows; use
+    ``frame_sample`` for the container-agnostic stride fallback.
+    Shuffle-free Arrow-batched map like its siblings."""
+    from project_map_reduce_spark.operators import codecs
+
+    if every_n < 1:
+        raise ValueError(f"bad sampling interval {every_n}")
+    cols = (
+        "path", "frame_idx", "byte_offset", "frame_len",
+        "frame_width", "frame_height", "status", "error",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                try:
+                    frames = codecs.avi_video_frames(raw)
+                    for i, (off, ln) in enumerate(frames):
+                        if i % every_n:
+                            continue
+                        fw = fh = None
+                        try:
+                            fw, fh, _ = codecs.jpeg_info(raw[off : off + ln])
+                        except ValueError:
+                            pass  # non-JPEG codec: offsets still real
+                        for k, v in (
+                            ("path", path), ("frame_idx", i),
+                            ("byte_offset", off), ("frame_len", ln),
+                            ("frame_width", fw), ("frame_height", fh),
+                            ("status", "ok"), ("error", None),
+                        ):
+                            out[k].append(v)
+                except Exception as ex:  # noqa: BLE001 — in-band, ref A7
+                    for k, v in (
+                        ("path", path), ("frame_idx", None),
+                        ("byte_offset", None), ("frame_len", None),
+                        ("frame_width", None), ("frame_height", None),
+                        ("status", "error"), ("error", f"Error: {ex}"),
+                    ):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(
+        batches, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, *, every_n_bytes: int = 1024) -> DataFrame:
-    """STUB frame-sampler: emits one row per sampled "frame" offset
-    (explode — a row-generating transform, the UDTF shape). Real
-    video sampling replaces the offset arithmetic with ffmpeg; the
-    explode/partition plumbing is the part Spark owns and is real."""
+    """Container-agnostic stride frame-sampler (explode — a
+    row-generating transform, the UDTF shape): one row per fixed byte
+    offset, for payloads whose container we can't demux. For MJPEG AVI
+    use ``video_frames`` — the REAL demuxer with true frame offsets."""
     n_frames = (F.length("content") / every_n_bytes).cast("int") + 1
     return df.select(
         "path",

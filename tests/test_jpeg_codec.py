@@ -215,3 +215,71 @@ def test_jpeg_rejects_malformed_and_progressive():
         J.decode_jpeg_gray(raw.replace(b"\xff\xc0", b"\xff\xc2"))  # SOF2
     with pytest.raises(ValueError):
         J.decode_jpeg_gray(b"not a jpeg")
+
+
+# --- MJPEG AVI: demux + decode = real video frame extraction ---------
+
+
+def _make_avi(w, h, frames, *, junk_audio=True):
+    """Minimal spec-shaped AVI: RIFF('AVI ') → LIST hdrl (avih) +
+    LIST movi ('00dc' video chunks, optionally '01wb' audio chunks the
+    demux must skip)."""
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<10I", 40000, 0, 0, 0, len(frames), 0, 1, 0, w, h
+    ) + bytes(16)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi"
+    for i, f in enumerate(frames):
+        movi_body += chunk(b"00dc", f)
+        if junk_audio:
+            movi_body += chunk(b"01wb", bytes(5 + i))  # odd size → pad
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_demux_and_decode_frames():
+    """End-to-end MJPEG video: 3 distinct JPEG frames packed into an
+    AVI; avi_info reads the header, avi_video_frames returns true
+    offsets (skipping interleaved audio chunks), and every sliced
+    frame decodes back to its source pixels."""
+    from project_map_reduce_spark.operators import codecs
+
+    w, h = 16, 8
+    planes = [
+        bytes((i * 40 + 3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+        for i in range(3)
+    ]
+    jpegs = [_encode_gray_jpeg(w, h, p) for p in planes]
+    avi = _make_avi(w, h, jpegs)
+    assert codecs.avi_info(avi) == (w, h, 3)
+    frames = codecs.avi_video_frames(avi)
+    assert len(frames) == 3
+    for (off, ln), jpg, plane in zip(frames, jpegs, planes):
+        assert avi[off : off + ln] == jpg
+        dw, dh, out = J.decode_jpeg_gray(avi[off : off + ln])
+        assert (dw, dh) == (w, h)
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(plane, np.uint8).astype(int)
+        )
+        assert err.max() <= 3
+
+
+def test_avi_demux_malformed():
+    from project_map_reduce_spark.operators import codecs
+
+    with pytest.raises(ValueError):
+        codecs.avi_info(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    avi = _make_avi(8, 8, [_encode_gray_jpeg(8, 8, bytes(64))])
+    with pytest.raises(ValueError):
+        codecs.avi_video_frames(avi[:-10])  # truncated movi chunk
+    # header-only AVI (no movi) → no frames
+    no_movi = avi[: avi.index(b"movi") - 12]
+    with pytest.raises(ValueError):
+        codecs.avi_video_frames(no_movi)

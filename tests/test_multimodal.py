@@ -79,6 +79,26 @@ def _make_real_jpeg() -> bytes:
     return _encode_gray_jpeg(_JPG_W, _JPG_H, _JPG_PIXELS)
 
 
+_AVI_W, _AVI_H, _AVI_NFRAMES = 16, 8, 3
+_AVI_PLANES = [
+    bytes(
+        (i * 40 + 3 * x + 5 * y) % 256
+        for y in range(_AVI_H)
+        for x in range(_AVI_W)
+    )
+    for i in range(_AVI_NFRAMES)
+]
+
+
+def _make_avi_payload() -> bytes:
+    from tests.test_jpeg_codec import _encode_gray_jpeg, _make_avi
+
+    return _make_avi(
+        _AVI_W, _AVI_H,
+        [_encode_gray_jpeg(_AVI_W, _AVI_H, p) for p in _AVI_PLANES],
+    )
+
+
 def _payloads() -> dict[str, bytes]:
     return {
         "a.png": encode_png_gray(_PNG_W, _PNG_H, _PNG_PIXELS),
@@ -91,6 +111,7 @@ def _payloads() -> dict[str, bytes]:
         "f.gif": _make_gif(),
         "g.png": b"\x89PNG\r\n\x1a\n" + bytes(range(40)),  # corrupt body
         "h.jpg": _make_real_jpeg(),  # full baseline scan -> real decode
+        "i.avi": _make_avi_payload(),  # MJPEG video, 3 frames
     }
 
 
@@ -107,7 +128,7 @@ def binary_dir():
 def test_binary_source_schema(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     assert {"path", "content", "length"} <= set(df.columns)
-    assert df.count() == 8
+    assert df.count() == 9
 
 
 def test_decode_real_metadata(spark, binary_dir):
@@ -140,12 +161,15 @@ def test_decode_real_metadata(spark, binary_dir):
     assert by_name["g.png"].status == "error"  # magic ok, body corrupt
     real_jpg = by_name["h.jpg"]
     assert (real_jpg.status, real_jpg.width, real_jpg.height) == ("ok", _JPG_W, _JPG_H)
+    avi = by_name["i.avi"]
+    assert (avi.status, avi.modality, avi.format) == ("ok", "video", "avi")
+    assert (avi.width, avi.height, avi.n_frames) == (_AVI_W, _AVI_H, _AVI_NFRAMES)
 
 
 def test_byte_histogram_features(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     feats = multimodal.byte_histogram_features(df).collect()
-    assert len(feats) == 8
+    assert len(feats) == 9
     for r in feats:
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-9  # normalized
@@ -483,3 +507,48 @@ def test_wav_features_real_signal(spark, binary_dir):
         assert rows["d.wav"].status == "ok" and rows["d.wav"].rms == 0.0
     finally:
         os.remove(tone)
+
+
+def test_video_frames_real_demux_and_decode(spark, binary_dir):
+    """REAL video frame extraction, end to end on Spark: the MJPEG AVI
+    payload demuxes to its true frame offsets (audio chunks skipped),
+    per-frame JPEG dims are parsed, and slicing content at the reported
+    (byte_offset, frame_len) yields frames our decoder returns to their
+    source pixels. Non-video payloads are in-band error rows."""
+    import numpy as np
+
+    from project_map_reduce_spark.operators.jpeg import decode_jpeg_gray
+
+    df = readers.read_binary(spark, binary_dir)
+    rows = multimodal.video_frames(df).collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(os.path.basename(r.path), []).append(r)
+    frames = sorted(by_path["i.avi"], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in frames] == [0, 1, 2]
+    assert all(r.status == "ok" for r in frames)
+    assert all(
+        (r.frame_width, r.frame_height) == (_AVI_W, _AVI_H) for r in frames
+    )
+    payload = _payloads()["i.avi"]
+    for r, plane in zip(frames, _AVI_PLANES):
+        jpg = payload[r.byte_offset : r.byte_offset + r.frame_len]
+        w, h, out = decode_jpeg_gray(jpg)
+        assert (w, h) == (_AVI_W, _AVI_H)
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(plane, np.uint8).astype(int)
+        )
+        assert err.max() <= 3
+    # every-other-frame sampling keeps frame_idx 0 and 2
+    sampled = [
+        r for r in multimodal.video_frames(df, every_n=2).collect()
+        if r.path.endswith("i.avi")
+    ]
+    assert sorted(r.frame_idx for r in sampled) == [0, 2]
+    # non-AVI payloads: one error row each, never a task failure
+    assert all(
+        rs[0].status == "error"
+        for name, rs in by_path.items()
+        if name != "i.avi"
+    )
