@@ -354,12 +354,17 @@ def decode_gif_gray(raw: bytes) -> tuple[int, int, bytes]:
             if max(indices) >= n_colors:
                 raise ValueError("pixel index beyond palette")
             shades = bytes(lum(palette, i) for i in range(n_colors))
-            frame = bytes(shades[i] for i in indices)
+            # index→shade at C speed (out-of-range already rejected)
+            frame = indices.translate(
+                shades + bytes(256 - len(shades))
+            )
             if (left, top, iw, ih) == (0, 0, w, h):
                 return w, h, frame
-            # composite partial frame onto background canvas
+            # composite partial frame onto background canvas; the
+            # background index refers to the GLOBAL color table (the
+            # frame may use a local one)
             bg = (
-                shades[bg_index]
+                lum(gct, bg_index)
                 if gct is not None and bg_index < len(gct) // 3
                 else 0
             )
@@ -423,11 +428,19 @@ def avi_video_frames(raw: bytes) -> list[tuple[int, int]]:
     so 'video frame extraction' needs no codec library at all."""
     _require_avi(raw)
     frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        for fc, o, s in _riff_chunks(raw, pos, end):
+            if fc == b"LIST" and raw[o : o + 4] == b"rec ":
+                # standard interleave grouping: frames live one level
+                # down inside 'LIST rec ' chunks
+                walk(o + 4, o + s)
+            elif fc[2:4] in (b"dc", b"db"):
+                frames.append((o, s))
+
     for fourcc, off, size in _riff_chunks(raw, 12, len(raw)):
         if fourcc == b"LIST" and raw[off : off + 4] == b"movi":
-            for fc2, o2, s2 in _riff_chunks(raw, off + 4, off + size):
-                if fc2[2:4] in (b"dc", b"db"):
-                    frames.append((o2, s2))
+            walk(off + 4, off + size)
     if not frames:
         raise ValueError("no video frames in movi list")
     return frames

@@ -269,6 +269,11 @@ def _decode_scan(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     luma = comps[0]
+    if (luma["h"], luma["v"]) != (hmax, vmax):
+        # luma subsampled below another component would leave the
+        # output plane smaller than (w, h) — reject rather than return
+        # a short buffer (essentially nonexistent in real files)
+        raise ValueError("luma is not the max-resolution component")
     for c in comps:
         if c["id"] not in scan_tables:
             raise ValueError(f"component {c['id']} missing from scan")

@@ -3,16 +3,17 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 The Spark-side plumbing (schemas, batch iteration, partitioning, column
-pruning) is real and tested — and since round 4 the codec layer mostly
-is too (``operators/codecs.py``, stdlib-only): PNG metadata AND pixel
-decode (full five-filter unfilter for the 8-bit gray subset), GIF
-dimensions AND full first-frame pixel decode (LZW + deinterlace +
-palette luminance), JPEG true dimensions from the SOF marker walk, WAV
-channels/rate/frames via the stdlib ``wave`` reader. The ONLY step
-still stubbed is JPEG compressed-pixel decode (its Huffman/DCT entropy
-coder needs native libs the container lacks — brief-sanctioned):
-``_pixel_stub`` fakes exactly that step, deterministically, for the
-resize fallback path.
+pruning) is real and tested — and since round 4 the codec layer is too
+(``operators/codecs.py`` + ``operators/jpeg.py``, stdlib+numpy only):
+PNG metadata AND pixel decode (full five-filter unfilter for the 8-bit
+gray subset), GIF dimensions AND full first-frame pixel decode (LZW +
+deinterlace + palette luminance), baseline-JPEG pixel decode (Huffman
++ dequant + IDCT), MJPEG-AVI video frame demux, WAV decode via the
+stdlib ``wave`` reader. What remains stubbed: NON-BASELINE JPEG
+(progressive/arithmetic) and non-gray-PNG pixel planes, where
+``_pixel_stub`` fakes the raster deterministically for the resize
+fallback path, and non-MJPEG video codecs (stride ``frame_sample``
+fallback).
 
 Swap-in path for production: replace ``_pixel_stub`` with PIL/ffmpeg
 calls inside the same ``mapInPandas`` generator — batch shape, schema
@@ -77,9 +78,10 @@ def _sniff(content: bytes) -> tuple[str, str] | None:
 
 
 def _pixel_stub(content: bytes, width: int, height: int) -> bytes:
-    """STUB for the one codec step stdlib can't do: JPEG compressed-
-    pixel decode (its Huffman/DCT entropy coder needs native libs this
-    container lacks). Deterministic fake raster — a stride-sample of the payload
+    """STUB raster for the pixel planes we don't decode: NON-BASELINE
+    JPEG (progressive/arithmetic — baseline decodes for real via
+    operators/jpeg.py) and non-gray-PNG color types.
+    Deterministic fake raster — a stride-sample of the payload
     bytes to exactly width*height bytes — so batch shape, output
     sizing, and the error channel stay real and testable. A deployment
     swaps this body for PIL with identical signature and callers."""
@@ -299,6 +301,7 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
     import numpy as np
 
     from project_map_reduce_spark.operators import codecs
+    from project_map_reduce_spark.operators.jpeg import decode_jpeg_gray
     from project_map_reduce_spark.operators.rasterize import encode_png_gray
 
     if width < 1 or height < 1:
@@ -330,10 +333,6 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
                     elif fmt == "jpeg":
                         sw, sh, _ = codecs.jpeg_info(raw)
                         try:  # REAL baseline decode (operators/jpeg.py)
-                            from project_map_reduce_spark.operators.jpeg import (
-                                decode_jpeg_gray,
-                            )
-
                             _, _, pixels = decode_jpeg_gray(raw)
                             real = "stdlib-jpeg"
                         except ValueError:

@@ -313,3 +313,80 @@ def test_gif_decode_malformed():
     no_frame = gif[: 13 + 3 * 256] + b"\x3b"
     with pytest.raises(ValueError):
         codecs.decode_gif_gray(no_frame)
+
+
+def test_gif_partial_frame_bg_uses_global_palette():
+    """Regression: the background index refers to the GLOBAL color
+    table even when the frame carries a LOCAL one — and a bg index
+    beyond the LCT's size must not crash."""
+    # GCT: 4 entries with index 3 -> white (gray ramp); bg_index = 3.
+    gct = _gray_palette(2)
+    head = (
+        b"GIF89a"
+        + struct.pack("<HH", 4, 3)
+        + bytes([0x80 | 1, 3, 0])  # GCT present size-bits=1, bg=3
+        + gct
+    )
+    # 2x1 frame at (1,1) with a DIFFERENT local palette (dark ramp)
+    lct = bytes([10, 10, 10, 40, 40, 40])  # 2 entries
+    idesc = (
+        b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 1)
+        + bytes([0x80 | 0])  # LCT present, size-bits 0 -> 2 entries
+        + lct
+    )
+    lzw = _lzw_encode(2, bytes([0, 1]))
+    gif = (
+        head + idesc + bytes([2]) + bytes([len(lzw)]) + lzw
+        + b"\x00\x3b"
+    )
+    w, h, pix = codecs.decode_gif_gray(gif)
+    assert (w, h) == (4, 3)
+    assert pix[1 * 4 + 1] == 10 and pix[1 * 4 + 2] == 40  # LCT shades
+    assert pix[0] == 255  # background = GCT index 3 (white), not LCT
+
+
+def test_avi_frames_inside_rec_lists():
+    """Regression: spec-standard 'LIST rec ' interleave groupings one
+    level inside movi must be walked into, not skipped."""
+    from tests.test_jpeg_codec import _encode_gray_jpeg
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    w, h = 8, 8
+    jpegs = [_encode_gray_jpeg(w, h, bytes([i * 50]) * 64) for i in range(2)]
+    avih = struct.pack("<10I", 0, 0, 0, 0, 2, 0, 1, 0, w, h) + bytes(16)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST",
+        b"movi"
+        + chunk(b"LIST", b"rec " + chunk(b"00dc", jpegs[0]))
+        + chunk(b"LIST", b"rec " + chunk(b"00dc", jpegs[1])),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames = codecs.avi_video_frames(avi)
+    assert len(frames) == 2
+    for (off, ln), jpg in zip(frames, jpegs):
+        assert avi[off : off + ln] == jpg
+
+
+def test_jpeg_rejects_subsampled_luma():
+    """Regression: a stream whose first component is NOT the
+    max-resolution one must raise, not return a short pixel buffer."""
+    from tests.test_jpeg_codec import _encode_gray_jpeg
+
+    raw = _encode_gray_jpeg(8, 8, bytes(64))
+    # rewrite SOF: 2 components, comp0 h=v=1, comp1 h=v=2
+    sof_at = raw.index(b"\xff\xc0")
+    new_sof = (
+        b"\xff\xc0" + struct.pack(">HBHHB", 8 + 6, 8, 8, 8, 2)
+        + bytes([1, 0x11, 0]) + bytes([2, 0x22, 0])
+    )
+    old_sof_len = 2 + struct.unpack(">H", raw[sof_at + 2 : sof_at + 4])[0]
+    doctored = raw[:sof_at] + new_sof + raw[sof_at + old_sof_len :]
+    from project_map_reduce_spark.operators import jpeg as _J
+
+    with pytest.raises(ValueError, match="max-resolution"):
+        _J.decode_jpeg_gray(doctored)
