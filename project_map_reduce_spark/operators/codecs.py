@@ -1,16 +1,17 @@
 """Stdlib-only media codecs — the REAL part of the multimodal decode.
 
-No image/audio library ships in this container, but the container
-constraint only rules out *compressed-pixel* decoding for formats whose
-entropy coders need native libs (JPEG's Huffman/DCT). Everything else
-is parseable from the public specs with ``struct`` + ``zlib`` + ``wave``:
+No image/audio library ships in this container, but every format the
+multimodal surface handles is decodable from its public spec with
+``struct`` + ``zlib`` + ``wave`` (plus numpy for the JPEG IDCT in the
+sibling ``operators/jpeg.py``):
 
 - **PNG** (W3C spec / RFC 2083): full header parse AND full pixel
-  decode for the 8-bit grayscale non-interlaced subset — including all
-  five scanline filters (None/Sub/Up/Average/Paeth), which is what a
-  real unfilter pass means. This is the same subset our encoder
+  decode for EVERY 8-bit non-interlaced color type — grayscale, RGB,
+  palette, gray+alpha, RGBA — including all five scanline filters
+  (None/Sub/Up/Average/Paeth) with multi-byte-pixel neighborhoods, to
+  an 8-bit luminance plane. The gray subset is what our encoder
   (operators/rasterize.py) emits, so the PDF→PNG→resize→PNG chain is
-  real end to end.
+  real end to end; only 16-bit depth and Adam7 interlace are rejected.
 - **JPEG** (ITU T.81): marker walk to the SOF segment for true
   dimensions + component count. Full baseline pixel decode lives in
   the sibling module ``operators/jpeg.py`` (Huffman + dequant + numpy
@@ -104,60 +105,126 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-@_valueerror_contract
-def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
-    """Full pixel decode of an 8-bit grayscale non-interlaced PNG,
-    honoring all five scanline filters. Returns (width, height, pixels)
-    with ``pixels`` row-major, one byte per pixel."""
-    width = height = None
+# PNG color types (8-bit depth): type -> bytes per pixel
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(dec: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (all five filters) for ``bpp``
+    bytes per pixel. Returns the raw sample stream, row-major."""
+    stride = width * bpp + 1
+    if len(dec) != stride * height:
+        raise ValueError("scanline data size mismatch")
+    rowlen = width * bpp
+    out = bytearray(rowlen * height)
+    prev = bytes(rowlen)
+    for y in range(height):
+        f = dec[y * stride]
+        row = bytearray(dec[y * stride + 1 : (y + 1) * stride])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor is bpp bytes back
+            for x in range(bpp, rowlen):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(rowlen):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(rowlen):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(rowlen):
+                left = row[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + _paeth(left, prev[x], c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f} on row {y}")
+        out[y * rowlen : (y + 1) * rowlen] = row
+        prev = row
+    return out
+
+
+def _png_parse(raw: bytes):
+    """Shared chunk walk: returns (w, h, depth, color, palette, idat)."""
+    width = height = depth = color = None
+    palette = None
     idat = b""
     for tag, data in _png_chunks(raw):
         if tag == b"IHDR":
             if len(data) != 13:  # spec-fixed IHDR length
                 raise ValueError(f"IHDR length {len(data)} != 13")
             width, height, depth, color = struct.unpack(">IIBB", data[:10])
-            interlace = data[12]
-            if (depth, color) != (8, 0):
-                raise ValueError(
-                    f"unsupported PNG subset (depth={depth}, color={color})"
-                )
-            if interlace != 0:
+            if data[12] != 0:
                 raise ValueError("interlaced PNG unsupported")
+        elif tag == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = data
         elif tag == b"IDAT":
             idat += data
     if width is None:
         raise ValueError("missing IHDR")
-    dec = zlib.decompress(idat)
-    stride = width + 1
-    if len(dec) != stride * height:
-        raise ValueError("scanline data size mismatch")
-    out = bytearray(width * height)
-    prev = bytes(width)
-    for y in range(height):
-        f = dec[y * stride]
-        row = bytearray(dec[y * stride + 1 : (y + 1) * stride])
-        if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for x in range(1, width):
-                row[x] = (row[x] + row[x - 1]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(width):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(width):
-                left = row[x - 1] if x else 0
-                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(width):
-                left = row[x - 1] if x else 0
-                c = prev[x - 1] if x else 0
-                row[x] = (row[x] + _paeth(left, prev[x], c)) & 0xFF
-        else:
-            raise ValueError(f"bad filter {f} on row {y}")
-        out[y * width : (y + 1) * width] = row
-        prev = row
+    return width, height, depth, color, palette, idat
+
+
+@_valueerror_contract
+def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
+    """Full pixel decode of an 8-bit grayscale non-interlaced PNG,
+    honoring all five scanline filters. Returns (width, height, pixels)
+    with ``pixels`` row-major, one byte per pixel. (Strict gray8
+    subset — our encoder's output format; ``decode_png_luma`` accepts
+    every 8-bit color type.)"""
+    width, height, depth, color, _, idat = _png_parse(raw)
+    if (depth, color) != (8, 0):
+        raise ValueError(
+            f"unsupported PNG subset (depth={depth}, color={color})"
+        )
+    out = _unfilter(zlib.decompress(idat), width, height, 1)
     return width, height, bytes(out)
+
+
+@_valueerror_contract
+def decode_png_luma(raw: bytes) -> tuple[int, int, bytes]:
+    """Pixel decode of ANY 8-bit non-interlaced PNG — grayscale (0),
+    RGB (2), palette (3), gray+alpha (4), RGBA (6) — to an 8-bit
+    luminance plane: RGB channels combine via the same integer
+    luminance as the GIF path ((299R + 587G + 114B) // 1000); alpha is
+    ignored (the surface extracts features, it doesn't composite).
+    16-bit depth and Adam7 interlace raise ValueError."""
+    width, height, depth, color, palette, idat = _png_parse(raw)
+    if depth != 8 or color not in _PNG_BPP:
+        raise ValueError(
+            f"unsupported PNG subset (depth={depth}, color={color})"
+        )
+    bpp = _PNG_BPP[color]
+    samples = _unfilter(zlib.decompress(idat), width, height, bpp)
+    if color == 0:
+        return width, height, bytes(samples)
+    if color == 4:  # gray + alpha: keep gray bytes
+        return width, height, bytes(samples[0::2])
+    if color == 3:  # palette indices
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        n = len(palette) // 3
+        if max(samples) >= n:
+            raise ValueError("pixel index beyond palette")
+        shades = bytes(
+            (299 * palette[3 * i] + 587 * palette[3 * i + 1]
+             + 114 * palette[3 * i + 2]) // 1000
+            for i in range(n)
+        )
+        return width, height, bytes(samples).translate(
+            shades + bytes(256 - n)
+        )
+    # RGB / RGBA: integer luminance over the color channels
+    step = bpp
+    out = bytes(
+        (299 * samples[i] + 587 * samples[i + 1] + 114 * samples[i + 2])
+        // 1000
+        for i in range(0, len(samples), step)
+    )
+    return width, height, out
 
 
 # JPEG segment markers that carry frame dimensions (ITU T.81 B.2.2):

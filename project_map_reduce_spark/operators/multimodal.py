@@ -5,12 +5,12 @@ metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 The Spark-side plumbing (schemas, batch iteration, partitioning, column
 pruning) is real and tested — and since round 4 the codec layer is too
 (``operators/codecs.py`` + ``operators/jpeg.py``, stdlib+numpy only):
-PNG metadata AND pixel decode (full five-filter unfilter for the 8-bit
-gray subset), GIF dimensions AND full first-frame pixel decode (LZW +
+PNG metadata AND pixel decode (full five-filter unfilter, every
+8-bit color type to a luminance plane), GIF dimensions AND full first-frame pixel decode (LZW +
 deinterlace + palette luminance), baseline-JPEG pixel decode (Huffman
 + dequant + IDCT), MJPEG-AVI video frame demux, WAV decode via the
 stdlib ``wave`` reader. What remains stubbed: NON-BASELINE JPEG
-(progressive/arithmetic) and non-gray-PNG pixel planes, where
+(progressive/arithmetic) and 16-bit/interlaced PNG pixel planes, where
 ``_pixel_stub`` fakes the raster deterministically for the resize
 fallback path, and non-MJPEG video codecs (stride ``frame_sample``
 fallback).
@@ -80,7 +80,7 @@ def _sniff(content: bytes) -> tuple[str, str] | None:
 def _pixel_stub(content: bytes, width: int, height: int) -> bytes:
     """STUB raster for the pixel planes we don't decode: NON-BASELINE
     JPEG (progressive/arithmetic — baseline decodes for real via
-    operators/jpeg.py) and non-gray-PNG color types.
+    operators/jpeg.py) and 16-bit / Adam7-interlaced PNGs.
     Deterministic fake raster — a stride-sample of the payload
     bytes to exactly width*height bytes — so batch shape, output
     sizing, and the error channel stay real and testable. A deployment
@@ -288,15 +288,15 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
     per-record target-dimension image resample as an Arrow-batched
     shuffle-free map with typed metadata and in-band errors.
 
-    For gray-PNG, ANY GIF, and baseline JPEG the whole chain is REAL on
-    stdlib+numpy: pixel decode (codecs.decode_png_gray8 five-filter
-    unfilter / codecs.decode_gif_gray LZW + deinterlace + palette
+    For any 8-bit PNG, ANY GIF, and baseline JPEG the whole chain is
+    REAL on stdlib+numpy: pixel decode (codecs.decode_png_luma
+    five-filter unfilter, every color type to a luminance plane / codecs.decode_gif_gray LZW + deinterlace + palette
     luminance / operators/jpeg.py Huffman + dequant + IDCT luma) →
     numpy nearest-neighbor resample → spec-valid PNG re-encode
     (rasterize.encode_png_gray); ``decoder='stdlib-{png,gif,jpeg}'``
     and the output content is itself a decodable PNG. Only
-    non-baseline JPEGs (progressive/arithmetic) and non-gray PNGs fall
-    back to true header dimensions + ``_pixel_stub`` raster
+    non-baseline JPEGs (progressive/arithmetic) and 16-bit/interlaced
+    PNGs fall back to true header dimensions + ``_pixel_stub`` raster
     (``decoder='stub'``). Deterministic either way."""
     import numpy as np
 
@@ -327,9 +327,11 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
                     pixels = None
                     real = "stdlib-png"
                     if fmt == "png":
-                        sw, sh, depth, color = codecs.png_info(raw)
-                        if (depth, color) == (8, 0):
-                            _, _, pixels = codecs.decode_png_gray8(raw)
+                        sw, sh, _depth, _color = codecs.png_info(raw)
+                        try:  # any 8-bit color type → luminance plane
+                            _, _, pixels = codecs.decode_png_luma(raw)
+                        except ValueError:
+                            pixels = None  # 16-bit/interlaced → stub
                     elif fmt == "jpeg":
                         sw, sh, _ = codecs.jpeg_info(raw)
                         try:  # REAL baseline decode (operators/jpeg.py)

@@ -390,3 +390,91 @@ def test_jpeg_rejects_subsampled_luma():
 
     with pytest.raises(ValueError, match="max-resolution"):
         _J.decode_jpeg_gray(doctored)
+
+
+def _png_raw(width, height, color, samples, *, palette=None):
+    """Hand-assemble an 8-bit PNG of the given color type with
+    alternating filters across rows (exercises multi-byte-pixel
+    unfiltering: Sub/Paeth left neighbor is bpp bytes back)."""
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    rowlen = width * bpp
+    rows = [samples[y * rowlen : (y + 1) * rowlen] for y in range(height)]
+    prev = bytes(rowlen)
+    scan = b""
+    filters = [(y % 5) for y in range(height)]
+    for y, f in enumerate(filters):
+        cur = rows[y]
+        enc = bytearray(cur)
+        if f == 1:
+            for x in range(rowlen - 1, bpp - 1, -1):
+                enc[x] = (cur[x] - cur[x - bpp]) & 0xFF
+        elif f == 2:
+            for x in range(rowlen):
+                enc[x] = (cur[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(rowlen):
+                left = cur[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(rowlen):
+                left = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - codecs._paeth(left, prev[x], c)) & 0xFF
+        scan += bytes([f]) + bytes(enc)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    parts = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        parts += _chunk(b"PLTE", palette)
+    return parts + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+
+
+def _lum(r, g, b):
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def test_png_luma_rgb_rgba_palette_grayalpha():
+    """decode_png_luma handles every 8-bit color type: RGB and RGBA
+    collapse via integer luminance (alpha ignored), palette maps
+    through PLTE, gray+alpha keeps the gray channel — all across
+    alternating scanline filters with multi-byte pixels."""
+    w, h = 9, 6
+    # RGB
+    rgb = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((3 * x) % 256, (5 * y) % 256, (7 * x + y) % 256)
+    )
+    png = _png_raw(w, h, 2, rgb)
+    expect = bytes(
+        _lum(rgb[i], rgb[i + 1], rgb[i + 2]) for i in range(0, len(rgb), 3)
+    )
+    assert codecs.decode_png_luma(png) == (w, h, expect)
+    # RGBA: same colors, varying alpha must not matter
+    rgba = b"".join(
+        rgb[i : i + 3] + bytes([(i * 31) % 256])
+        for i in range(0, len(rgb), 3)
+    )
+    assert codecs.decode_png_luma(_png_raw(w, h, 6, rgba)) == (w, h, expect)
+    # palette
+    pal = bytes(v for i in range(8) for v in (i * 30, 255 - i * 30, i * 9))
+    idx = bytes((x + y) % 8 for y in range(h) for x in range(w))
+    png_p = _png_raw(w, h, 3, idx, palette=pal)
+    expect_p = bytes(
+        _lum(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2]) for i in idx
+    )
+    assert codecs.decode_png_luma(png_p) == (w, h, expect_p)
+    # gray + alpha
+    ga = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((11 * x + 13 * y) % 256, (x * y) % 256)
+    )
+    assert codecs.decode_png_luma(_png_raw(w, h, 4, ga)) == (
+        w, h, ga[0::2],
+    )
+    # gray8 agrees with the strict decoder
+    gray = bytes((x * y) % 256 for y in range(h) for x in range(w))
+    png_g = _png_raw(w, h, 0, gray)
+    assert codecs.decode_png_luma(png_g) == codecs.decode_png_gray8(png_g)
+    # palette without PLTE rejected
+    with pytest.raises(ValueError):
+        codecs.decode_png_luma(_png_raw(w, h, 3, idx))
