@@ -6,12 +6,14 @@ multimodal surface handles is decodable from its public spec with
 sibling ``operators/jpeg.py``):
 
 - **PNG** (W3C spec / RFC 2083): full header parse AND full pixel
-  decode for EVERY 8-bit non-interlaced color type — grayscale, RGB,
-  palette, gray+alpha, RGBA — including all five scanline filters
-  (None/Sub/Up/Average/Paeth) with multi-byte-pixel neighborhoods, to
-  an 8-bit luminance plane. The gray subset is what our encoder
-  (operators/rasterize.py) emits, so the PDF→PNG→resize→PNG chain is
-  real end to end; only 16-bit depth and Adam7 interlace are rejected.
+  decode for EVERY color type — grayscale, RGB, palette, gray+alpha,
+  RGBA — at 8- and 16-bit depth, sequential or Adam7-interlaced (each
+  pass an independently filtered sub-image), with all five scanline
+  filters (None/Sub/Up/Average/Paeth) over multi-byte-pixel
+  neighborhoods, to an 8-bit luminance plane. The gray subset is what
+  our encoder (operators/rasterize.py) emits, so the PDF→PNG→resize→
+  PNG chain is real end to end; only packed sub-8-bit rows (depth
+  1/2/4) are rejected.
 - **JPEG** (ITU T.81): marker walk to the SOF segment for true
   dimensions + component count. Full baseline pixel decode lives in
   the sibling module ``operators/jpeg.py`` (Huffman + dequant + numpy
@@ -146,8 +148,8 @@ def _unfilter(dec: bytes, width: int, height: int, bpp: int) -> bytearray:
 
 
 def _png_parse(raw: bytes):
-    """Shared chunk walk: returns (w, h, depth, color, palette, idat)."""
-    width = height = depth = color = None
+    """Shared chunk walk: (w, h, depth, color, interlace, palette, idat)."""
+    width = height = depth = color = interlace = None
     palette = None
     idat = b""
     for tag, data in _png_chunks(raw):
@@ -155,8 +157,9 @@ def _png_parse(raw: bytes):
             if len(data) != 13:  # spec-fixed IHDR length
                 raise ValueError(f"IHDR length {len(data)} != 13")
             width, height, depth, color = struct.unpack(">IIBB", data[:10])
-            if data[12] != 0:
-                raise ValueError("interlaced PNG unsupported")
+            interlace = data[12]
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
         elif tag == b"PLTE":
             if len(data) % 3:
                 raise ValueError("PLTE length not a multiple of 3")
@@ -165,7 +168,44 @@ def _png_parse(raw: bytes):
             idat += data
     if width is None:
         raise ValueError("missing IHDR")
-    return width, height, depth, color, palette, idat
+    return width, height, depth, color, interlace, palette, idat
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_samples(
+    width: int, height: int, bpp: int, interlace: int, dec: bytes
+) -> bytes:
+    """Unfilter the decompressed scanline stream into the full-size
+    sample plane, handling both sequential and Adam7 layouts (each
+    Adam7 pass is an independently-filtered sub-image; empty passes
+    contribute no bytes at all, per spec)."""
+    if interlace == 0:
+        return bytes(_unfilter(dec, width, height, bpp))
+    out = bytearray(width * height * bpp)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (pw * bpp + 1)
+        sub = _unfilter(dec[pos : pos + need], pw, ph, bpp)
+        pos += need
+        for j in range(ph):
+            src = j * pw * bpp
+            for i in range(pw):
+                dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                out[dst : dst + bpp] = sub[src : src + bpp]
+                src += bpp
+    if pos != len(dec):
+        raise ValueError("interlaced scanline data size mismatch")
+    return bytes(out)
 
 
 @_valueerror_contract
@@ -175,30 +215,41 @@ def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
     with ``pixels`` row-major, one byte per pixel. (Strict gray8
     subset — our encoder's output format; ``decode_png_luma`` accepts
     every 8-bit color type.)"""
-    width, height, depth, color, _, idat = _png_parse(raw)
+    width, height, depth, color, interlace, _, idat = _png_parse(raw)
     if (depth, color) != (8, 0):
         raise ValueError(
             f"unsupported PNG subset (depth={depth}, color={color})"
         )
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported by the gray8 path")
     out = _unfilter(zlib.decompress(idat), width, height, 1)
     return width, height, bytes(out)
 
 
 @_valueerror_contract
 def decode_png_luma(raw: bytes) -> tuple[int, int, bytes]:
-    """Pixel decode of ANY 8-bit non-interlaced PNG — grayscale (0),
-    RGB (2), palette (3), gray+alpha (4), RGBA (6) — to an 8-bit
-    luminance plane: RGB channels combine via the same integer
-    luminance as the GIF path ((299R + 587G + 114B) // 1000); alpha is
-    ignored (the surface extracts features, it doesn't composite).
-    16-bit depth and Adam7 interlace raise ValueError."""
-    width, height, depth, color, palette, idat = _png_parse(raw)
-    if depth != 8 or color not in _PNG_BPP:
+    """Pixel decode of ANY 8- or 16-bit PNG, sequential or Adam7
+    interlaced — grayscale (0), RGB (2), palette (3), gray+alpha (4),
+    RGBA (6) — to an 8-bit luminance plane: RGB channels combine via
+    the same integer luminance as the GIF path
+    ((299R + 587G + 114B) // 1000); alpha is ignored (the surface
+    extracts features, it doesn't composite); 16-bit samples reduce to
+    their high byte (the spec's 16→8 significant-bits reduction). Only
+    bit depths below 8 (packed 1/2/4-bit rows) are rejected."""
+    width, height, depth, color, interlace, palette, idat = _png_parse(raw)
+    if color not in _PNG_BPP or depth not in (8, 16):
         raise ValueError(
             f"unsupported PNG subset (depth={depth}, color={color})"
         )
-    bpp = _PNG_BPP[color]
-    samples = _unfilter(zlib.decompress(idat), width, height, bpp)
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    nch = _PNG_BPP[color]
+    bpp = nch * (depth // 8)
+    samples = _png_samples(
+        width, height, bpp, interlace, zlib.decompress(idat)
+    )
+    if depth == 16:
+        samples = samples[0::2]  # high byte of each big-endian sample
     if color == 0:
         return width, height, bytes(samples)
     if color == 4:  # gray + alpha: keep gray bytes
@@ -218,11 +269,10 @@ def decode_png_luma(raw: bytes) -> tuple[int, int, bytes]:
             shades + bytes(256 - n)
         )
     # RGB / RGBA: integer luminance over the color channels
-    step = bpp
     out = bytes(
         (299 * samples[i] + 587 * samples[i + 1] + 114 * samples[i + 2])
         // 1000
-        for i in range(0, len(samples), step)
+        for i in range(0, len(samples), nch)
     )
     return width, height, out
 

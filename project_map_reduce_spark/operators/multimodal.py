@@ -6,11 +6,11 @@ The Spark-side plumbing (schemas, batch iteration, partitioning, column
 pruning) is real and tested — and since round 4 the codec layer is too
 (``operators/codecs.py`` + ``operators/jpeg.py``, stdlib+numpy only):
 PNG metadata AND pixel decode (full five-filter unfilter, every
-8-bit color type to a luminance plane), GIF dimensions AND full first-frame pixel decode (LZW +
+color type at 8/16-bit, Adam7 included, to a luminance plane), GIF dimensions AND full first-frame pixel decode (LZW +
 deinterlace + palette luminance), baseline-JPEG pixel decode (Huffman
 + dequant + IDCT), MJPEG-AVI video frame demux, WAV decode via the
 stdlib ``wave`` reader. What remains stubbed: NON-BASELINE JPEG
-(progressive/arithmetic) and 16-bit/interlaced PNG pixel planes, where
+(progressive/arithmetic) and packed sub-8-bit PNG rows, where
 ``_pixel_stub`` fakes the raster deterministically for the resize
 fallback path, and non-MJPEG video codecs (stride ``frame_sample``
 fallback).
@@ -80,7 +80,7 @@ def _sniff(content: bytes) -> tuple[str, str] | None:
 def _pixel_stub(content: bytes, width: int, height: int) -> bytes:
     """STUB raster for the pixel planes we don't decode: NON-BASELINE
     JPEG (progressive/arithmetic — baseline decodes for real via
-    operators/jpeg.py) and 16-bit / Adam7-interlaced PNGs.
+    operators/jpeg.py) and packed sub-8-bit PNG rows (depth 1/2/4).
     Deterministic fake raster — a stride-sample of the payload
     bytes to exactly width*height bytes — so batch shape, output
     sizing, and the error channel stay real and testable. A deployment
@@ -295,7 +295,7 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
     numpy nearest-neighbor resample → spec-valid PNG re-encode
     (rasterize.encode_png_gray); ``decoder='stdlib-{png,gif,jpeg}'``
     and the output content is itself a decodable PNG. Only
-    non-baseline JPEGs (progressive/arithmetic) and 16-bit/interlaced
+    non-baseline JPEGs (progressive/arithmetic) and sub-8-bit-depth
     PNGs fall back to true header dimensions + ``_pixel_stub`` raster
     (``decoder='stub'``). Deterministic either way."""
     import numpy as np
@@ -331,7 +331,7 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
                         try:  # any 8-bit color type → luminance plane
                             _, _, pixels = codecs.decode_png_luma(raw)
                         except ValueError:
-                            pixels = None  # 16-bit/interlaced → stub
+                            pixels = None  # sub-8-bit depth → stub
                     elif fmt == "jpeg":
                         sw, sh, _ = codecs.jpeg_info(raw)
                         try:  # REAL baseline decode (operators/jpeg.py)

@@ -478,3 +478,98 @@ def test_png_luma_rgb_rgba_palette_grayalpha():
     # palette without PLTE rejected
     with pytest.raises(ValueError):
         codecs.decode_png_luma(_png_raw(w, h, 3, idx))
+
+
+def _filter_rows(rows, rowlen, bpp):
+    """Filter a list of raw rows with rotating filter types (the same
+    per-row scheme _png_raw uses), returning the scanline stream."""
+    prev = bytes(rowlen)
+    scan = b""
+    for y, cur in enumerate(rows):
+        f = y % 5
+        enc = bytearray(cur)
+        if f == 1:
+            for x in range(rowlen - 1, bpp - 1, -1):
+                enc[x] = (cur[x] - cur[x - bpp]) & 0xFF
+        elif f == 2:
+            for x in range(rowlen):
+                enc[x] = (cur[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(rowlen):
+                left = cur[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(rowlen):
+                left = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - codecs._paeth(left, prev[x], c)) & 0xFF
+        scan += bytes([f]) + bytes(enc)
+        prev = cur
+    return scan
+
+
+def _png_adam7(width, height, samples, *, channels=1, depth=8):
+    """Hand-assemble an Adam7-interlaced PNG from a full sample plane
+    (each pass an independently filtered sub-image, empty passes
+    absent — exactly the layout the decoder must reassemble)."""
+    bpp = channels * (depth // 8)
+    color = {1: 0, 3: 2}[channels]
+    scan = b""
+    for x0, y0, dx, dy in codecs._ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        rows = []
+        for j in range(ph):
+            row = bytearray()
+            for i in range(pw):
+                src = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                row += samples[src : src + bpp]
+            rows.append(bytes(row))
+        scan += _filter_rows(rows, pw * bpp, bpp)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 gray and RGB images — including a tiny 3x3 whose pass 2
+    is entirely absent — must reassemble to the sequential plane."""
+    for w, h in ((13, 10), (3, 3), (8, 1), (1, 9)):
+        gray = bytes((17 * i + 3) % 256 for i in range(w * h))
+        assert codecs.decode_png_luma(_png_adam7(w, h, gray)) == (w, h, gray)
+    w, h = 9, 6
+    rgb = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((3 * x) % 256, (5 * y) % 256, (7 * x + y) % 256)
+    )
+    expect = bytes(
+        _lum(rgb[i], rgb[i + 1], rgb[i + 2]) for i in range(0, len(rgb), 3)
+    )
+    assert codecs.decode_png_luma(
+        _png_adam7(w, h, rgb, channels=3)
+    ) == (w, h, expect)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    w, h = 7, 4
+    hi = bytes((31 * i) % 256 for i in range(w * h))
+    samples16 = b"".join(bytes([b, (b * 3) % 256]) for b in hi)
+    rows = [samples16[y * w * 2 : (y + 1) * w * 2] for y in range(h)]
+    scan = _filter_rows(rows, w * 2, 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (
+        _SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    )
+    assert codecs.decode_png_luma(png) == (w, h, hi)
+    # sub-8-bit depths stay rejected
+    ihdr4 = struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0)
+    bad = _SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        codecs.decode_png_luma(bad)
