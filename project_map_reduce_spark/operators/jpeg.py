@@ -84,13 +84,17 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
         self.marker: int | None = None  # pending non-restart marker
+        self.zero_fed = 0  # phantom bits fed past marker/EOF
 
     def _fill(self) -> None:
         while self.nbits <= 24:
             if self.marker is not None or self.pos >= len(self.data):
-                # feed zeros past the end (spec: padding bits)
+                # feed zeros past the end; legal only as long as the
+                # decoder never CONSUMES them (checked at interval/scan
+                # boundaries — consuming one means truncated scan data)
                 self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
                 self.nbits += 8
+                self.zero_fed += 8
                 continue
             b = self.data[self.pos]
             if b == 0xFF:
@@ -130,14 +134,26 @@ class _BitReader:
                 return table.symbols[idx]
         raise ValueError("invalid Huffman code in scan data")
 
+    def check_no_overrun(self) -> None:
+        """Raise if any zero-fed phantom bit was actually consumed —
+        i.e. the entropy stream ran out mid-MCU and the remaining
+        blocks decoded from fabricated zeros. Phantom bits are fed
+        strictly last, so the unconsumed tail of the buffer must still
+        hold all of them."""
+        if self.zero_fed > self.nbits:
+            raise ValueError("JPEG scan data exhausted before final MCU")
+
     def expect_restart(self, n: int) -> None:
         """Byte-align and consume restart marker RSTn (mod 8)."""
+        self.check_no_overrun()
         self.bitbuf = 0
         self.nbits = 0
+        self.zero_fed = 0
         if self.marker is None:
             self._fill()  # force the reader up to the marker
             self.bitbuf = 0
             self.nbits = 0
+            self.zero_fed = 0
         if self.marker != 0xD0 + (n & 7):
             raise ValueError(
                 f"expected RST{n & 7}, found "
@@ -145,6 +161,22 @@ class _BitReader:
             )
         self.pos += 2
         self.marker = None
+
+    def expect_scan_end(self) -> None:
+        """After the final MCU: verify no phantom bits were consumed
+        and that a real marker terminates the scan (EOI, DNL, or —
+        in a progressive stream — the next scan's headers). A stream
+        that just stops at EOF decoded its tail from zero padding."""
+        self.check_no_overrun()
+        if self.marker is not None:
+            return
+        pos = self.pos
+        while pos + 1 < len(self.data):
+            if self.data[pos] == 0xFF and self.data[pos + 1] != 0x00:
+                self.marker = self.data[pos + 1]
+                return
+            pos += 1
+        raise ValueError("truncated JPEG scan (no terminating marker)")
 
 
 def _extend(v: int, t: int) -> int:
@@ -306,6 +338,7 @@ def _decode_scan(
                             row = my * luma["v"] + by
                             col = mx * luma["h"] + bx
                             blocks[row * lw + col] = coef * q
+    r.expect_scan_end()
     # dezigzag + IDCT, vectorized over all luma blocks
     dz = np.zeros_like(blocks)
     dz[:, ZIGZAG] = blocks

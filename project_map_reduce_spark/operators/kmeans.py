@@ -109,21 +109,17 @@ def _assign(vecs: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     )
 
 
-def lloyd(
+def _lloyd_loop(
     vectors: DataFrame,
-    *,
     k: int,
     iters: int,
-    id_col: str = "vec_id",
-    vec_col: str = "v",
-) -> DataFrame:
-    """Run ``iters`` full Lloyd rounds over ``vectors`` (id, vec of
-    doubles). Init: the k vectors with id < k (deterministic — the
-    fixture ids are dense from 0). Returns the trained model: one row
-    per non-empty cell, ``(cell_id, n_members, centroid)``, where
-    centroid is the 6-dp-quantized member mean of the final round and
-    n_members counts the final assignment.
-    """
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd iteration: returns (final_assigned, final_update),
+    both lazy — final_assigned is the last round's narrow assignment
+    projection ``(vec_id, v, nv, cell)``, final_update the last round's
+    per-(cell, dim) quantized means."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     # Every Lloyd round re-reads the full training set (assign is a pass
@@ -141,7 +137,7 @@ def lloyd(
         int(r["vec_id"]): [float(x) for x in r["v"]] for r in seed
     }
 
-    upd = None
+    assigned = upd = None
     for i in range(iters):
         assigned = _assign(vecs, cents)
         upd = (
@@ -155,6 +151,44 @@ def lloyd(
             cents = {}
             for r in sorted(upd.collect(), key=lambda r: (r["cell"], r["dim"])):
                 cents.setdefault(int(r["cell"]), []).append(float(r["x"]))
+    return assigned, upd
+
+
+def lloyd_assignments(
+    vectors: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds and return the FINAL-round cell
+    assignment ``(vec_id, v, nv, cell)`` — i.e. each vector labeled by
+    its nearest round-(iters−1) centroid. This is the IVF coarse
+    partitioning as a first-class output: cell count grows with the
+    corpus (k is a training knob), which is exactly what the
+    embedding-dedup blocker (plans/dedup.py::q_dedup_embedding_ivf)
+    needs for within-block work to stay flat at scale."""
+    assigned, _ = _lloyd_loop(vectors, k, iters, id_col, vec_col)
+    return assigned
+
+
+def lloyd(
+    vectors: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Run ``iters`` full Lloyd rounds over ``vectors`` (id, vec of
+    doubles). Init: the k vectors with id < k (deterministic — the
+    fixture ids are dense from 0). Returns the trained model: one row
+    per non-empty cell, ``(cell_id, n_members, centroid)``, where
+    centroid is the 6-dp-quantized member mean of the final round and
+    n_members counts the final assignment.
+    """
+    _, upd = _lloyd_loop(vectors, k, iters, id_col, vec_col)
 
     return (
         upd.groupBy("cell")

@@ -39,67 +39,67 @@ from project_map_reduce_spark.plans import (  # noqa: F401
 )
 
 _DRIVER_WINDOW = [
-    # -- round-4 rotation (VERDICT r3 item 1): the 39 queries whose last
-    #    authoritative driver signal is round-2 vintage — every one was
-    #    green then and is unchanged, but the environment moved to
-    #    Spark 4.1 between rounds; give each a current-env driver hash.
-    "q_join_inner",
-    "q_join_multi",
-    "q_join_left_outer",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_theta",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_window_rank",
-    "q_window_lag_lead",
-    "q_window_moving",
-    "q_window_range",
-    "q_window_distribution",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_array_ops",
-    "q_map_ops",
-    "q_datediff",
-    "q_dedup_exact",
-    "q_dedup_fuzzy",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_similarity_topk",
-    "q_similarity_ann",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_lang_id",
-    "q_text_quality",
-    "q_doc_fingerprint",
-    "q_split_train_val",
-    "q_pandas_udf_scalar",
-    "q_udaf_weighted_mean",
-    # -- round-4 new queries: streaming end-to-end, salted join,
-    #    incremental dedup, NOT EXISTS decorrelation, composed pipeline,
-    #    multimodal render-decode, bucketed co-located join, temperature
-    #    source mixing
+    # -- round-5 rotation (VERDICT r4 item 2): the 47 queries whose last
+    #    authoritative driver signal is round-3 vintage — every one was
+    #    green then (and judge-re-verified via tools/parity.py in r4),
+    #    but rotating them in leaves no query with a driver signal older
+    #    than one round. The 50 round-4-window queries are unchanged and
+    #    keep pytest + local-parity coverage at positions 51+.
+    "q_scan_project",
+    "q_scan_count",
+    "q_filter_predicate",
+    "q_case_when",
+    "q_job_pipeline",
+    "q_approx_count_distinct",
+    "q_grouped_count",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_sort_multi",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_except",
+    "q_json_extract",
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_session",
+    "q_stream_dedup",
+    "q_udf_python",
+    "q_grouped_map",
+    "q_token_count",
+    "q_sample_stratified",
+    "q_source_quota",
+    "q_pivot_status",
+    "q_percentiles",
+    "q_corr_stats",
+    "q_decontaminate",
+    "q_pii_mask",
+    "q_repetition",
+    "q_events_retention",
+    "q_events_funnel",
+    "q_join_range",
+    "q_approx_quantile_check",
+    "q_string_agg",
+    "q_minmax_by",
+    "q_unpivot",
+    "q_scalar_subquery",
+    "q_time_rollup",
+    "q_length_deciles",
+    "q_zscore_outliers",
+    "q_kmeans",
+    "q_value_histogram",
+    "q_salted_agg",
+    "q_udtf_sentences",
+    "q_doc_logprob",
+    "q_dedup_lines",
+    # -- changed this round: the driver-collect removal (VERDICT r4
+    #    item 1) re-routes q_stream_totals' final snapshot through a
+    #    distributed parquet write — re-check it under the new path.
     "q_stream_totals",
-    "q_join_salted",
-    "q_dedup_incremental",
-    "q_not_exists",
-    "q_pipeline_e2e",
-    "q_multimodal_dims",
-    "q_join_bucketed",
-    "q_sample_temperature",
-    # -- changed this round: pinned window null ordering (ADVICE r3)
-    #    and the sum6 compact-decimal rework (q_pricing_summary and
-    #    q_join_asof are its only consumers not already listed above)
-    "q_pack_sequences",
-    "q_pricing_summary",
-    "q_join_asof",
+    # -- round-5 new queries: watermark late-data semantics end-to-end
+    #    (VERDICT r4 item 7), k-means-blocked embedding dedup (item 6)
+    "q_watermark_late",
+    "q_dedup_embedding_ivf",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

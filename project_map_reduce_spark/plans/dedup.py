@@ -608,6 +608,86 @@ fmt_doc(q_dedup_embedding, t=_COS_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
+# Embedding near-dup blocked on COMPUTED k-means cells (Q84 ∘ Q53)
+
+_IVF_K = 8
+_IVF_ITERS = 2
+
+
+def _ivf_dedup_oracle() -> str:
+    from project_map_reduce_spark.plans.similarity import kmeans_ctes
+
+    return (
+        kmeans_ctes(_IVF_K, _IVF_ITERS)
+        + f""",
+    nn AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cell
+        FROM a{_IVF_ITERS}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cell AS INT) AS cell_id,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+          >= {_COS_THRESHOLD}"""
+    )
+
+
+@register("q_dedup_embedding_ivf", oracle=_ivf_dedup_oracle())
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup blocked on COMPUTED k-means cell ids —
+    the composition Q84∘Q53 that closes q_dedup_embedding's declared
+    scale caveat: there the blocker is the fixture's FIXED-cardinality
+    ``label`` column (within-block work grows quadratically in n); here
+    the blocker is the trained IVF coarse quantizer itself
+    (operators/kmeans.py::lloyd_assignments, k={k}, {i} Lloyd rounds),
+    so at 100 TB k grows with the corpus, per-cell population stays
+    roughly constant, and total candidate-pair work stays LINEAR.
+
+    Plan shape: {i} broadcast-model assignment passes (no shuffle of
+    vectors), then ONE equi-join on the computed cell id with the same
+    pair predicate/threshold as Q53 — never a crossJoin. The oracle
+    chains the shared k-means CTEs (plans/similarity.py::kmeans_ctes)
+    into the pair join, so assignment AND pairing are hash-checked as
+    one pipeline.
+    """
+    from project_map_reduce_spark.operators.kmeans import lloyd_assignments
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+    )
+    n = lloyd_assignments(e, k=_IVF_K, iters=_IVF_ITERS).withColumn(
+        "nrm", F.sqrt("nv")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = _DOT_SPARK.format(a="a.v", b="b.v")
+    cos = F.round(F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cell").alias("cell_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COS_THRESHOLD)
+    )
+
+
+fmt_doc(q_dedup_embedding_ivf, k=_IVF_K, i=_IVF_ITERS)
+
+
+# ---------------------------------------------------------------------------
 # Q67 — near-dup clusters (pairs → connected components)
 
 

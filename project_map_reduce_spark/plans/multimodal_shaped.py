@@ -35,7 +35,8 @@ _EVERY = 10  # render every 10th document — bounds the Python render cost
     SELECT doc_id,
            CAST(6 * greatest(1, least(100, length(text))) + 8 AS INT) AS width,
            CAST(16 AS INT) AS height,
-           'ok' AS status
+           'ok' AS status,
+           CAST(NULL AS VARCHAR) AS error
     FROM documents
     WHERE doc_id % {_EVERY} = 0
     """,
@@ -72,7 +73,7 @@ def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         for pdf in it:
-            out = {k: [] for k in ("doc_id", "width", "height", "status")}
+            out = {k: [] for k in ("doc_id", "width", "height", "status", "error")}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 try:
                     w, h, pixels = render_text_bitmap(
@@ -84,11 +85,13 @@ def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["width"].append(dw)
                     out["height"].append(dh)
                     out["status"].append("ok")
+                    out["error"].append(None)
                 except Exception as ex:  # noqa: BLE001 — in-band, ref A7
                     out["doc_id"].append(doc_id)
                     out["width"].append(None)
                     out["height"].append(None)
-                    out["status"].append(f"Error: {ex}")
+                    out["status"].append("error")
+                    out["error"].append(f"Error: {ex}")
             yield pd.DataFrame(out)
 
     d = (
@@ -97,7 +100,8 @@ def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return d.mapInPandas(
-        batches, schema="doc_id bigint, width int, height int, status string"
+        batches,
+        schema="doc_id bigint, width int, height int, status string, error string",
     )
 
 

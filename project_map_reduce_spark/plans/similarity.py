@@ -246,11 +246,14 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Chained-CTE DuckDB mirror of ``operators.kmeans.lloyd`` — one
-    (score → argmin-assign → explode → quantized-mean → rebuild) block
-    per Lloyd round. Expressible only because the loop is a FIXED number
-    of identical dataflow stages (see kmeans.py docstring)."""
+def kmeans_ctes(k: int, iters: int) -> str:
+    """Chained-CTE DuckDB mirror of ``operators.kmeans``'s Lloyd loop —
+    one (score → argmin-assign → explode → quantized-mean → rebuild)
+    block per round, ending with the final assignment ``a{iters}``
+    (= ``lloyd_assignments``) and model ``cent{iters}``. Expressible
+    only because the loop is a FIXED number of identical dataflow
+    stages (see kmeans.py docstring). Shared by the q_kmeans oracle and
+    the k-means-blocked embedding dedup oracle (plans/dedup.py)."""
     sql = [
         f"""
     WITH vecs AS (
@@ -287,13 +290,18 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     ),
     cent{i} AS (SELECT cell, list(x ORDER BY dim) AS c FROM m{i} GROUP BY cell)"""
         )
-    sql.append(
-        f""",
+    return "".join(sql)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """q_kmeans oracle: the shared CTE chain + the model read-out."""
+    return (
+        kmeans_ctes(k, iters)
+        + f""",
     sizes AS (SELECT cell, count(*) AS n_members FROM a{iters} GROUP BY cell)
     SELECT m.cell AS cell_id, sizes.n_members, m.dim, m.x
     FROM m{iters} m JOIN sizes USING (cell)"""
     )
-    return "".join(sql)
 
 
 @register("q_kmeans", oracle=_kmeans_oracle(_KM_K, _KM_ITERS))

@@ -14,11 +14,68 @@ batch-shaped twin) carries a driver correctness signal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import atexit
+import shutil
+import tempfile
 
-from project_map_reduce_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.functions.det import r6d
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.streaming import transforms as X
 from project_map_reduce_spark.tables import load
+
+
+def _session_output_dir(prefix: str) -> str:
+    """A session-scoped persistent directory for a streaming query's
+    FINAL snapshot. The returned DataFrame lazily reads parquet from
+    here, so the data path stays distributed end-to-end (no driver
+    collect of unbounded-key data — SURVEY §4.2's gather rule); cleanup
+    happens at interpreter exit, after every consumer is done."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _await_finite_stream(q, what: str) -> None:
+    """Await an availableNow stream; fail LOUDLY on timeout — reading
+    the sink of a half-finished stream would return partial totals (a
+    driver hash mismatch that looks like a logic bug), and the caller's
+    finally block would rmtree the source under a live query."""
+    finished = q.awaitTermination(300)
+    if q.exception():
+        raise q.exception()
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            f"{what}: stream did not finish within 300s "
+            "(host stall?) — refusing to read a partial sink"
+        )
+
+
+def _last_update_snapshot(
+    spark: SparkSession,
+    sink: str,
+    key_cols: list[str],
+    final_cols: list,
+    out_dir: str,
+) -> DataFrame:
+    """Resolve an update-mode idempotent sink (one batch_id=N directory
+    per micro-batch) to each key's LAST update projected to
+    ``final_cols``, written DISTRIBUTED to ``out_dir`` and returned as
+    a lazy parquet read. The executors do the window + write; nothing
+    unbounded touches the driver."""
+    snap = spark.read.option("basePath", sink).parquet(sink)
+    last = Window.partitionBy(*key_cols).orderBy(F.desc("batch_id"))
+    (
+        snap.withColumn("__rn", F.row_number().over(last))
+        .where(F.col("__rn") == 1)
+        .select(*final_cols)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)
 
 
 @register(
@@ -150,24 +207,20 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final accounting — each user's LAST update across batches —
     must equal the plain batch aggregate, which is exactly the oracle.
 
-    Driver-collect note: the sink snapshot is O(distinct users)
-    (150 @ sf0.01, 1.5k @ sf0.1) and is localized so the staging
-    directory can be deleted before returning; this bounded collect is
-    itself the row-accounting surface under test, not a data path.
-    At 100 TB the snapshot stays parquet and downstream jobs read the
-    sink root directly — the localization is test-harness-only.
+    No driver gather anywhere in the data path (SURVEY §4.2): the
+    last-update resolution is an executor-side window + parquet write
+    into a session-scoped persistent dir, and the RETURNED DataFrame is
+    a lazy distributed read of that snapshot (FileScan, not a
+    LocalTableScan — asserted in tests/test_plan_audit.py). At 100 TB
+    downstream jobs read the same snapshot path; only the test-harness
+    staging dirs are temporary.
     """
-    import shutil
-    import tempfile
-
-    from pyspark.sql import Window, functions as F
-
-    from project_map_reduce_spark.functions.det import r6d
     from project_map_reduce_spark.sources.sinks import write_stream_idempotent
     from project_map_reduce_spark.streaming.stateful import running_user_totals
 
     ev = load(spark, sf_dir, "events").select("user_id", "value")
     tmp = tempfile.mkdtemp(prefix="pmrs_q90_")
+    out_dir = _session_output_dir("pmrs_q90_final_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         src, sink, ckpt = (f"{tmp}/{d}" for d in ("src", "sink", "ckpt"))
@@ -187,31 +240,158 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt,
             output_mode="update",
         )
-        finished = q.awaitTermination(300)
-        if q.exception():
-            raise q.exception()
-        if not finished:
-            # A timed-out stream must fail LOUDLY: reading the sink now
-            # would return partial per-user totals (a driver hash
-            # mismatch that looks like a logic bug), and the finally
-            # block would rmtree the source under a live query.
-            q.stop()
-            raise RuntimeError(
-                "q_stream_totals: stream did not finish within 300s "
-                "(host stall?) — refusing to read a partial sink"
-            )
-
-        snap = spark.read.option("basePath", sink).parquet(sink)
-        last = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
-        final = (
-            snap.withColumn("__rn", F.row_number().over(last))
-            .where(F.col("__rn") == 1)
-            .select("user_id", "n_events", r6d(F.col("sum_value"), "sum_value"))
+        _await_finite_stream(q, "q_stream_totals")
+        return _last_update_snapshot(
+            spark,
+            sink,
+            ["user_id"],
+            ["user_id", "n_events", r6d(F.col("sum_value"), "sum_value")],
+            out_dir,
         )
-        rows = final.collect()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "user_id bigint, n_events bigint, sum_value double"
+
+
+_WM_DELAY_MIN = 45
+_LATE_MOD, _LATE_RES = 10, 7
+
+
+@register(
+    "q_watermark_late",
+    oracle=f"""
+    WITH ontime AS (
+        SELECT ts, value FROM events WHERE event_id % {_LATE_MOD} <> {_LATE_RES}
+    ),
+    late AS (
+        SELECT ts, value FROM events WHERE event_id % {_LATE_MOD} = {_LATE_RES}
+    ),
+    wm AS (
+        SELECT max(ts) - INTERVAL {_WM_DELAY_MIN} MINUTE AS cutoff FROM ontime
+    ),
+    kept AS (
+        SELECT ts, value FROM ontime
+        UNION ALL
+        SELECT l.ts, l.value FROM late l, wm
+        WHERE date_trunc('hour', l.ts) + INTERVAL 1 HOUR > wm.cutoff
     )
+    SELECT date_trunc('hour', ts)                   AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           round(sum(value), 6)                     AS sum_value
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, driver-hash-checked end to end.
+
+    The events table is split into an ON-TIME set (event_id % {m} != {r})
+    and a planted LATE set ({late_pct}% of rows), staged as three
+    file-source micro-batches: [on-time] → [empty spacer] → [late].
+    A 1-hour tumbling aggregation with a {d}-minute watermark then runs
+    as an ACTUAL Structured Streaming query (availableNow,
+    maxFilesPerTrigger=1): by the time the late batch arrives, the
+    watermark has advanced to max(on-time ts) − {d} min, and Spark drops
+    every late row whose window END is ≤ that cutoff; late rows in
+    still-open windows are admitted and update their window's totals.
+    The oracle recomputes exactly that admission rule in SQL — the hash
+    matches only if the engine's watermark advancement, late-row
+    filtering, AND incremental state updates all behave as declared.
+
+    Pinned semantics (verified by tests/test_streaming.py's boundary
+    test): (1) the drop predicate is non-strict — window_end == watermark
+    is dropped; (2) the filter watermark lags the reported one by one
+    micro-batch, which is why the EMPTY SPACER batch sits between the
+    on-time and late batches — it makes the cutoff equal to
+    max(on-time) − delay under either a 1- or 2-batch lag, so the query
+    is robust to that implementation detail changing.
+
+    Scale shape: identical to q_stream_totals — O(open windows) state,
+    idempotent per-batch sink, last-update resolution and final snapshot
+    write all executor-side; the returned DataFrame is a lazy parquet
+    read (no driver gather, SURVEY §4.2).
+    """
+    import glob
+    import os
+    import time
+
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    is_late = F.col("event_id") % _LATE_MOD == _LATE_RES
+
+    tmp = tempfile.mkdtemp(prefix="pmrs_q98_")
+    out_dir = _session_output_dir("pmrs_q98_final_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        now = time.time()
+        stage = (
+            ("ontime", ev.where(~is_late)),
+            ("spacer", ev.where(F.lit(False))),
+            ("late", ev.where(is_late)),
+        )
+        for i, (name, df) in enumerate(stage):
+            df.select("ts", "value").coalesce(1).write.parquet(f"{tmp}/{name}")
+            (part,) = glob.glob(f"{tmp}/{name}/part-*.parquet")
+            dst = f"{src}/{name}.parquet"
+            shutil.move(part, dst)
+            # The file source orders its initial listing by modification
+            # time — pin mtimes so batch order is deterministic, not a
+            # filesystem accident.
+            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{_WM_DELAY_MIN} minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                r6d(F.sum("value"), "sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = write_stream_idempotent(
+            agg, f"{tmp}/sink", f"{tmp}/ckpt", output_mode="update"
+        )
+        _await_finite_stream(q, "q_watermark_late")
+        return _last_update_snapshot(
+            spark,
+            f"{tmp}/sink",
+            ["window_start"],
+            [
+                # session zone is UTC, so the LTZ→NTZ cast is value-exact
+                # and the snapshot hashes like every batch-path timestamp
+                F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+                F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+                "n_events",
+                "sum_value",
+            ],
+            out_dir,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+fmt_doc(
+    q_watermark_late,
+    m=_LATE_MOD,
+    r=_LATE_RES,
+    d=_WM_DELAY_MIN,
+    late_pct=100 // _LATE_MOD,
+)

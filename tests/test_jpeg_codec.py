@@ -212,9 +212,27 @@ def test_jpeg_rejects_malformed_and_progressive():
     with pytest.raises(ValueError):
         J.decode_jpeg_gray(raw[:40])  # truncated mid-headers
     with pytest.raises(ValueError):
-        J.decode_jpeg_gray(raw.replace(b"\xff\xc0", b"\xff\xc2"))  # SOF2
+        # SOF9: arithmetic-coded sequential — not supported
+        J.decode_jpeg_gray(raw.replace(b"\xff\xc0", b"\xff\xc9"))
     with pytest.raises(ValueError):
         J.decode_jpeg_gray(b"not a jpeg")
+
+
+def test_jpeg_rejects_truncated_scan():
+    """A stream cut mid-entropy-data must raise, not silently decode
+    the tail blocks from zero padding (the _fill zero-feed)."""
+    w, h = 29, 18
+    pixels = bytes((7 * x + 11 * y) % 256 for y in range(h) for x in range(w))
+    raw = _encode_gray_jpeg(w, h, pixels)
+    sos = raw.index(b"\xff\xda")
+    scan_start = sos + 2 + struct.unpack(">H", raw[sos + 2 : sos + 4])[0]
+    # cut half the entropy bytes (and the EOI with them)
+    cut = scan_start + (len(raw) - 2 - scan_start) // 2
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(raw[:cut])
+    # scan data intact but EOI marker missing → still malformed
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(raw[:-2])
 
 
 # --- MJPEG AVI: demux + decode = real video frame extraction ---------

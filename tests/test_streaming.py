@@ -268,3 +268,85 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, chunked_events)
         ).select("err_id", "pur_id")
     )
     assert got == want and len(got) > 0
+
+
+def test_watermark_drop_semantics_pinned(spark):
+    """Pin the exact late-drop rule q_watermark_late's oracle encodes:
+    (1) the filter watermark for batch N derives from data in batches
+    <= N-2 (one batch BEHIND the reported watermark — hence the query's
+    empty spacer batch), and (2) the drop predicate is NON-strict:
+    a window whose end equals the watermark is dropped. If a Spark
+    upgrade changes either, this fails before the driver hash does."""
+    import datetime as dt
+    import time
+
+    path = os.path.join(ART, "wm_boundary")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    schema = "ts timestamp, value double"
+    d = dt.datetime
+    batches = [
+        # max ts 12:45 → watermark 12:00 with 45-min delay
+        [(d(2026, 1, 1, 10, 0, 30), 1.0), (d(2026, 1, 1, 12, 45), 2.0)],
+        [],  # spacer: cutoff for batch 2 is 12:00 under a 1- OR 2-batch lag
+        [
+            (d(2026, 1, 1, 10, 30), 10.0),  # window end 11:00 <  wm → drop
+            (d(2026, 1, 1, 11, 30), 20.0),  # window end 12:00 == wm → drop
+            (d(2026, 1, 1, 12, 10), 40.0),  # window end 13:00 >  wm → keep
+        ],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(path, f"b{i}.parquet")
+        )
+        for f in os.listdir(os.path.join(path, f"b{i}.parquet")):
+            os.utime(
+                os.path.join(path, f"b{i}.parquet", f),
+                (now - 300 + 100 * i,) * 2,
+            )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/b*.parquet/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "45 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select(F.col("window.start").alias("ws"), "n", "s")
+    )
+    # UPDATE mode: late-row dropping only applies when state is
+    # watermark-evictable — complete mode retains everything and
+    # never drops, so it cannot pin this semantics.
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    sink, ckpt = os.path.join(path, "sink"), os.path.join(path, "ckpt")
+    q = write_stream_idempotent(agg, sink, ckpt, output_mode="update")
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    snap = spark.read.option("basePath", sink).parquet(sink)
+    last = {}
+    for r in snap.orderBy("batch_id").collect():
+        last[r["ws"]] = (r["ws"].hour, r["n"], r["s"])
+    assert dropped == 2, f"expected 2 late rows dropped, got {dropped}"
+    assert set(last.values()) == {(10, 1, 1.0), (12, 2, 42.0)}, last
+
+
+def test_stream_queries_return_distributed_reads(spark, sf_dir):
+    """The r4 VERDICT flagged q_stream_totals' driver-side collect():
+    both finite-stream queries must now return a LAZY parquet read of
+    the executor-written snapshot — a FileScan in the physical plan,
+    never a LocalTableScan of driver-collected rows (SURVEY §4.2)."""
+    from project_map_reduce_spark.registry import entries
+
+    for name in ("q_stream_totals", "q_watermark_late"):
+        df = entries()[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in plan, f"{name} gathers on the driver"
+        assert "FileScan parquet" in plan, f"{name} is not a parquet read"
+        assert df.count() > 0

@@ -100,7 +100,6 @@ def build(src: str, out: str, copies: int) -> None:
         keys = list(cols)
         selects = []
         for r in range(copies):
-            cols = ["*"]
             replaces = [
                 f"{k} + {r * strides[k]} AS {k}" for k in keys
             ]
