@@ -6,22 +6,26 @@ multimodal surface handles is decodable from its public spec with
 sibling ``operators/jpeg.py``):
 
 - **PNG** (W3C spec / RFC 2083): full header parse AND full pixel
-  decode for EVERY color type — grayscale, RGB, palette, gray+alpha,
-  RGBA — at 8- and 16-bit depth, sequential or Adam7-interlaced (each
-  pass an independently filtered sub-image), with all five scanline
-  filters (None/Sub/Up/Average/Paeth) over multi-byte-pixel
-  neighborhoods, to an 8-bit luminance plane. The gray subset is what
-  our encoder (operators/rasterize.py) emits, so the PDF→PNG→resize→
-  PNG chain is real end to end; only packed sub-8-bit rows (depth
-  1/2/4) are rejected.
+  decode for EVERY legal layout — grayscale, RGB, palette, gray+alpha,
+  RGBA at 8/16-bit depth plus packed sub-8-bit rows (1/2/4-bit gray
+  and palette — favicons, old screenshots), sequential or
+  Adam7-interlaced (each pass an independently filtered sub-image),
+  with all five scanline filters (None/Sub/Up/Average/Paeth) over
+  multi-byte-pixel neighborhoods, to an 8-bit luminance plane. The
+  gray subset is what our encoder (operators/rasterize.py) emits, so
+  the PDF→PNG→resize→PNG chain is real end to end.
 - **JPEG** (ITU T.81): marker walk to the SOF segment for true
-  dimensions + component count. Full baseline pixel decode lives in
-  the sibling module ``operators/jpeg.py`` (Huffman + dequant + numpy
-  IDCT); only non-baseline processes fall back to the upstream stub.
-- **AVI** (RIFF): main-header dimensions/frame-count and movi-list
-  video frame demux — with MJPEG payloads each demuxed frame is a
-  standalone JPEG the ``jpeg`` module decodes, making video frame
-  extraction real end to end.
+  dimensions + component count. Full pixel decode for BOTH real-world
+  flavors — baseline and progressive/SOF2 — lives in the sibling
+  module ``operators/jpeg.py`` (Huffman + dequant + numpy IDCT;
+  multi-scan coefficient accumulation for progressive); only
+  arithmetic-coded processes fall back to the upstream stub.
+- **AVI** (RIFF): main-header dimensions/frame-count, stream-format
+  parse (strh/strf: codec handler + bit depth), and movi-list video
+  frame demux — MJPEG payloads are standalone JPEGs the ``jpeg``
+  module decodes, and uncompressed BI_RGB '##db' frames decode via
+  ``decode_dib_gray`` (bottom-up 4-byte-aligned BGR rows → luminance),
+  so video frame extraction is real end to end for both common cases.
 - **GIF** (GIF87a/89a): logical-screen descriptor for dimensions AND
   full first-frame pixel decode — variable-width LSB-first LZW with
   clear/end codes and the 12-bit dictionary cap, 4-pass deinterlace,
@@ -111,13 +115,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _unfilter(dec: bytes, width: int, height: int, bpp: int) -> bytearray:
-    """Reverse PNG scanline filtering (all five filters) for ``bpp``
-    bytes per pixel. Returns the raw sample stream, row-major."""
-    stride = width * bpp + 1
+def _unfilter(dec: bytes, rowlen: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (all five filters): ``rowlen``
+    filtered bytes per row, left neighbor ``bpp`` bytes back (bpp=1 for
+    packed sub-8-bit rows, per spec). Returns the raw byte stream,
+    row-major."""
+    stride = rowlen + 1
     if len(dec) != stride * height:
         raise ValueError("scanline data size mismatch")
-    rowlen = width * bpp
     out = bytearray(rowlen * height)
     prev = bytes(rowlen)
     for y in range(height):
@@ -186,7 +191,7 @@ def _png_samples(
     Adam7 pass is an independently-filtered sub-image; empty passes
     contribute no bytes at all, per spec)."""
     if interlace == 0:
-        return bytes(_unfilter(dec, width, height, bpp))
+        return bytes(_unfilter(dec, width * bpp, height, bpp))
     out = bytearray(width * height * bpp)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -195,7 +200,7 @@ def _png_samples(
         if pw == 0 or ph == 0:
             continue
         need = ph * (pw * bpp + 1)
-        sub = _unfilter(dec[pos : pos + need], pw, ph, bpp)
+        sub = _unfilter(dec[pos : pos + need], pw * bpp, ph, bpp)
         pos += need
         for j in range(ph):
             src = j * pw * bpp
@@ -203,6 +208,59 @@ def _png_samples(
                 dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
                 out[dst : dst + bpp] = sub[src : src + bpp]
                 src += bpp
+    if pos != len(dec):
+        raise ValueError("interlaced scanline data size mismatch")
+    return bytes(out)
+
+
+def _unpack_bits(row: bytes, width: int, depth: int) -> bytearray:
+    """Unpack one scanline of MSB-first ``depth``-bit samples (depth
+    1/2/4) to one byte per sample; trailing pad bits ignored, per spec."""
+    out = bytearray(width)
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    i = 0
+    for b in row:
+        for s in range(per_byte - 1, -1, -1):
+            if i >= width:
+                break
+            out[i] = (b >> (s * depth)) & mask
+            i += 1
+    return out
+
+
+def _png_samples_packed(
+    width: int, height: int, depth: int, interlace: int, dec: bytes
+) -> bytes:
+    """Sub-8-bit layout counterpart of ``_png_samples``: unfilter the
+    byte-packed scanlines (filter unit = 1 byte when depth < 8, per
+    spec) and unpack to ONE BYTE PER SAMPLE, sequential or Adam7."""
+
+    def one(dec_slice: bytes, w: int, h: int) -> bytearray:
+        stride = (w * depth + 7) // 8
+        raw = _unfilter(dec_slice, stride, h, 1)
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = _unpack_bits(
+                raw[y * stride : (y + 1) * stride], w, depth
+            )
+        return out
+
+    if interlace == 0:
+        return bytes(one(dec, width, height))
+    out = bytearray(width * height)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * ((pw * depth + 7) // 8 + 1)
+        sub = one(dec[pos : pos + need], pw, ph)
+        pos += need
+        for j in range(ph):
+            for i in range(pw):
+                out[(y0 + j * dy) * width + (x0 + i * dx)] = sub[j * pw + i]
     if pos != len(dec):
         raise ValueError("interlaced scanline data size mismatch")
     return bytes(out)
@@ -228,28 +286,46 @@ def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
 
 @_valueerror_contract
 def decode_png_luma(raw: bytes) -> tuple[int, int, bytes]:
-    """Pixel decode of ANY 8- or 16-bit PNG, sequential or Adam7
-    interlaced — grayscale (0), RGB (2), palette (3), gray+alpha (4),
-    RGBA (6) — to an 8-bit luminance plane: RGB channels combine via
-    the same integer luminance as the GIF path
-    ((299R + 587G + 114B) // 1000); alpha is ignored (the surface
-    extracts features, it doesn't composite); 16-bit samples reduce to
-    their high byte (the spec's 16→8 significant-bits reduction). Only
-    bit depths below 8 (packed 1/2/4-bit rows) are rejected."""
+    """Pixel decode of ANY legal PNG, sequential or Adam7 interlaced —
+    grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6) at
+    8/16-bit depth, plus the packed sub-8-bit layouts (1/2/4-bit gray
+    and palette rows, the only color types the spec allows below 8) —
+    to an 8-bit luminance plane: RGB channels combine via the same
+    integer luminance as the GIF path ((299R + 587G + 114B) // 1000);
+    alpha is ignored (the surface extracts features, it doesn't
+    composite); 16-bit samples reduce to their high byte and sub-8-bit
+    gray levels scale by 255/(2^depth−1) (the spec's significant-bits
+    mapping). Only spec-illegal combinations are rejected."""
     width, height, depth, color, interlace, palette, idat = _png_parse(raw)
-    if color not in _PNG_BPP or depth not in (8, 16):
+    if depth in (1, 2, 4):
+        if color not in (0, 3):
+            raise ValueError(
+                f"sub-8-bit depth {depth} is only legal for gray/palette"
+            )
+        samples = _png_samples_packed(
+            width, height, depth, interlace, zlib.decompress(idat)
+        )
+        if color == 0:
+            scale = 255 // ((1 << depth) - 1)
+            levels = bytes(
+                min(255, v * scale) for v in range(256)
+            )
+            return width, height, bytes(samples).translate(levels)
+        nch = 1  # palette indices: fall through to the PLTE lookup
+    elif color not in _PNG_BPP or depth not in (8, 16):
         raise ValueError(
             f"unsupported PNG subset (depth={depth}, color={color})"
         )
-    if color == 3 and depth == 16:
+    elif color == 3 and depth == 16:
         raise ValueError("16-bit palette PNG is not a legal combination")
-    nch = _PNG_BPP[color]
-    bpp = nch * (depth // 8)
-    samples = _png_samples(
-        width, height, bpp, interlace, zlib.decompress(idat)
-    )
-    if depth == 16:
-        samples = samples[0::2]  # high byte of each big-endian sample
+    else:
+        nch = _PNG_BPP[color]
+        bpp = nch * (depth // 8)
+        samples = _png_samples(
+            width, height, bpp, interlace, zlib.decompress(idat)
+        )
+        if depth == 16:
+            samples = samples[0::2]  # high byte of each big-endian sample
     if color == 0:
         return width, height, bytes(samples)
     if color == 4:  # gray + alpha: keep gray bytes
@@ -561,3 +637,74 @@ def avi_video_frames(raw: bytes) -> list[tuple[int, int]]:
     if not frames:
         raise ValueError("no video frames in movi list")
     return frames
+
+
+@_valueerror_contract
+def avi_stream_format(raw: bytes) -> tuple[str, int, int, int]:
+    """(handler, bit_count, width, height) of the FIRST video stream,
+    from the hdrl→strl→strh/strf chain: ``handler`` is the strh
+    fccHandler (e.g. 'MJPG', 'DIB '), the rest come from the strf
+    BITMAPINFOHEADER. This is what tells a demuxed '##db' payload's
+    pixels apart from a compressed '##dc' one — the frame chunks
+    themselves carry no format."""
+    _require_avi(raw)
+    for fourcc, off, size in _riff_chunks(raw, 12, len(raw)):
+        if fourcc != b"LIST" or raw[off : off + 4] != b"hdrl":
+            continue
+        for fc2, o2, s2 in _riff_chunks(raw, off + 4, off + size):
+            if fc2 != b"LIST" or raw[o2 : o2 + 4] != b"strl":
+                continue
+            handler = None
+            for fc3, o3, s3 in _riff_chunks(raw, o2 + 4, o2 + s2):
+                if fc3 == b"strh":
+                    if s3 < 8:
+                        raise ValueError("strh header too short")
+                    if raw[o3 : o3 + 4] != b"vids":
+                        break  # not the video stream; next strl
+                    handler = raw[o3 + 4 : o3 + 8].decode(
+                        "ascii", "replace"
+                    )
+                elif fc3 == b"strf" and handler is not None:
+                    if s3 < 16:
+                        raise ValueError("strf BITMAPINFOHEADER too short")
+                    _size, w, h, _planes, bits = struct.unpack_from(
+                        "<IiihH", raw, o3
+                    )
+                    if w < 1 or abs(h) < 1:
+                        raise ValueError(f"bad dimensions {w}x{h}")
+                    return handler, bits, w, h
+    raise ValueError("no video stream format (strl/strh/strf) found")
+
+
+@_valueerror_contract
+def decode_dib_gray(
+    payload: bytes, width: int, height: int, bit_count: int
+) -> tuple[int, int, bytes]:
+    """Decode an uncompressed BI_RGB DIB frame (an AVI '##db' payload,
+    dimensions/bit depth from ``avi_stream_format``) to an 8-bit
+    luminance plane: rows are 4-byte aligned and BOTTOM-UP when height
+    is positive (top-down when negative, per the DIB convention);
+    24/32-bit pixels are little-endian BGR(X) → integer luminance,
+    8-bit samples pass through as gray. The one video codec decodable
+    with no codec library at all — with MJPEG this makes AVI frame
+    extraction real end to end for both common cases."""
+    if bit_count not in (8, 24, 32):
+        raise ValueError(f"unsupported DIB bit depth {bit_count}")
+    h = abs(height)
+    stride = ((width * bit_count + 31) // 32) * 4
+    if len(payload) != stride * h:
+        raise ValueError(
+            f"DIB payload size {len(payload)} != {stride}*{h}"
+        )
+    nb = bit_count // 8
+    out = bytearray(width * h)
+    for y in range(h):
+        src_y = (h - 1 - y) if height > 0 else y  # bottom-up rows
+        row = payload[src_y * stride : src_y * stride + width * nb]
+        if nb == 1:
+            out[y * width : (y + 1) * width] = row
+        else:
+            for x in range(width):
+                b, g, r = row[x * nb : x * nb + 3]
+                out[y * width + x] = (299 * r + 587 * g + 114 * b) // 1000
+    return width, h, bytes(out)

@@ -7,20 +7,33 @@ tables and an 8×8 IDCT (numpy). This module implements it:
 
 - marker segment parse: DQT (8/16-bit tables), DHT (canonical Huffman
   code construction per Annex C), SOF0/SOF1 (baseline/extended
-  sequential), SOS, DRI;
+  sequential), SOF2 (progressive), SOS, DRI;
 - entropy decode: MSB-first bit reader with byte-stuffing removal
   (FF 00 → FF), DC diff + EXTEND (F.2.2.1), AC run-length with ZRL and
-  EOB, restart-marker handling (byte-align, reset DC predictors);
+  EOB, restart-marker handling (byte-align, reset DC predictors),
+  truncation detection (consuming a zero-fed phantom bit or ending a
+  scan without a terminating marker raises);
+- PROGRESSIVE mode (T.81 Annex G, the dominant web-crawl JPEG flavor):
+  multi-scan coefficient accumulation across spectral-selection bands
+  and successive-approximation precision levels — interleaved and
+  single-component DC scans (first + refinement bits), AC first scans
+  with EOBn run codes, AC refinement with correction bits (runs count
+  zero-history positions only), per-scan DHT/DRI redefinition, restart
+  intervals inside any scan; chroma AC scans (single-component by
+  B.2.3) are skipped to the next marker since only luma is emitted;
 - dequantize → de-zigzag → vectorized IDCT (einsum over the 8×8
-  DCT-II basis) → +128 level shift → clamp;
-- LUMA-ONLY output: chroma blocks are entropy-decoded to keep the bit
-  stream in sync, then discarded — the multimodal surface is grayscale
-  (same convention as the GIF palette-luminance decode). Output is
-  cropped to the true (width, height).
+  DCT-II basis) → +128 level shift → clamp (shared by both modes);
+- LUMA-ONLY output: chroma blocks are entropy-decoded where the
+  bitstream demands it to stay in sync, then discarded — the
+  multimodal surface is grayscale (same convention as the GIF
+  palette-luminance decode). Output is cropped to the true dims.
 
-Progressive (SOF2) and arithmetic-coded JPEGs raise ValueError —
-baseline covers the overwhelming majority of real files and everything
-the test encoder (tests/test_jpeg_codec.py, Annex K tables) emits.
+Arithmetic-coded and hierarchical JPEGs raise ValueError — together
+baseline + progressive cover essentially every real-world file. The
+test encoder (tests/test_jpeg_codec.py, from-spec) emits both modes,
+and progressive decodes are asserted equal to the BASELINE decode of
+the same quantized coefficients, so the two code paths cross-check
+each other rather than sharing a mistake.
 """
 
 from __future__ import annotations
@@ -174,6 +187,7 @@ class _BitReader:
         while pos + 1 < len(self.data):
             if self.data[pos] == 0xFF and self.data[pos + 1] != 0x00:
                 self.marker = self.data[pos + 1]
+                self.pos = pos  # at the marker's 0xFF
                 return
             pos += 1
         raise ValueError("truncated JPEG scan (no terminating marker)")
@@ -187,11 +201,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_gray(raw: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG's luma plane to 8-bit grayscale.
+    """Decode a baseline OR progressive JPEG's luma plane to 8-bit
+    grayscale.
 
     Returns (width, height, pixels) row-major. Raises ValueError for
-    non-baseline processes (progressive, arithmetic, hierarchical),
-    12-bit precision, and malformed streams."""
+    arithmetic-coded and hierarchical processes, 12-bit precision, and
+    malformed/truncated streams."""
     try:
         return _decode(raw)
     except (struct.error, IndexError) as ex:
@@ -207,7 +222,9 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None  # (w, h, components)
-    while pos + 4 <= len(raw):
+    progressive = False
+    prog: _ProgState | None = None
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"marker desync at {pos}")
         marker = raw[pos + 1]
@@ -217,6 +234,10 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(raw):
+            break
         (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         seg = raw[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -248,7 +269,7 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
                     counts, symbols
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1: sequential DCT
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -259,7 +280,8 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0x{marker:02x})"
@@ -271,20 +293,42 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_order = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
-            return _decode_scan(
+                scan_order.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    raw,
+                    pos + 2 + seglen,
+                    frame,
+                    scan_tables,
+                    qt,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
+            if prog is None:
+                prog = _ProgState(frame)
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = prog.decode_scan(
                 raw,
                 pos + 2 + seglen,
-                frame,
+                scan_order,
                 scan_tables,
-                qt,
                 huff_dc,
                 huff_ac,
                 restart_interval,
+                ss,
+                se,
+                ahl >> 4,
+                ahl & 0x0F,
             )
+            continue
         pos += 2 + seglen
+    if prog is not None:
+        return prog.finish(qt)
     raise ValueError("no scan data found")
 
 
@@ -339,13 +383,17 @@ def _decode_scan(
                             col = mx * luma["h"] + bx
                             blocks[row * lw + col] = coef * q
     r.expect_scan_end()
-    # dezigzag + IDCT, vectorized over all luma blocks
+    return _idct_plane(blocks, lw, lh, w, h)
+
+
+def _idct_plane(blocks, lw, lh, w, h):
+    """Dezigzag + vectorized IDCT over all (dequantized) luma blocks,
+    stitch the lh×lw block grid into a plane, crop to true dims."""
     dz = np.zeros_like(blocks)
     dz[:, ZIGZAG] = blocks
     dz = dz.reshape(-1, 8, 8)
     pix = np.einsum("ux,nuv,vy->nxy", _IDCT_M, dz, _IDCT_M) + 128.0
     pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
-    # stitch blocks into the plane, crop to true dims
     plane = (
         pix.reshape(lh, lw, 8, 8)
         .transpose(0, 2, 1, 3)
@@ -377,3 +425,249 @@ def _decode_block(r, dc_t, ac_t, pred, cid):
         coef[k] = _extend(r.bits(size), size)
         k += 1
     return coef
+
+
+def _skip_entropy(raw: bytes, pos: int) -> int:
+    """Advance past a scan's entropy data to the next real marker
+    (entropy segments carry no length field): stuffed FF 00 bytes and
+    restart markers are scan-interior, everything else terminates.
+    Used for chroma AC scans, whose coefficients the luma-only surface
+    never needs — each progressive AC scan is single-component, so the
+    bitstream stays in sync without decoding them."""
+    while pos + 1 < len(raw):
+        if raw[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = raw[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        else:
+            return pos
+    raise ValueError("truncated JPEG scan (no terminating marker)")
+
+
+def _ac_first(r, table, block, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah=0), one block's band (T.81
+    G.1.2.2): run-length + EOBn codes, new coefficients land at
+    magnitude << Al. Returns the remaining EOB run (blocks whose band
+    is entirely zero in this scan)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.huff(table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            extra = r.bits(run) if run else 0
+            return (1 << run) + extra - 1  # EOBn includes this block
+        k += run
+        if k > se:
+            raise ValueError("AC run past end of band")
+        block[k] = _extend(r.bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r, table, block, ss, se, al, eobrun):
+    """Progressive AC refinement scan (Ah=Al+1), one block's band
+    (T.81 G.1.2.3): newly-nonzero coefficients arrive as ±1<<Al;
+    every already-nonzero coefficient traversed consumes a correction
+    bit. Mirrors the spec flowchart (and libjpeg's formulation): runs
+    count ZERO-HISTORY positions only."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.huff(table)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:
+                    extra = r.bits(run) if run else 0
+                    eobrun = (1 << run) + extra
+                    break
+                # ZRL: skip 16 zero-history positions
+            elif size == 1:
+                val = p1 if r.bits(1) else -p1
+            else:
+                raise ValueError("bad magnitude in AC refinement")
+            zskip = run
+            while k <= se:
+                if block[k] != 0:
+                    if r.bits(1) and (int(block[k]) & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else -p1
+                else:
+                    if zskip == 0:
+                        break
+                    zskip -= 1
+                k += 1
+            if size:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        # this block belongs to an EOB run: no new coefficients, but
+        # every nonzero-history position still carries a correction bit
+        while k <= se:
+            if block[k] != 0:
+                if r.bits(1) and (int(block[k]) & p1) == 0:
+                    block[k] += p1 if block[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+class _ProgState:
+    """Progressive (SOF2) decode state, filled scan by scan: per-scan
+    DC predictors, the EOB-run counter, and the LUMA coefficient
+    accumulator (chroma blocks are entropy-decoded only where the
+    bitstream demands it — interleaved DC scans — and their AC scans,
+    always single-component per T.81, are skipped outright). After the
+    last scan, ``finish`` dequantizes and IDCTs exactly like the
+    baseline path (shared ``_idct_plane``)."""
+
+    def __init__(self, frame):
+        w, h, comps = frame
+        if not comps:
+            raise ValueError("no components")
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if hmax < 1 or vmax < 1:
+            raise ValueError("bad sampling factors")
+        self.frame = frame
+        self.mcus_x = -(-w // (8 * hmax))
+        self.mcus_y = -(-h // (8 * vmax))
+        for c in comps:
+            # interleaved (MCU-padded) grid vs the non-interleaved grid
+            # (T.81 A.2.2: ceil over the component's own sample dims)
+            c["bw"] = self.mcus_x * c["h"]
+            c["bh"] = self.mcus_y * c["v"]
+            cw = -(-(w * c["h"]) // hmax)
+            ch = -(-(h * c["v"]) // vmax)
+            c["nw"] = -(-cw // 8)
+            c["nh"] = -(-ch // 8)
+        self.luma = comps[0]
+        if (self.luma["h"], self.luma["v"]) != (hmax, vmax):
+            raise ValueError("luma is not the max-resolution component")
+        self.by_id = {}
+        for c in comps:
+            if c["id"] in self.by_id:
+                raise ValueError("duplicate component id")
+            self.by_id[c["id"]] = c
+        self.coef = np.zeros(
+            (self.luma["bh"] * self.luma["bw"], 64), np.int32
+        )
+        self.got_scan = False
+
+    def _dc_block(self, r, c, row, col, huff, ah, al, preds):
+        if ah == 0:
+            t = r.huff(huff[c["id"]])
+            if t > 11:
+                raise ValueError(f"bad DC magnitude category {t}")
+            preds[c["id"]] += _extend(r.bits(t), t)
+            if c is self.luma:
+                self.coef[row * c["bw"] + col, 0] = preds[c["id"]] << al
+        else:
+            bit = r.bits(1)
+            if bit and c is self.luma:
+                self.coef[row * c["bw"] + col, 0] |= 1 << al
+
+    def decode_scan(
+        self, raw, pos, order, tables, huff_dc, huff_ac, ri, ss, se, ah, al
+    ):
+        """Decode one scan's entropy data; returns the offset of the
+        terminating marker's 0xFF."""
+        self.got_scan = True
+        if al > 13 or (ah and ah != al + 1):
+            raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+        try:
+            comps = [self.by_id[cid] for cid in order]
+        except KeyError as ex:
+            raise ValueError(f"scan component {ex} not in frame") from ex
+        if ss == 0:  # DC scan (interleaved or single-component)
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            huff = {}
+            if ah == 0:
+                for c in comps:
+                    td, _ = tables[c["id"]]
+                    if td not in huff_dc:
+                        raise ValueError("missing DC Huffman table")
+                    huff[c["id"]] = huff_dc[td]
+            r = _BitReader(raw, pos)
+            preds = {c["id"]: 0 for c in comps}
+            n_mcu = 0
+            if len(comps) > 1:
+                for my in range(self.mcus_y):
+                    for mx in range(self.mcus_x):
+                        if ri and n_mcu and n_mcu % ri == 0:
+                            r.expect_restart(n_mcu // ri - 1)
+                            preds = {c["id"]: 0 for c in comps}
+                        n_mcu += 1
+                        for c in comps:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    self._dc_block(
+                                        r, c,
+                                        my * c["v"] + by,
+                                        mx * c["h"] + bx,
+                                        huff, ah, al, preds,
+                                    )
+            else:
+                c = comps[0]
+                for row in range(c["nh"]):
+                    for col in range(c["nw"]):
+                        if ri and n_mcu and n_mcu % ri == 0:
+                            r.expect_restart(n_mcu // ri - 1)
+                            preds = {c["id"]: 0 for c in comps}
+                        n_mcu += 1
+                        self._dc_block(r, c, row, col, huff, ah, al, preds)
+            r.expect_scan_end()
+            return r.pos
+        # AC scan: always single-component in progressive (T.81 B.2.3)
+        if len(order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError(f"bad spectral band [{ss}, {se}]")
+        c = comps[0]
+        if c is not self.luma:
+            return _skip_entropy(raw, pos)
+        _, ta = tables[c["id"]]
+        if ta not in huff_ac:
+            raise ValueError("missing AC Huffman table")
+        table = huff_ac[ta]
+        r = _BitReader(raw, pos)
+        eobrun = 0
+        n_mcu = 0
+        for row in range(c["nh"]):
+            for col in range(c["nw"]):
+                if ri and n_mcu and n_mcu % ri == 0:
+                    r.expect_restart(n_mcu // ri - 1)
+                    eobrun = 0
+                n_mcu += 1
+                block = self.coef[row * c["bw"] + col]
+                if ah == 0:
+                    eobrun = _ac_first(r, table, block, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(r, table, block, ss, se, al, eobrun)
+        if eobrun:
+            raise ValueError("EOB run extends past the last block")
+        r.expect_scan_end()
+        return r.pos
+
+    def finish(self, qt):
+        """All scans consumed (EOI reached): dequantize the accumulated
+        luma coefficients and IDCT, identically to the baseline tail."""
+        if not self.got_scan:
+            raise ValueError("no scan data found")
+        w, h, _ = self.frame
+        if self.luma["tq"] not in qt:
+            raise ValueError(f"missing quant table {self.luma['tq']}")
+        blocks = self.coef.astype(np.float64) * qt[self.luma["tq"]]
+        return _idct_plane(blocks, self.luma["bw"], self.luma["bh"], w, h)

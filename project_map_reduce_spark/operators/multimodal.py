@@ -5,15 +5,18 @@ metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 The Spark-side plumbing (schemas, batch iteration, partitioning, column
 pruning) is real and tested — and since round 4 the codec layer is too
 (``operators/codecs.py`` + ``operators/jpeg.py``, stdlib+numpy only):
-PNG metadata AND pixel decode (full five-filter unfilter, every
-color type at 8/16-bit, Adam7 included, to a luminance plane), GIF dimensions AND full first-frame pixel decode (LZW +
-deinterlace + palette luminance), baseline-JPEG pixel decode (Huffman
-+ dequant + IDCT), MJPEG-AVI video frame demux, WAV decode via the
-stdlib ``wave`` reader. What remains stubbed: NON-BASELINE JPEG
-(progressive/arithmetic) and packed sub-8-bit PNG rows, where
-``_pixel_stub`` fakes the raster deterministically for the resize
-fallback path, and non-MJPEG video codecs (stride ``frame_sample``
-fallback).
+PNG metadata AND pixel decode (full five-filter unfilter, every legal
+layout — 8/16-bit color types plus packed 1/2/4-bit gray/palette rows,
+Adam7 included — to a luminance plane), GIF dimensions AND full
+first-frame pixel decode (LZW + deinterlace + palette luminance),
+JPEG pixel decode for BOTH real-world flavors — baseline (Huffman +
+dequant + IDCT) and progressive/SOF2 (multi-scan spectral selection +
+successive approximation) — MJPEG-AVI video frame demux, WAV decode
+via the stdlib ``wave`` reader. What remains stubbed: ARITHMETIC-CODED
+JPEG (vanishingly rare — patent history kept it out of real encoders),
+where ``_pixel_stub`` fakes the raster deterministically for the
+resize fallback path, and non-MJPEG video codecs (stride
+``frame_sample`` fallback).
 
 Swap-in path for production: replace ``_pixel_stub`` with PIL/ffmpeg
 calls inside the same ``mapInPandas`` generator — batch shape, schema
@@ -78,9 +81,9 @@ def _sniff(content: bytes) -> tuple[str, str] | None:
 
 
 def _pixel_stub(content: bytes, width: int, height: int) -> bytes:
-    """STUB raster for the pixel planes we don't decode: NON-BASELINE
-    JPEG (progressive/arithmetic — baseline decodes for real via
-    operators/jpeg.py) and packed sub-8-bit PNG rows (depth 1/2/4).
+    """STUB raster for the pixel planes we don't decode: ARITHMETIC-
+    coded JPEG (baseline AND progressive decode for real via
+    operators/jpeg.py; every legal PNG layout decodes via codecs).
     Deterministic fake raster — a stride-sample of the payload
     bytes to exactly width*height bytes — so batch shape, output
     sizing, and the error channel stay real and testable. A deployment
@@ -288,16 +291,19 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
     per-record target-dimension image resample as an Arrow-batched
     shuffle-free map with typed metadata and in-band errors.
 
-    For any 8-bit PNG, ANY GIF, and baseline JPEG the whole chain is
-    REAL on stdlib+numpy: pixel decode (codecs.decode_png_luma
-    five-filter unfilter, every color type to a luminance plane / codecs.decode_gif_gray LZW + deinterlace + palette
-    luminance / operators/jpeg.py Huffman + dequant + IDCT luma) →
-    numpy nearest-neighbor resample → spec-valid PNG re-encode
+    For ANY legal PNG, ANY GIF, and ANY Huffman-coded JPEG (baseline
+    AND progressive) the whole chain is REAL on stdlib+numpy: pixel
+    decode (codecs.decode_png_luma five-filter unfilter, every color
+    type at every legal depth — packed sub-8-bit rows included — to a
+    luminance plane / codecs.decode_gif_gray LZW + deinterlace +
+    palette luminance / operators/jpeg.py Huffman + dequant + IDCT
+    luma, multi-scan coefficient accumulation for SOF2) → numpy
+    nearest-neighbor resample → spec-valid PNG re-encode
     (rasterize.encode_png_gray); ``decoder='stdlib-{png,gif,jpeg}'``
     and the output content is itself a decodable PNG. Only
-    non-baseline JPEGs (progressive/arithmetic) and sub-8-bit-depth
-    PNGs fall back to true header dimensions + ``_pixel_stub`` raster
-    (``decoder='stub'``). Deterministic either way."""
+    arithmetic-coded JPEGs fall back to true header dimensions +
+    ``_pixel_stub`` raster (``decoder='stub'``). Deterministic either
+    way."""
     import numpy as np
 
     from project_map_reduce_spark.operators import codecs
@@ -328,10 +334,10 @@ def resize_image(df: DataFrame, *, width: int, height: int) -> DataFrame:
                     real = "stdlib-png"
                     if fmt == "png":
                         sw, sh, _depth, _color = codecs.png_info(raw)
-                        try:  # any 8-bit color type → luminance plane
+                        try:  # every legal layout → luminance plane
                             _, _, pixels = codecs.decode_png_luma(raw)
                         except ValueError:
-                            pixels = None  # sub-8-bit depth → stub
+                            pixels = None  # spec-illegal combo → stub
                     elif fmt == "jpeg":
                         sw, sh, _ = codecs.jpeg_info(raw)
                         try:  # REAL baseline decode (operators/jpeg.py)
@@ -479,14 +485,15 @@ VIDEO_FRAMES_SCHEMA = (
 
 
 def video_frames(df: DataFrame, *, every_n: int = 1) -> DataFrame:
-    """REAL video frame extraction for MJPEG AVI — no codec library:
-    the RIFF demux (codecs.avi_video_frames) yields each movi video
-    chunk's true byte offset/length, every ``every_n``-th frame is
-    kept (the sampling knob), and its JPEG header is parsed for
-    per-frame dimensions. Downstream, slicing ``content`` at
-    (byte_offset, frame_len) gives a standalone baseline JPEG that
-    ``operators/jpeg.py::decode_jpeg_gray`` decodes to pixels — the
-    full fetch→demux→sample→decode video pipeline with zero native
+    """REAL video frame extraction for MJPEG and uncompressed-DIB AVI —
+    no codec library: the RIFF demux (codecs.avi_video_frames) yields
+    each movi video chunk's true byte offset/length, every
+    ``every_n``-th frame is kept (the sampling knob), and per-frame
+    dimensions come from the JPEG header (MJPEG) or the stream's strf
+    format (DIB). Downstream, slicing ``content`` at (byte_offset,
+    frame_len) gives a payload ``operators/jpeg.py::decode_jpeg_gray``
+    (MJPEG) or ``codecs.decode_dib_gray`` (DIB) decodes to pixels —
+    the full fetch→demux→sample→decode video pipeline with zero native
     dependencies. Non-AVI payloads are in-band error rows; use
     ``frame_sample`` for the container-agnostic stride fallback.
     Shuffle-free Arrow-batched map like its siblings."""
@@ -506,6 +513,10 @@ def video_frames(df: DataFrame, *, every_n: int = 1) -> DataFrame:
                 raw = bytes(content) if content is not None else b""
                 try:
                     frames = codecs.avi_video_frames(raw)
+                    try:  # uncompressed frames: dims live in strf
+                        _, dib_bits, dib_w, dib_h = codecs.avi_stream_format(raw)
+                    except ValueError:
+                        dib_bits = dib_w = dib_h = None
                     for i, (off, ln) in enumerate(frames):
                         if i % every_n:
                             continue
@@ -513,7 +524,11 @@ def video_frames(df: DataFrame, *, every_n: int = 1) -> DataFrame:
                         try:
                             fw, fh, _ = codecs.jpeg_info(raw[off : off + ln])
                         except ValueError:
-                            pass  # non-JPEG codec: offsets still real
+                            if dib_bits in (8, 24, 32) and ln == (
+                                (dib_w * dib_bits + 31) // 32
+                            ) * 4 * abs(dib_h):
+                                fw, fh = dib_w, abs(dib_h)
+                            # else: unknown codec — offsets still real
                         for k, v in (
                             ("path", path), ("frame_idx", i),
                             ("byte_offset", off), ("frame_len", ln),

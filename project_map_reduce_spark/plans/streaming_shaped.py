@@ -1,15 +1,18 @@
-"""B.9 streaming-shaped analytics, batch-checked (Q39-Q42, Q90).
+"""B.9 streaming-shaped analytics, batch-checked (Q39-Q42, Q90, Q98).
 
 Q39-Q42 apply the batch/stream-unified transforms from
 streaming/transforms.py to the batch events table; the identical
 transform objects run under ``readStream`` in the streaming smoke test
 (tests/test_streaming.py), which is the capability proof.
 
-Q90 goes further: it runs an ACTUAL Structured Streaming query —
-file-source micro-batches through ``applyInPandasWithState`` into the
-idempotent foreachBatch sink — and hands the sink's final accounting to
-the driver's hash gate, so the streaming path itself (not just its
-batch-shaped twin) carries a driver correctness signal.
+Q90 and Q98 go further: each runs an ACTUAL Structured Streaming query
+— file-source micro-batches into the idempotent foreachBatch sink —
+and hands the sink's final accounting to the driver's hash gate, so
+the streaming path itself (not just its batch-shaped twin) carries a
+driver correctness signal: Q90 drives the custom stateful operator
+(``applyInPandasWithState``), Q98 the watermark late-data admission
+rule. Both return a LAZY read of an executor-written snapshot — no
+driver gather anywhere (SURVEY §4.2).
 """
 
 from __future__ import annotations

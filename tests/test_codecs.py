@@ -568,8 +568,185 @@ def test_png_16bit_reduces_to_high_byte():
         + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
     )
     assert codecs.decode_png_luma(png) == (w, h, hi)
-    # sub-8-bit depths stay rejected
-    ihdr4 = struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0)
+    # sub-8-bit depth with a TRUECOLOR type is spec-illegal — rejected
+    ihdr4 = struct.pack(">IIBBBBB", w, h, 4, 2, 0, 0, 0)
     bad = _SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         codecs.decode_png_luma(bad)
+
+
+def _pack_bits(samples, width, depth):
+    """Pack one byte-per-sample row stream into MSB-first depth-bit
+    scanline rows (the encoder mirror of codecs._unpack_bits)."""
+    stride = (width * depth + 7) // 8
+    height = len(samples) // width
+    rows = []
+    for y in range(height):
+        row = bytearray(stride)
+        for x in range(width):
+            v = samples[y * width + x]
+            bitpos = x * depth
+            row[bitpos >> 3] |= v << (8 - depth - (bitpos & 7))
+        rows.append(bytes(row))
+    return rows, stride
+
+
+def _png_sub8(width, height, depth, color, samples, *, palette=None):
+    """Hand-assemble a packed sub-8-bit PNG (gray or palette) with
+    rotating per-row filters (filter unit = 1 byte below depth 8)."""
+    rows, stride = _pack_bits(samples, width, depth)
+    scan = _filter_rows(rows, stride, 1)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    parts = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        parts += _chunk(b"PLTE", palette)
+    return parts + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+
+
+def test_png_sub8_gray_all_depths():
+    """1/2/4-bit packed grayscale rows decode to real rasters: levels
+    scale by 255/(2^depth−1), partial trailing bytes honored (widths
+    chosen to leave pad bits), all five filters exercised."""
+    for depth, w, h in ((1, 13, 7), (2, 9, 6), (4, 7, 6)):
+        maxv = (1 << depth) - 1
+        samples = bytes((x * y + x) % (maxv + 1) for y in range(h) for x in range(w))
+        png = _png_sub8(w, h, depth, 0, samples)
+        scale = 255 // maxv
+        expect = bytes(v * scale for v in samples)
+        assert codecs.decode_png_luma(png) == (w, h, expect)
+        assert codecs.png_info(png) == (w, h, depth, 0)
+
+
+def test_png_sub8_palette():
+    """4-bit palette rows (the classic 16-color favicon layout) map
+    through PLTE to luminance; out-of-palette indices rejected."""
+    w, h, depth = 10, 5, 4
+    pal = bytes(v for i in range(12) for v in (20 * i, 255 - 20 * i, 7 * i))
+    idx = bytes((x + 2 * y) % 12 for y in range(h) for x in range(w))
+    png = _png_sub8(w, h, depth, 3, idx, palette=pal)
+    expect = bytes(
+        _lum(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2]) for i in idx
+    )
+    assert codecs.decode_png_luma(png) == (w, h, expect)
+    # 2-bit palette too
+    idx2 = bytes((x * y) % 4 for y in range(h) for x in range(w))
+    png2 = _png_sub8(w, h, 2, 3, idx2, palette=pal)
+    expect2 = bytes(
+        _lum(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2]) for i in idx2
+    )
+    assert codecs.decode_png_luma(png2) == (w, h, expect2)
+    # index beyond palette
+    with pytest.raises(ValueError):
+        codecs.decode_png_luma(
+            _png_sub8(w, h, 4, 3, bytes([13]) * (w * h), palette=pal)
+        )
+
+
+def test_png_sub8_adam7():
+    """Adam7-interlaced 1-bit gray: per-pass packed rows with per-pass
+    strides and pad bits must reassemble to the sequential plane."""
+    for w, h in ((13, 10), (3, 3), (8, 1), (1, 9)):
+        samples = bytes((x ^ y) & 1 for y in range(h) for x in range(w))
+        scan = b""
+        for x0, y0, dx, dy in codecs._ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub = bytes(
+                samples[(y0 + j * dy) * w + (x0 + i * dx)]
+                for j in range(ph)
+                for i in range(pw)
+            )
+            rows, stride = _pack_bits(sub, pw, 1)
+            scan += _filter_rows(rows, stride, 1)
+        ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+        png = (
+            _SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+        )
+        expect = bytes(v * 255 for v in samples)
+        assert codecs.decode_png_luma(png) == (w, h, expect)
+
+
+# --- uncompressed-DIB AVI: the codec-library-free video frame path ---
+
+
+def _make_dib_avi(w, h, planes_gray, bit_count=24, *, flip_height=False):
+    """AVI whose video stream is uncompressed BI_RGB ('00db' chunks):
+    gray source planes replicated to BGR (luminance is then exactly the
+    gray value — lossless roundtrip), rows bottom-up and 4-byte padded,
+    with the strl/strh/strf chain declaring the format."""
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    stride = ((w * bit_count + 31) // 32) * 4
+    nb = bit_count // 8
+    frames = []
+    for plane in planes_gray:
+        buf = bytearray(stride * h)
+        for y in range(h):
+            dst = (y if flip_height else h - 1 - y) * stride
+            for x in range(w):
+                v = plane[y * w + x]
+                buf[dst + x * nb : dst + (x + 1) * nb] = bytes(
+                    [v] if nb == 1 else [v, v, v, 0][:nb]
+                )
+        frames.append(bytes(buf))
+    avih = struct.pack(
+        "<10I", 40000, 0, 0, 0, len(frames), 0, 1, 0, w, h
+    ) + bytes(16)
+    strh = b"vids" + b"DIB " + bytes(48)
+    strf = struct.pack(
+        "<IiihHI", 40, w, -h if flip_height else h, 1, bit_count, 0
+    ) + bytes(20)
+    strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_stream_format_and_dib_decode():
+    """strh/strf parse + BI_RGB frame decode: bottom-up 24-bit rows
+    with 4-byte padding return the exact source gray planes; 8- and
+    32-bit variants and top-down (negative height) too."""
+    w, h = 9, 5  # 9*3=27-byte rows → 28-byte stride exercises padding
+    planes = [
+        bytes((i * 50 + 7 * x + 11 * y) % 256 for y in range(h) for x in range(w))
+        for i in range(2)
+    ]
+    for bits in (8, 24, 32):
+        avi = _make_dib_avi(w, h, planes, bits)
+        assert codecs.avi_stream_format(avi) == ("DIB ", bits, w, h)
+        frames = codecs.avi_video_frames(avi)
+        assert len(frames) == 2
+        for (off, ln), plane in zip(frames, planes):
+            dw, dh, out = codecs.decode_dib_gray(
+                avi[off : off + ln], w, h, bits
+            )
+            assert (dw, dh, out) == (w, h, plane)
+    # top-down layout: negative biHeight
+    avi = _make_dib_avi(w, h, planes, 24, flip_height=True)
+    assert codecs.avi_stream_format(avi) == ("DIB ", 24, w, -h)
+    off, ln = codecs.avi_video_frames(avi)[0]
+    assert codecs.decode_dib_gray(avi[off : off + ln], w, -h, 24) == (
+        w, h, planes[0],
+    )
+    # wrong payload size / depth rejected
+    with pytest.raises(ValueError):
+        codecs.decode_dib_gray(b"\x00" * 10, w, h, 24)
+    with pytest.raises(ValueError):
+        codecs.decode_dib_gray(b"\x00" * 100, w, h, 16)
+    # MJPEG AVI (no strl) has no stream format to report
+    from tests.test_jpeg_codec import _encode_gray_jpeg, _make_avi
+
+    mjpeg = _make_avi(8, 8, [_encode_gray_jpeg(8, 8, bytes(64))])
+    with pytest.raises(ValueError):
+        codecs.avi_stream_format(mjpeg)

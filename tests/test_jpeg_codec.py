@@ -301,3 +301,338 @@ def test_avi_demux_malformed():
     no_movi = avi[: avi.index(b"movi") - 12]
     with pytest.raises(ValueError):
         codecs.avi_video_frames(no_movi)
+
+
+# --- progressive (SOF2) encoder: spectral selection + successive
+# --- approximation, from the T.81 Annex G flowcharts ----------------
+
+# AC table for progressive scans: EOBn codes (r<<4 for r in 0..14) in
+# addition to ZRL and every (run, size) pair — all at code length 8.
+_PAC_SYMBOLS = bytes(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_PAC_COUNTS = [0] * 16
+_PAC_COUNTS[7] = len(_PAC_SYMBOLS)
+_PAC_CODES = _canonical_codes(_PAC_COUNTS, _PAC_SYMBOLS)
+
+
+def _dct_quant_blocks(w, h, pixels):
+    """Quantized (unit table) zigzag-order coefficient blocks, raster
+    order over the edge-padded 8x8 grid — the shared forward path for
+    the baseline and progressive encoders."""
+    px = np.frombuffer(pixels, np.uint8).astype(np.float64).reshape(h, w)
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    padded = np.pad(px, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+    M = J._IDCT_M
+    out = []
+    for by in range(bh_):
+        for bx in range(bw_):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = M @ block @ M.T
+            out.append(np.rint(coef).astype(int).flatten()[J.ZIGZAG])
+    return out
+
+
+def _emit_dc_scan(bw, blocks, ah, al):
+    if ah == 0:
+        pred = 0
+        for q in blocks:
+            v = int(q[0]) >> al  # arithmetic shift: the DC point transform
+            diff = v - pred
+            pred = v
+            t = _cat(diff)
+            code, n = _DC_CODES[t]
+            bw.write(code, n)
+            _emit_coef(bw, diff, t)
+    else:
+        for q in blocks:
+            bw.write((int(q[0]) >> al) & 1, 1)
+
+
+def _ac_point(v, al):
+    """AC point transform: magnitude shift, sign preserved (G.1.2.1)."""
+    t = abs(int(v)) >> al
+    return t if v >= 0 else -t
+
+
+def _emit_ac_first(bw, blocks, ss, se, al):
+    eob = 0
+
+    def flush():
+        nonlocal eob
+        if not eob:
+            return
+        rr = eob.bit_length() - 1
+        code, n = _PAC_CODES[rr << 4]
+        bw.write(code, n)
+        if rr:
+            bw.write(eob - (1 << rr), rr)
+        eob = 0
+
+    for q in blocks:
+        vals = [_ac_point(q[k], al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eob += 1
+            continue
+        flush()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r >= 16:
+                code, n = _PAC_CODES[0xF0]
+                bw.write(code, n)
+                r -= 16
+            t = _cat(v)
+            code, n = _PAC_CODES[(r << 4) | t]
+            bw.write(code, n)
+            _emit_coef(bw, v, t)
+            r = 0
+        if nz[-1] < len(vals) - 1:
+            eob += 1  # trailing zeros fold into an EOB run
+    flush()
+
+
+def _emit_ac_refine(bw, blocks, ss, se, al):
+    eob = 0
+    pend = []
+
+    def flush():
+        nonlocal eob, pend
+        if not eob:
+            assert not pend
+            return
+        rr = eob.bit_length() - 1
+        code, n = _PAC_CODES[rr << 4]
+        bw.write(code, n)
+        if rr:
+            bw.write(eob - (1 << rr), rr)
+        for b in pend:
+            bw.write(b, 1)
+        eob = 0
+        pend = []
+
+    for q in blocks:
+        vals = [_ac_point(q[k], al) for k in range(ss, se + 1)]
+        hist = [abs(int(q[k])) >> (al + 1) != 0 for k in range(ss, se + 1)]
+        new = [i for i, (v, hh) in enumerate(zip(vals, hist)) if v and not hh]
+        if not new:
+            eob += 1
+            pend += [abs(vals[i]) & 1 for i in range(len(vals)) if hist[i]]
+            continue
+        flush()
+        last_new = new[-1]
+        r = 0
+        br = []
+
+        def zrls():
+            nonlocal r, br
+            while r > 15:
+                code, n = _PAC_CODES[0xF0]
+                bw.write(code, n)
+                r -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+
+        for i in range(last_new + 1):
+            if hist[i]:
+                zrls()  # ZRLs emit at ANY nonzero, before its bit
+                br.append(abs(vals[i]) & 1)
+            elif vals[i] == 0:
+                r += 1
+            else:
+                assert abs(vals[i]) == 1, "refine scan must be Ah=Al+1"
+                zrls()
+                code, n = _PAC_CODES[(r << 4) | 1]
+                bw.write(code, n)
+                bw.write(1 if vals[i] > 0 else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                r = 0
+        tail = [
+            abs(vals[i]) & 1
+            for i in range(last_new + 1, len(vals))
+            if hist[i]
+        ]
+        if last_new < len(vals) - 1:
+            eob += 1
+            pend += tail
+    flush()
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _prog_headers(w, h, ncomp):
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, ncomp)
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp)),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
+        + bytes([0x10]) + bytes(_PAC_COUNTS) + _PAC_SYMBOLS,
+    )
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def _sos(comp_ids, ss, se, ah, al):
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def _encode_gray_progressive(w, h, pixels, scans):
+    """scans: list of ('dc', ah, al) / ('ac', ss, se, ah, al)."""
+    blocks = _dct_quant_blocks(w, h, pixels)
+    out = bytearray(_prog_headers(w, h, 1))
+    for sc in scans:
+        bw = _BitWriter()
+        if sc[0] == "dc":
+            _, ah, al = sc
+            out += _sos([1], 0, 0, ah, al)
+            _emit_dc_scan(bw, blocks, ah, al)
+        else:
+            _, ss, se, ah, al = sc
+            out += _sos([1], ss, se, ah, al)
+            if ah == 0:
+                _emit_ac_first(bw, blocks, ss, se, al)
+            else:
+                _emit_ac_refine(bw, blocks, ss, se, al)
+        bw.align()
+        out += bw.out
+    return bytes(out + b"\xff\xd9")
+
+
+# --- progressive tests ----------------------------------------------
+
+
+def _gradient(w, h, a=7, b=11):
+    return bytes((a * x + b * y) % 256 for y in range(h) for x in range(w))
+
+
+_FULL_SCANS = [
+    ("dc", 0, 1),          # DC first at Al=1
+    ("ac", 1, 5, 0, 2),    # low band first at Al=2
+    ("ac", 6, 63, 0, 2),   # high band first at Al=2
+    ("dc", 1, 0),          # DC refinement to full precision
+    ("ac", 1, 5, 2, 1),    # low band refine Al=2→1 (Ah=2)
+    ("ac", 6, 63, 2, 1),
+    ("ac", 1, 5, 1, 0),    # low band refine Al=1→0 (Ah=1)
+    ("ac", 6, 63, 1, 0),
+]
+
+
+def test_progressive_spectral_only_equals_baseline():
+    """Spectral-selection-only progressive (DC + two AC band scans at
+    full precision) must decode BYTE-IDENTICAL to the baseline decode
+    of the same pixels: same quantized coefficients, same IDCT."""
+    for w, h in ((16, 16), (29, 18), (8, 8)):
+        pixels = _gradient(w, h)
+        base = J.decode_jpeg_gray(_encode_gray_jpeg(w, h, pixels))
+        prog = _encode_gray_progressive(
+            w, h, pixels,
+            [("dc", 0, 0), ("ac", 1, 5, 0, 0), ("ac", 6, 63, 0, 0)],
+        )
+        assert J.decode_jpeg_gray(prog) == base
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    """Full successive-approximation ladder (DC Al=1→0, AC Al=2→1→0
+    over split bands): refinement bits must reassemble the exact
+    coefficients, so the decode equals the baseline decode."""
+    for w, h in ((24, 16), (29, 18)):
+        pixels = bytes((i * 2654435761) % 256 for i in range(w * h))
+        base = J.decode_jpeg_gray(_encode_gray_jpeg(w, h, pixels))
+        prog = _encode_gray_progressive(w, h, pixels, _FULL_SCANS)
+        assert J.decode_jpeg_gray(prog) == base
+
+
+def test_progressive_eob_runs():
+    """A mostly-flat image (many all-zero AC bands) forces EOBn codes
+    with run > 1 — the batched-skip path on both first and refinement
+    scans, including correction bits carried by skipped blocks."""
+    w, h = 64, 24  # 24 blocks, most of them flat
+    px = bytearray([120]) * (w * h)
+    for y in range(8):           # texture only the top-left block
+        for x in range(8):
+            px[y * w + x] = (120 + 13 * x * y) % 256
+    for y in range(8):           # and one mid-image block
+        for x in range(8):
+            px[(8 + y) * w + 32 + x] = (40 + 29 * x + 17 * y) % 256
+    pixels = bytes(px)
+    base = J.decode_jpeg_gray(_encode_gray_jpeg(w, h, pixels))
+    prog = _encode_gray_progressive(w, h, pixels, _FULL_SCANS)
+    assert J.decode_jpeg_gray(prog) == base
+
+
+def test_progressive_roundtrip_property():
+    """Randomized-image extension of the roundtrip property: for a
+    spread of sizes and pixel mixes, progressive == baseline decode."""
+    rnd = 2654435761
+    for seed, (w, h) in enumerate(((9, 9), (17, 12), (40, 8), (8, 33))):
+        pixels = bytes(
+            ((i * rnd) ^ (seed * 40503)) % 256 for i in range(w * h)
+        )
+        base = J.decode_jpeg_gray(_encode_gray_jpeg(w, h, pixels))
+        prog = _encode_gray_progressive(w, h, pixels, _FULL_SCANS)
+        assert J.decode_jpeg_gray(prog) == base
+
+
+def test_progressive_color_interleaved_dc_and_chroma_skip():
+    """3-component progressive: interleaved DC scan (all components
+    entropy-decoded to keep sync) + per-component AC scans — the
+    chroma AC scans are skipped to the next marker, and the luma plane
+    must still equal the grayscale baseline decode."""
+    w, h = 16, 16
+    luma = _gradient(w, h)
+    cb = _gradient(w, h, 3, 5)
+    cr = _gradient(w, h, 13, 1)
+    planes = [luma, cb, cr]
+    blocks = [_dct_quant_blocks(w, h, p) for p in planes]
+    out = bytearray(_prog_headers(w, h, 3))
+    # interleaved DC scan: per MCU (1x1 sampling: one block per comp)
+    out += _sos([1, 2, 3], 0, 0, 0, 0)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(len(blocks[0])):
+        for ci in range(3):
+            v = int(blocks[ci][m][0])
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _cat(diff)
+            code, n = _DC_CODES[t]
+            bw.write(code, n)
+            _emit_coef(bw, diff, t)
+    bw.align()
+    out += bw.out
+    for ci in range(3):  # per-component AC scans
+        out += _sos([ci + 1], 1, 63, 0, 0)
+        bw = _BitWriter()
+        _emit_ac_first(bw, blocks[ci], 1, 63, 0)
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"
+    base = J.decode_jpeg_gray(_encode_gray_jpeg(w, h, luma))
+    assert J.decode_jpeg_gray(bytes(out)) == base
+
+
+def test_progressive_rejects_malformed():
+    w, h = 16, 16
+    pixels = _gradient(w, h)
+    prog = _encode_gray_progressive(w, h, pixels, _FULL_SCANS)
+    with pytest.raises(ValueError):  # truncated mid-scan, EOI gone
+        J.decode_jpeg_gray(prog[: len(prog) * 2 // 3])
+    with pytest.raises(ValueError):  # headers only, no scan at all
+        J.decode_jpeg_gray(_prog_headers(w, h, 1) + b"\xff\xd9")

@@ -1,7 +1,8 @@
 """Multimodal capability smoke (SURVEY.md §2 B.10 capability row):
 binaryFile source → typed decode (REAL stdlib codec metadata; pixel
-decode real for gray-PNG, any GIF, and baseline JPEG — only
-non-baseline JPEG falls back to the stub raster) → feature extraction.
+decode real for any legal PNG, any GIF, and any Huffman-coded JPEG,
+baseline or progressive — only arithmetic-coded JPEG falls back to
+the stub raster) → feature extraction.
 The Spark plumbing — schema, Arrow batching, error channel, pruning —
 plus the codec layer are under test. Fixture payloads are spec-valid
 files, built with stdlib only."""
@@ -99,6 +100,22 @@ def _make_avi_payload() -> bytes:
     )
 
 
+def _make_progressive_jpeg() -> bytes:
+    # real PROGRESSIVE (SOF2) JPEG — spectral selection + successive
+    # approximation — via the test encoder validated in
+    # tests/test_jpeg_codec.py against the package decoder
+    from tests.test_jpeg_codec import _FULL_SCANS, _encode_gray_progressive
+
+    return _encode_gray_progressive(_JPG_W, _JPG_H, _JPG_PIXELS, _FULL_SCANS)
+
+
+def _make_dib_avi_payload() -> bytes:
+    # uncompressed BI_RGB AVI (builder validated in tests/test_codecs.py)
+    from tests.test_codecs import _make_dib_avi
+
+    return _make_dib_avi(_AVI_W, _AVI_H, _AVI_PLANES, 24)
+
+
 def _payloads() -> dict[str, bytes]:
     return {
         "a.png": encode_png_gray(_PNG_W, _PNG_H, _PNG_PIXELS),
@@ -112,6 +129,8 @@ def _payloads() -> dict[str, bytes]:
         "g.png": b"\x89PNG\r\n\x1a\n" + bytes(range(40)),  # corrupt body
         "h.jpg": _make_real_jpeg(),  # full baseline scan -> real decode
         "i.avi": _make_avi_payload(),  # MJPEG video, 3 frames
+        "j.jpg": _make_progressive_jpeg(),  # SOF2 multi-scan -> real decode
+        "k.avi": _make_dib_avi_payload(),  # uncompressed BI_RGB video
     }
 
 
@@ -128,7 +147,7 @@ def binary_dir():
 def test_binary_source_schema(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     assert {"path", "content", "length"} <= set(df.columns)
-    assert df.count() == 9
+    assert df.count() == 11
 
 
 def test_decode_real_metadata(spark, binary_dir):
@@ -169,7 +188,7 @@ def test_decode_real_metadata(spark, binary_dir):
 def test_byte_histogram_features(spark, binary_dir):
     df = readers.read_binary(spark, binary_dir)
     feats = multimodal.byte_histogram_features(df).collect()
-    assert len(feats) == 9
+    assert len(feats) == 11
     for r in feats:
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-9  # normalized
@@ -309,6 +328,12 @@ def test_resize_image_real_and_stub_paths(spark, binary_dir):
     assert (jw, jh) == (8, 6)
     # nearest-neighbor of the true decoded luma (unit quant -> error <=3)
     assert abs(jpix[0] - _JPG_PIXELS[0]) <= 3
+    pj = rows["j.jpg"]  # PROGRESSIVE (SOF2): REAL multi-scan decode
+    assert (pj.status, pj.decoder) == ("ok", "stdlib-jpeg")
+    assert (pj.src_width, pj.src_height) == (_JPG_W, _JPG_H)
+    # same source pixels as h.jpg → identical resized output bytes
+    # (progressive reassembles the exact baseline coefficients)
+    assert bytes(pj.content) == bytes(rj.content)
     gif = rows["f.gif"]  # GIF pixel decode is REAL (LZW + palette)
     assert (gif.status, gif.decoder) == ("ok", "stdlib-gif")
     assert (gif.src_width, gif.src_height) == (_GIF_W, _GIF_H)
@@ -550,5 +575,35 @@ def test_video_frames_real_demux_and_decode(spark, binary_dir):
     assert all(
         rs[0].status == "error"
         for name, rs in by_path.items()
-        if name != "i.avi"
+        if name not in ("i.avi", "k.avi")
     )
+
+
+def test_video_frames_dib_demux_and_decode(spark, binary_dir):
+    """Uncompressed-DIB AVI, end to end on Spark — the MJPEG test's
+    mirror for the other codec-library-free video path: '00db' frames
+    demux to true offsets, per-frame dims come from the strf stream
+    format (no JPEG header exists to parse), and slicing content at
+    (byte_offset, frame_len) decodes LOSSLESSLY back to the source
+    gray planes via codecs.decode_dib_gray."""
+    from project_map_reduce_spark.operators import codecs
+
+    df = readers.read_binary(spark, binary_dir)
+    rows = [
+        r for r in multimodal.video_frames(df).collect()
+        if r.path.endswith("k.avi")
+    ]
+    frames = sorted(rows, key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in frames] == [0, 1, 2]
+    assert all(r.status == "ok" for r in frames)
+    assert all(
+        (r.frame_width, r.frame_height) == (_AVI_W, _AVI_H) for r in frames
+    )
+    payload = _payloads()["k.avi"]
+    handler, bits, w, h = codecs.avi_stream_format(payload)
+    assert (handler, bits, w, h) == ("DIB ", 24, _AVI_W, _AVI_H)
+    for r, plane in zip(frames, _AVI_PLANES):
+        dib = payload[r.byte_offset : r.byte_offset + r.frame_len]
+        assert codecs.decode_dib_gray(dib, w, h, bits) == (
+            _AVI_W, _AVI_H, plane,
+        )
