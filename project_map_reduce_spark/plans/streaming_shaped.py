@@ -341,11 +341,12 @@ def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (name, df) in enumerate(stage):
             df.select("ts", "value").coalesce(1).write.parquet(f"{tmp}/{name}")
             (part,) = glob.glob(f"{tmp}/{name}/part-*.parquet")
-            dst = f"{src}/{name}.parquet"
+            # Batch order must be deterministic: the file source orders
+            # its initial listing by modification time (pinned 100 s
+            # apart), and the b{i} name prefix makes lexicographic
+            # order agree too — no filesystem accident can reorder.
+            dst = f"{src}/b{i}_{name}.parquet"
             shutil.move(part, dst)
-            # The file source orders its initial listing by modification
-            # time — pin mtimes so batch order is deterministic, not a
-            # filesystem accident.
             os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
 
         spark.conf.set("spark.sql.shuffle.partitions", "4")

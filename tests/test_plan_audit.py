@@ -394,3 +394,35 @@ def test_sample_temperature_broadcasts_rates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_sample_temperature")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_embedding_ivf_cell_equijoin(spark, sf_dir):
+    """Q99's pair stage must be an EQUI-join on the computed k-means
+    cell id (hash-partitionable), never an all-pairs score; and the
+    assignment rounds inherit q_kmeans' shape — the model is broadcast
+    as plan literals, so the vector table is never repartitioned by
+    vec_id."""
+    plan = plan_of(spark, sf_dir, "q_dedup_embedding_ivf")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # test-scale: one side fits the broadcast threshold → BHJ keyed on
+    # cell; at scale the same equi-join hash-partitions on cell instead
+    assert "BroadcastHashJoin" in plan or re.search(
+        r"hashpartitioning\(cell", plan
+    ), plan
+    assert not re.search(r"hashpartitioning\(vec_id", plan), plan
+
+
+def test_watermark_late_returns_distributed_snapshot(spark, sf_dir):
+    """Q98 (like Q90, asserted in tests/test_streaming.py) must return
+    a lazy parquet read of the executor-written snapshot — driver-side
+    gathers of per-window totals would violate SURVEY §4.2. Static
+    check only here (the streaming test drives it end to end): the
+    registered callable exists and its module has no collect() in the
+    query path."""
+    import inspect
+
+    from project_map_reduce_spark.plans import streaming_shaped as mod
+
+    src = inspect.getsource(mod)
+    assert ".collect()" not in src, "driver gather crept back into B.9"
