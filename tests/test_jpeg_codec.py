@@ -636,3 +636,66 @@ def test_progressive_rejects_malformed():
         J.decode_jpeg_gray(prog[: len(prog) * 2 // 3])
     with pytest.raises(ValueError):  # headers only, no scan at all
         J.decode_jpeg_gray(_prog_headers(w, h, 1) + b"\xff\xd9")
+
+
+def _encode_gray_progressive_rst(w, h, pixels, scans, ri):
+    """Progressive encoder variant with restart intervals: every ``ri``
+    MCUs (blocks — single-component scans) the entropy segment
+    byte-aligns, pending EOB runs flush BEFORE the marker (a run may
+    not cross a restart boundary), an RSTn marker lands in the stream,
+    and DC predictors reset."""
+    blocks = _dct_quant_blocks(w, h, pixels)
+    out = bytearray(_prog_headers(w, h, 1))
+    out += _seg(0xDD, struct.pack(">H", ri))  # DRI
+    for sc in scans:
+        bw = _BitWriter()
+        if sc[0] == "dc":
+            _, ah, al = sc
+            out += _sos([1], 0, 0, ah, al)
+            pred = 0
+            for m, q in enumerate(blocks):
+                if ri and m and m % ri == 0:
+                    bw.align()
+                    bw.out += bytes([0xFF, 0xD0 + ((m // ri - 1) % 8)])
+                    pred = 0
+                if ah == 0:
+                    v = int(q[0]) >> al
+                    diff = v - pred
+                    pred = v
+                    t = _cat(diff)
+                    code, n = _DC_CODES[t]
+                    bw.write(code, n)
+                    _emit_coef(bw, diff, t)
+                else:
+                    bw.write((int(q[0]) >> al) & 1, 1)
+        else:
+            _, ss, se, ah, al = sc
+            out += _sos([1], ss, se, ah, al)
+            emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+            # emit per restart-interval chunk: EOB runs cannot cross
+            # the boundary, and each chunk is its own entropy segment
+            for c0 in range(0, len(blocks), ri):
+                if c0:
+                    bw.align()
+                    bw.out += bytes([0xFF, 0xD0 + ((c0 // ri - 1) % 8)])
+                emit(bw, blocks[c0 : c0 + ri], ss, se, al)
+        bw.align()
+        out += bw.out
+    return bytes(out + b"\xff\xd9")
+
+
+def test_progressive_restart_intervals():
+    """Restart markers inside progressive scans (DC and AC, first and
+    refinement): predictors and EOB runs reset per interval, and the
+    decode equals the no-restart decode, which equals baseline."""
+    w, h = 48, 24  # 18 blocks; ri=4 → 4 restarts per scan
+    px = bytearray([130]) * (w * h)
+    for y in range(8):
+        for x in range(8):
+            px[y * w + x] = (50 + 17 * x + 23 * y) % 256
+            px[(16 + y) * w + 40 + x] = (10 + 29 * x * y) % 256
+    pixels = bytes(px)
+    base = J.decode_jpeg_gray(_encode_gray_jpeg(w, h, pixels))
+    rst = _encode_gray_progressive_rst(w, h, pixels, _FULL_SCANS, 4)
+    assert rst.count(b"\xff\xd0") >= 1  # markers really present
+    assert J.decode_jpeg_gray(rst) == base
