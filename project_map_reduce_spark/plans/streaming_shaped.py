@@ -230,8 +230,14 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition(3).write.parquet(src)
         # State-store partitioning follows shuffle.partitions at query
         # start; 200 (vanilla default) means 200 state dirs per batch
-        # for 150 keys. Pin low for the stream, restore after.
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # for 150 keys at sf0.01 — but pinning it LOW caps the stateful
+        # operator's parallelism at every scale (a flat 4 made the sf10
+        # probe run the Python state op 4-wide on a 32-core host). Pin
+        # to cores: bounded dir overhead, full parallelism.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
         stream = (
             spark.readStream.schema("user_id bigint, value double")
             .option("maxFilesPerTrigger", 1)
@@ -349,6 +355,13 @@ def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(part, dst)
             os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
 
+        # Unlike q_stream_totals (state O(users) — pinned to cores),
+        # this aggregation's state is O(open windows): a few hundred
+        # keys at ANY corpus size, and the map-side partial agg
+        # parallelism follows the FILE partitions, not this. A small
+        # constant is the right setting — cores-many state partitions
+        # only add checkpoint overhead (measured +2 s at sf0.1 and sf1,
+        # flat at sf10, with zero scale benefit).
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         stream = (
             spark.readStream.schema("ts timestamp, value double")
