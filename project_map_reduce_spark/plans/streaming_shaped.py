@@ -1,4 +1,4 @@
-"""B.9 streaming-shaped analytics, batch-checked (Q39-Q42, Q90, Q98).
+"""B.9 streaming-shaped analytics, batch-checked (Q39-Q42, Q90, Q98, Q100).
 
 Q39-Q42 apply the batch/stream-unified transforms from
 streaming/transforms.py to the batch events table; the identical
@@ -11,7 +11,8 @@ and hands the sink's final accounting to the driver's hash gate, so
 the streaming path itself (not just its batch-shaped twin) carries a
 driver correctness signal: Q90 drives the custom stateful operator
 (``applyInPandasWithState``), Q98 the watermark late-data admission
-rule. Both return a LAZY read of an executor-written snapshot — no
+rule, Q100 bounded-state streaming dedup with its expiry/re-admission
+window. All return a LAZY read of an executor-written snapshot — no
 driver gather anywhere (SURVEY §4.2).
 """
 
@@ -411,4 +412,140 @@ fmt_doc(
     r=_LATE_RES,
     d=_WM_DELAY_MIN,
     late_pct=100 // _LATE_MOD,
+)
+
+
+_DD_DELAY_MIN = 45
+_DD_MOD, _DD_RES = 10, 3
+_DD_REDELIVER_H = 3  # redelivery arrives 3h (event-time) after the original
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle=f"""
+    WITH t AS (SELECT event_id, ts, value FROM events),
+    mx AS (SELECT max(ts) AS m FROM t),
+    admitted AS (
+        -- a redelivered duplicate passes ONLY if it is not late
+        -- (arrival ts above the watermark W = m - delay) AND its key's
+        -- dedup state has already expired (original ts + delay <= W)
+        SELECT e.event_id,
+               e.ts + INTERVAL {_DD_REDELIVER_H} HOUR AS ts,
+               e.value
+        FROM events e, mx
+        WHERE e.event_id % {_DD_MOD} = {_DD_RES}
+          AND e.ts + INTERVAL {_DD_REDELIVER_H * 60} MINUTE
+              > mx.m - INTERVAL {_DD_DELAY_MIN} MINUTE
+          AND e.ts + INTERVAL {_DD_DELAY_MIN} MINUTE
+              <= mx.m - INTERVAL {_DD_DELAY_MIN} MINUTE
+    )
+    SELECT event_id, ts, round(value, 6) AS value FROM t
+    UNION ALL
+    SELECT event_id, ts, round(value, 6) AS value FROM admitted
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state, driver-hash-checked — the
+    ``dropDuplicatesWithinWatermark`` capability (the reference's
+    missing redelivery repair, SURVEY §1.4, in its state-finite form)
+    as a full-row-hash query instead of a smoke test.
+
+    Staging: [all events] → [empty spacer] → [redeliveries] (every
+    event_id % {m} == {r} key re-sent with the same payload {h} hours
+    later, event-time). The stream deduplicates on event_id with a
+    {d}-minute watermark; the sink must then hold EXACTLY: every
+    original row, plus those redeliveries whose key's dedup state had
+    already expired when they arrived while the row itself was still
+    above the watermark — the documented state-expiry re-admission
+    window. The oracle recomputes that window in SQL, so the hash
+    checks late-row filtering, duplicate suppression, AND state
+    eviction timing in one shot.
+
+    Pinned semantics (empirically verified, mirroring the Q98
+    methodology): (1) a row is late-dropped iff ts <= watermark
+    (non-strict); (2) a key's state expires iff its ts + delay <=
+    watermark (non-strict — a redelivery at exactly the expiry instant
+    is re-admitted); (3) the filter watermark lags one micro-batch
+    behind the reported one, which the empty spacer batch absorbs
+    (cutoff = max(original ts) − delay under a 1- OR 2-batch lag).
+
+    Scale shape: state is O(keys per watermark horizon), NOT O(all
+    keys ever) — the property that lets the dedup run forever on an
+    unbounded stream; append-mode idempotent sink; final snapshot is an
+    executor-side parquet write returned as a lazy read (SURVEY §4.2).
+    """
+    import glob
+    import os
+    import time
+
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    redeliver = ev.where(F.col("event_id") % _DD_MOD == _DD_RES).withColumn(
+        "ts", F.col("ts") + F.expr(f"INTERVAL {_DD_REDELIVER_H} HOURS")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pmrs_q100_")
+    out_dir = _session_output_dir("pmrs_q100_final_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        now = time.time()
+        stage = (
+            ("originals", ev),
+            ("spacer", ev.where(F.lit(False))),
+            ("redeliver", redeliver),
+        )
+        for i, (name, df) in enumerate(stage):
+            df.coalesce(1).write.parquet(f"{tmp}/{name}")
+            (part,) = glob.glob(f"{tmp}/{name}/part-*.parquet")
+            dst = f"{src}/b{i}_{name}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+
+        # dedup state is O(keys in horizon) — grows with data: pin the
+        # state partitioning to cores (same reasoning as q_stream_totals)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = stream.withWatermark(
+            "ts", f"{_DD_DELAY_MIN} minutes"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        q = write_stream_idempotent(
+            deduped, f"{tmp}/sink", f"{tmp}/ckpt", output_mode="append"
+        )
+        _await_finite_stream(q, "q_stream_dedup_watermark")
+        # append-mode sink: the emitted rows ARE the result — no
+        # last-update resolution needed, just drop the batch_id dir key
+        snap = spark.read.option("basePath", f"{tmp}/sink").parquet(f"{tmp}/sink")
+        (
+            snap.select(
+                "event_id",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                F.round("value", 6).alias("value"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+fmt_doc(
+    q_stream_dedup_watermark,
+    m=_DD_MOD,
+    r=_DD_RES,
+    d=_DD_DELAY_MIN,
+    h=_DD_REDELIVER_H,
 )

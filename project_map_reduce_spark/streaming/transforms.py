@@ -107,5 +107,9 @@ def dedup_events_within_watermark(events: DataFrame) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` evicts everything older. State is
     O(keys per horizon), not O(all keys ever) — the difference between a
     streaming job that runs for a year and one that OOMs in a week.
-    Input must already carry a watermark (``with_watermark``)."""
+    Input must already carry a watermark (``with_watermark``).
+
+    Driver-hash-checked end to end by Q100
+    (plans/streaming_shaped.py::q_stream_dedup_watermark), including
+    the exact late-filter/state-expiry boundary semantics."""
     return events.dropDuplicatesWithinWatermark(["event_id"])
