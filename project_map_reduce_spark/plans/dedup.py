@@ -569,7 +569,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     in n — as does the declared OUTPUT (all qualifying pairs). At scale
     k must grow with the corpus (that is what IVF/k-means assignment
     does — Q84 produces exactly such labels), keeping per-block size
-    roughly constant; per-block work is then flat and total work linear.
+    roughly constant; per-block work is then flat and total work
+    linear. Q99 (q_dedup_embedding_ivf) composes exactly that: the
+    same pair join blocked on COMPUTED k-means cells instead of the
+    fixture label.
     """
     # Repartition first: one parquet file = one partition, and the
     # pair-scoring fold below is CPU-bound — without this the whole
