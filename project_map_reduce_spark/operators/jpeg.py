@@ -65,14 +65,18 @@ _IDCT_M = np.array([
 
 
 class _Huff:
-    """Canonical JPEG Huffman table (T.81 Annex C): decode by walking
-    code lengths with per-length (min, max, value-offset) triples."""
+    """Canonical JPEG Huffman table (T.81 Annex C): an 8-bit first-level
+    lookup table resolves codes up to 8 bits in one step (the vast
+    majority — Annex K tables put all the hot symbols at ≤ 8 bits);
+    longer codes fall back to the canonical per-length
+    (min, max, value-offset) walk."""
 
     def __init__(self, counts: list[int], symbols: bytes):
         self.min_code = [0] * 17
         self.max_code = [-1] * 17
         self.val_off = [0] * 17
         self.symbols = symbols
+        self.lut: list[tuple[int, int] | None] = [None] * 256
         code = 0
         k = 0
         for length in range(1, 17):
@@ -80,6 +84,14 @@ class _Huff:
             self.val_off[length] = k
             self.min_code[length] = code
             self.max_code[length] = code + n - 1 if n else -1
+            if length <= 8:
+                for _ in range(n):
+                    base = code << (8 - length)
+                    hit = (symbols[k + code - self.min_code[length]], length)
+                    for suffix in range(1 << (8 - length)):
+                        self.lut[base | suffix] = hit
+                    code += 1
+                code -= n  # restore for the canonical bookkeeping below
             code += n
             k += n
             code <<= 1
@@ -139,6 +151,14 @@ class _BitReader:
         return v
 
     def huff(self, table: _Huff) -> int:
+        # fast path: resolve ≤8-bit codes in one first-level LUT probe
+        if self.nbits < 8:
+            self._fill()
+        hit = table.lut[(self.bitbuf >> (self.nbits - 8)) & 0xFF]
+        if hit is not None:
+            self.nbits -= hit[1]
+            return hit[0]
+        # long codes: canonical per-length walk, consuming bit by bit
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.bits(1)
