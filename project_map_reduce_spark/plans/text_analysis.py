@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import r6d
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 
@@ -443,3 +443,72 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6d(F.avg("lp"), "avg_token_logprob"),
         r6d(F.min("lp"), "min_token_logprob"),
     )
+
+
+_QC_BUCKETS = 64
+_QC_BIAS = -3
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST({_QC_BIAS} + CASE WHEN len(t) < 2 THEN 0 ELSE list_sum(
+               list_transform(range(1, len(t)),
+                   i -> (CAST(('0x' || substr(md5(t[i] || '_' || t[i+1]), 1, 6))
+                              AS BIGINT) % {_QC_BUCKETS}) * 37 % 21 - 10))
+           END AS BIGINT) AS logit,
+           CASE WHEN {_QC_BIAS} + CASE WHEN len(t) < 2 THEN 0 ELSE list_sum(
+               list_transform(range(1, len(t)),
+                   i -> (CAST(('0x' || substr(md5(t[i] || '_' || t[i+1]), 1, 6))
+                              AS BIGINT) % {_QC_BUCKETS}) * 37 % 21 - 10))
+           END >= 0 THEN 'keep' ELSE 'drop' END AS quality_label
+    FROM toks
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet / LLaMA-pipeline
+    fasttext step, restated engine-exactly): a linear classifier over
+    hashed token-BIGRAM features scores every document in one
+    shuffle-free codegen'd map — bucket = first-6-hex-of-md5(bigram)
+    mod {b} (the feature-hashing trick), per-bucket integer weight
+    derived from the bucket id (a stand-in for trained weights with
+    the identical plan shape), logit = bias + Σ weights, label =
+    keep/drop at logit ≥ 0.
+
+    Integer arithmetic END TO END — hash, weights, fold — so the
+    driver hash is exact with no rounding contract at all; a real
+    trained model swaps the weight expression for a broadcast
+    float-weight array and everything else (hashing, fold, plan
+    shape) stays identical.
+
+    100 TB shape: zero shuffles, zero joins — the score rides the
+    ingest scan like Q69's PII scrub (filters on quality_label push
+    into the same stage). Per-row cost is O(tokens), Catalyst HOFs,
+    never a Python UDF.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    logit = F.expr(
+        f"""
+        CAST({_QC_BIAS} AS BIGINT) + CASE
+          WHEN size(toks) < 2 THEN CAST(0 AS BIGINT)
+          ELSE aggregate(
+            transform(sequence(0, size(toks) - 2),
+              i -> (CAST(conv(substr(md5(cast(concat(toks[i], '_',
+                         toks[i+1]) as binary)), 1, 6), 16, 10) AS BIGINT)
+                    % {_QC_BUCKETS}) * 37 % 21 - 10),
+            CAST(0 AS BIGINT), (s, x) -> s + x)
+        END"""
+    ).alias("logit")
+    return d.select("doc_id", "lang", logit).withColumn(
+        "quality_label",
+        F.when(F.col("logit") >= 0, "keep").otherwise("drop"),
+    )
+
+
+fmt_doc(q_quality_classifier, b=_QC_BUCKETS)

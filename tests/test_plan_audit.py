@@ -426,3 +426,13 @@ def test_watermark_late_returns_distributed_snapshot(spark, sf_dir):
 
     src = inspect.getsource(mod)
     assert ".collect()" not in src, "driver gather crept back into B.9"
+
+
+def test_quality_classifier_is_shuffle_free(spark, sf_dir):
+    """Q102's hashed-bigram linear scoring must be a pure narrow map —
+    hash + weight fold inside Catalyst HOFs, no Exchange and no Python
+    eval (the property that lets model-based quality filtering ride
+    the ingest scan at 100 TB, like Q69's PII scrub)."""
+    plan = plan_of(spark, sf_dir, "q_quality_classifier")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
