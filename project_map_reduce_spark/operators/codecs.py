@@ -677,15 +677,54 @@ def avi_stream_format(raw: bytes) -> tuple[str, int, int, int]:
 
 
 @_valueerror_contract
+def avi_stream_palette(raw: bytes) -> bytes | None:
+    """The first video stream's bmiColors table (BGRX quads after the
+    40-byte BITMAPINFOHEADER in strf), or None if the stream declares
+    no palette. 8-bit BI_RGB frames are PALETTE INDICES — pass this to
+    ``decode_dib_gray`` so they map to luminance like the GIF/PNG
+    palette paths, instead of being read as literal gray values."""
+    _require_avi(raw)
+    for fourcc, off, size in _riff_chunks(raw, 12, len(raw)):
+        if fourcc != b"LIST" or raw[off : off + 4] != b"hdrl":
+            continue
+        for fc2, o2, s2 in _riff_chunks(raw, off + 4, off + size):
+            if fc2 != b"LIST" or raw[o2 : o2 + 4] != b"strl":
+                continue
+            is_vids = False
+            for fc3, o3, s3 in _riff_chunks(raw, o2 + 4, o2 + s2):
+                if fc3 == b"strh":
+                    if raw[o3 : o3 + 4] != b"vids":
+                        break
+                    is_vids = True
+                elif fc3 == b"strf" and is_vids:
+                    if s3 < 40:
+                        return None
+                    (hdr_size,) = struct.unpack_from("<I", raw, o3)
+                    hdr_size = max(40, hdr_size)
+                    colors = raw[o3 + hdr_size : o3 + s3]
+                    if len(colors) < 4 or len(colors) % 4:
+                        return None
+                    return colors
+    return None
+
+
+@_valueerror_contract
 def decode_dib_gray(
-    payload: bytes, width: int, height: int, bit_count: int
+    payload: bytes,
+    width: int,
+    height: int,
+    bit_count: int,
+    palette: bytes | None = None,
 ) -> tuple[int, int, bytes]:
     """Decode an uncompressed BI_RGB DIB frame (an AVI '##db' payload,
     dimensions/bit depth from ``avi_stream_format``) to an 8-bit
     luminance plane: rows are 4-byte aligned and BOTTOM-UP when height
     is positive (top-down when negative, per the DIB convention);
-    24/32-bit pixels are little-endian BGR(X) → integer luminance,
-    8-bit samples pass through as gray. The one video codec decodable
+    24/32-bit pixels are little-endian BGR(X) → integer luminance.
+    8-bit samples are palette indices — pass the stream's bmiColors
+    (``avi_stream_palette``) to map them through luminance like the
+    GIF/PNG palette paths; with no palette they pass through as gray
+    (the grayscale-ramp convention). The one video codec decodable
     with no codec library at all — with MJPEG this makes AVI frame
     extraction real end to end for both common cases."""
     if bit_count not in (8, 24, 32):
@@ -696,12 +735,28 @@ def decode_dib_gray(
         raise ValueError(
             f"DIB payload size {len(payload)} != {stride}*{h}"
         )
+    shades = None
+    n_colors = 256
+    if bit_count == 8 and palette is not None:
+        n_colors = min(len(palette) // 4, 256)  # BGRX quads
+        if n_colors < 1:
+            raise ValueError("empty DIB palette")
+        shades = bytes(
+            (299 * palette[4 * i + 2] + 587 * palette[4 * i + 1]
+             + 114 * palette[4 * i]) // 1000
+            for i in range(n_colors)
+        )
+        shades += bytes(256 - len(shades))
     nb = bit_count // 8
     out = bytearray(width * h)
     for y in range(h):
         src_y = (h - 1 - y) if height > 0 else y  # bottom-up rows
         row = payload[src_y * stride : src_y * stride + width * nb]
         if nb == 1:
+            if shades is not None:
+                if max(row) >= n_colors:
+                    raise ValueError("pixel index beyond DIB palette")
+                row = row.translate(shades)
             out[y * width : (y + 1) * width] = row
         else:
             for x in range(width):

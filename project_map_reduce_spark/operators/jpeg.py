@@ -580,8 +580,14 @@ class _ProgState:
             if c["id"] in self.by_id:
                 raise ValueError("duplicate component id")
             self.by_id[c["id"]] = c
+        # int64, not int32: a (corrupt or adversarial) DC scan can walk
+        # the predictor past 2^31 across many blocks (diffs are only
+        # bounded per block), and numpy would either wrap silently
+        # (1.x) or raise OverflowError outside the ValueError contract
+        # (2.x). int64 is unreachable: ≤ 2^26 blocks by the dimension
+        # fields × max |pred<<13| ≈ 2^60.
         self.coef = np.zeros(
-            (self.luma["bh"] * self.luma["bw"], 64), np.int32
+            (self.luma["bh"] * self.luma["bw"], 64), np.int64
         )
         self.got_scan = False
 

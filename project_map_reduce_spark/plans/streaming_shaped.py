@@ -59,6 +59,32 @@ def _await_finite_stream(q, what: str) -> None:
         )
 
 
+def _stage_batches(tmp: str, stages) -> str:
+    """Stage (name, DataFrame) pairs as ordered micro-batch files under
+    ``tmp/src``, one parquet FILE per stage: the file source's initial
+    listing orders by modification time (pinned 100 s apart) and the
+    ``b{i}_`` name prefix makes lexicographic order agree — batch order
+    survives either listing strategy. Single-file stages are SEMANTIC
+    where a stage must land in exactly one micro-batch (e.g. all
+    on-time rows before the watermark starts advancing — see
+    q_watermark_late); test-harness staging only, a production stream
+    has no such replay step."""
+    import glob
+    import os
+    import time
+
+    src = f"{tmp}/src"
+    os.makedirs(src)
+    now = time.time()
+    for i, (name, df) in enumerate(stages):
+        df.coalesce(1).write.parquet(f"{tmp}/{name}")
+        (part,) = glob.glob(f"{tmp}/{name}/part-*.parquet")
+        dst = f"{src}/b{i}_{name}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+    return src
+
+
 def _last_update_snapshot(
     spark: SparkSession,
     sink: str,
@@ -323,10 +349,6 @@ def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     write all executor-side; the returned DataFrame is a lazy parquet
     read (no driver gather, SURVEY §4.2).
     """
-    import glob
-    import os
-    import time
-
     from project_map_reduce_spark.sources.sinks import write_stream_idempotent
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
@@ -338,30 +360,13 @@ def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _session_output_dir("pmrs_q98_final_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        now = time.time()
-        # Single-file stages are SEMANTIC, not laziness: all on-time
-        # rows must land in ONE micro-batch (watermark is 0 while it
-        # runs), otherwise the watermark advances mid-originals and
-        # old on-time rows in later batches get late-dropped — which
-        # the oracle (correctly) does not model. Test-harness staging
-        # only; a production stream has no such replay step.
-        stage = (
-            ("ontime", ev.where(~is_late)),
-            ("spacer", ev.where(F.lit(False))),
-            ("late", ev.where(is_late)),
-        )
-        for i, (name, df) in enumerate(stage):
-            df.select("ts", "value").coalesce(1).write.parquet(f"{tmp}/{name}")
-            (part,) = glob.glob(f"{tmp}/{name}/part-*.parquet")
-            # Batch order must be deterministic: the file source orders
-            # its initial listing by modification time (pinned 100 s
-            # apart), and the b{i} name prefix makes lexicographic
-            # order agree too — no filesystem accident can reorder.
-            dst = f"{src}/b{i}_{name}.parquet"
-            shutil.move(part, dst)
-            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+        # All on-time rows MUST land in one micro-batch (watermark is 0
+        # while it runs) — the oracle models exactly one advancement.
+        src = _stage_batches(tmp, (
+            ("ontime", ev.where(~is_late).select("ts", "value")),
+            ("spacer", ev.where(F.lit(False)).select("ts", "value")),
+            ("late", ev.where(is_late).select("ts", "value")),
+        ))
 
         # Unlike q_stream_totals (state O(users) — pinned to cores),
         # this aggregation's state is O(open windows): a few hundred
@@ -481,10 +486,6 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded stream; append-mode idempotent sink; final snapshot is an
     executor-side parquet write returned as a lazy read (SURVEY §4.2).
     """
-    import glob
-    import os
-    import time
-
     from project_map_reduce_spark.sources.sinks import write_stream_idempotent
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
@@ -498,20 +499,11 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _session_output_dir("pmrs_q100_final_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        now = time.time()
-        stage = (
+        src = _stage_batches(tmp, (
             ("originals", ev),
             ("spacer", ev.where(F.lit(False))),
             ("redeliver", redeliver),
-        )
-        for i, (name, df) in enumerate(stage):
-            df.coalesce(1).write.parquet(f"{tmp}/{name}")
-            (part,) = glob.glob(f"{tmp}/{name}/part-*.parquet")
-            dst = f"{src}/b{i}_{name}.parquet"
-            shutil.move(part, dst)
-            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+        ))
 
         # dedup state is O(keys in horizon) — grows with data: pin the
         # state partitioning to cores (same reasoning as q_stream_totals)
@@ -587,15 +579,12 @@ def q_join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer holds O(users · 3 h) rows at any instant, which is what
     makes the join runnable forever on an unbounded stream.
 
-    Scale shape: join state keyed by user_id grows with data — state
-    partitioning pinned to cores (same reasoning as q_stream_totals);
-    append-mode idempotent sink; executor-written snapshot returned as
-    a lazy read (SURVEY §4.2).
+    Scale shape: append-mode idempotent sink; executor-written snapshot
+    returned as a lazy read (SURVEY §4.2); state partition count is the
+    measured-best harness value (see the in-body comment — a
+    stream-stream join carries TWO state stores per partition, so
+    checkpoint-commit overhead, not compute, dominates here).
     """
-    import glob
-    import os
-    import time
-
     from project_map_reduce_spark.sources.sinks import write_stream_idempotent
 
     ev = load(spark, sf_dir, "events").select(
@@ -610,26 +599,20 @@ def q_join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _session_output_dir("pmrs_q101_final_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        now = time.time()
         frac = (
             F.timestamp_diff("MICROSECOND", F.lit(lo), F.col("ts"))
             / F.lit(span_us)
         )
         chunk = F.least(F.floor(frac * 3).cast("int"), F.lit(2))
-        for i in range(3):
+        src = _stage_batches(tmp, tuple(
             (
+                f"c{i}",
                 ev.withColumn("__c", chunk)
                 .where(F.col("__c") == i)
-                .drop("__c")
-                .coalesce(1)
-                .write.parquet(f"{tmp}/c{i}")
+                .drop("__c"),
             )
-            (part,) = glob.glob(f"{tmp}/c{i}/part-*.parquet")
-            dst = f"{src}/b{i}.parquet"
-            shutil.move(part, dst)
-            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+            for i in range(3)
+        ))
 
         # A stream-stream join keeps TWO state stores per partition, so
         # per-batch checkpoint commits scale with partitions x stores x

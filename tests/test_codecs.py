@@ -672,11 +672,15 @@ def test_png_sub8_adam7():
 # --- uncompressed-DIB AVI: the codec-library-free video frame path ---
 
 
-def _make_dib_avi(w, h, planes_gray, bit_count=24, *, flip_height=False):
+def _make_dib_avi(
+    w, h, planes_gray, bit_count=24, *, flip_height=False, palette=None
+):
     """AVI whose video stream is uncompressed BI_RGB ('00db' chunks):
     gray source planes replicated to BGR (luminance is then exactly the
     gray value — lossless roundtrip), rows bottom-up and 4-byte padded,
-    with the strl/strh/strf chain declaring the format."""
+    with the strl/strh/strf chain declaring the format. ``palette``
+    (BGRX quads) appends bmiColors to strf — 8-bit planes are then
+    palette INDICES."""
 
     def chunk(fourcc, data):
         pad = b"\x00" if len(data) % 2 else b""
@@ -701,7 +705,7 @@ def _make_dib_avi(w, h, planes_gray, bit_count=24, *, flip_height=False):
     strh = b"vids" + b"DIB " + bytes(48)
     strf = struct.pack(
         "<IiihHI", 40, w, -h if flip_height else h, 1, bit_count, 0
-    ) + bytes(20)
+    ) + bytes(20) + (palette or b"")
     strl = chunk(
         b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
     )
@@ -750,3 +754,39 @@ def test_avi_stream_format_and_dib_decode():
     mjpeg = _make_avi(8, 8, [_encode_gray_jpeg(8, 8, bytes(64))])
     with pytest.raises(ValueError):
         codecs.avi_stream_format(mjpeg)
+
+
+def test_dib_8bit_palette_maps_to_luminance():
+    """8-bit BI_RGB frames are palette INDICES: a colored bmiColors
+    table (BGRX quads) must map through integer luminance like the
+    GIF/PNG palette paths; without a palette the grayscale-ramp
+    convention passes indices through; indices past the table raise."""
+    w, h = 9, 5
+    idx = bytes((x + 3 * y) % 12 for y in range(h) for x in range(w))
+    pal = b"".join(
+        bytes([7 * i, 255 - 20 * i, 13 * i, 0]) for i in range(12)  # B,G,R,X
+    )
+    avi = _make_dib_avi(w, h, [idx], 8, palette=pal)
+    assert codecs.avi_stream_palette(avi) == pal
+    off, ln = codecs.avi_video_frames(avi)[0]
+    expect = bytes(
+        (299 * pal[4 * i + 2] + 587 * pal[4 * i + 1] + 114 * pal[4 * i])
+        // 1000
+        for i in idx
+    )
+    assert codecs.decode_dib_gray(avi[off : off + ln], w, h, 8, pal) == (
+        w, h, expect,
+    )
+    # no palette declared -> grayscale-ramp convention (pass-through)
+    plain = _make_dib_avi(w, h, [idx], 8)
+    assert codecs.avi_stream_palette(plain) is None
+    o2, l2 = codecs.avi_video_frames(plain)[0]
+    assert codecs.decode_dib_gray(plain[o2 : o2 + l2], w, h, 8) == (
+        w, h, idx,
+    )
+    # index beyond the declared palette is loud, like the PNG path
+    bad = bytes([13]) * (w * h)
+    avi_bad = _make_dib_avi(w, h, [bad], 8, palette=pal)
+    ob, lb = codecs.avi_video_frames(avi_bad)[0]
+    with pytest.raises(ValueError):
+        codecs.decode_dib_gray(avi_bad[ob : ob + lb], w, h, 8, pal)

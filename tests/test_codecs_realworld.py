@@ -68,7 +68,8 @@ def test_realworld_decode(path, kind, dims, md5p):
     if kind == "png":
         w, h, px = codecs.decode_png_luma(raw)
     elif kind == "jpg":
-        # confirm it really is progressive before claiming the win
+        # these fixtures exist to prove PROGRESSIVE coverage — fail
+        # loudly if a host upgrade ever swaps in a baseline file
         i = 2
         sof = None
         while i + 1 < len(raw):
@@ -76,8 +77,7 @@ def test_realworld_decode(path, kind, dims, md5p):
                 sof = raw[i + 1]
                 break
             i += 1
-        if sof == 0xC2 or sof is None:
-            pass  # progressive (or undetected) — decode below proves it
+        assert sof == 0xC2, f"fixture is no longer progressive (SOF {sof})"
         w, h, px = decode_jpeg_gray(raw)
     else:
         w, h, px = codecs.decode_gif_gray(raw)

@@ -699,3 +699,24 @@ def test_progressive_restart_intervals():
     rst = _encode_gray_progressive_rst(w, h, pixels, _FULL_SCANS, 4)
     assert rst.count(b"\xff\xd0") >= 1  # markers really present
     assert J.decode_jpeg_gray(rst) == base
+
+
+def test_progressive_dc_predictor_overflow_safe():
+    """A DC scan whose predictor walks past 2^31 (max-category diffs at
+    Al=13, hundreds of blocks) must decode deterministically — not wrap
+    (numpy 1.x int32) or raise OverflowError (numpy 2.x): the
+    coefficient store is int64 and the output clamps per pixel."""
+    w = h = 128  # 256 blocks; 2047<<13 per block walks past 2^31
+    out = bytearray(_prog_headers(w, h, 1))
+    out += _sos([1], 0, 0, 0, 13)
+    bw = _BitWriter()
+    for _ in range((w // 8) * (h // 8)):
+        code, n = _DC_CODES[11]
+        bw.write(code, n)
+        _emit_coef(bw, 2047, 11)  # +2047 diff every block
+    bw.align()
+    out += bw.out + b"\xff\xd9"
+    dw, dh, px = J.decode_jpeg_gray(bytes(out))
+    assert (dw, dh) == (w, h)
+    assert len(px) == w * h
+    assert set(px) == {255}  # huge positive DC clamps white everywhere

@@ -323,7 +323,13 @@ def test_watermark_drop_semantics_pinned(spark):
 
     sink, ckpt = os.path.join(path, "sink"), os.path.join(path, "ckpt")
     q = write_stream_idempotent(agg, sink, ckpt, output_mode="update")
-    q.awaitTermination(120)
+    # fail loudly on timeout/exception — a partial sink would otherwise
+    # masquerade as "the semantics changed"
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _await_finite_stream,
+    )
+
+    _await_finite_stream(q, "wm_boundary_test")
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
         for p in q.recentProgress
