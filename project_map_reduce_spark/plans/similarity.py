@@ -354,20 +354,27 @@ fmt_doc(q_kmeans, k=_KM_K, i=_KM_ITERS)
                         ELSE least(CAST(floor((v[i] - m.mn[i]) * 256
                                               / (m.mx[i] - m.mn[i]))
                                         AS BIGINT), 255) END
-               ) AS code
+               ) AS code,
+               -- TRUE clamps only: raw bucket >= 256 (x at/above the top
+               -- edge) — NOT mere top-bucket occupancy (code == 255)
+               len(list_filter(range(1, len(v) + 1),
+                   i -> m.mx[i] <> m.mn[i]
+                        AND floor((v[i] - m.mn[i]) * 256
+                                  / (m.mx[i] - m.mn[i])) >= 256
+               )) AS n_clipped
         FROM e, m
+    ),
+    r AS (
+        SELECT q.vec_id, q.label, q.n_clipped,
+               list_transform(range(1, len(code) + 1),
+                   i -> q.v[i] - (m.mn[i] + (code[i] + 0.5)
+                                  * (m.mx[i] - m.mn[i]) / 256)) AS diff
+        FROM q, m
     )
-    SELECT q.vec_id, q.label,
-           CAST(len(list_filter(code, c -> c = 255)) AS BIGINT) AS n_clipped,
-           round(list_dot_product(
-               list_transform(range(1, len(code) + 1),
-                   i -> q.v[i] - (m.mn[i] + (code[i] + 0.5)
-                                  * (m.mx[i] - m.mn[i]) / 256)),
-               list_transform(range(1, len(code) + 1),
-                   i -> q.v[i] - (m.mn[i] + (code[i] + 0.5)
-                                  * (m.mx[i] - m.mn[i]) / 256))
-           ) / len(code), 9) AS mse
-    FROM q, m
+    SELECT vec_id, label,
+           CAST(n_clipped AS BIGINT) AS n_clipped,
+           round(list_dot_product(diff, diff) / len(diff), 9) AS mse
+    FROM r
     """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,9 +392,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over the vectors: at 100 TB the quantizer trains in one
     cheap pass and the encode rides the scan. Reconstruction math is
     the identical IEEE operation sequence on both engines (same
-    expression shape, sequential dot-product fold), clip counts are
-    integers, MSE rounds at 9 dp (values ~1e-6; margin analysis:
-    cross-engine fp drift ≤1e-20 abs vs 1e-9 grid).
+    expression shape, one materialized diff array, sequential
+    dot-product fold), clip counts are integers, MSE rounds at 9 dp
+    (values ~1e-6; margin analysis: cross-engine fp drift ≤1e-20 abs
+    vs 1e-9 grid). ``n_clipped`` counts TRUE clamps (raw bucket ≥ 256,
+    i.e. the value sits at/above the top edge — with corpus-trained
+    stats that is only x == max, but applied to NEW data it is the
+    saturation signal), not mere top-bucket occupancy.
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -412,23 +423,33 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS BIGINT), CAST(255 AS BIGINT)) END)
         """
     )
-    d = d.withColumn("code", code)
-    diff = (
-        "transform(v, (x, i) -> x - (mn[i] + (code[i] + 0.5)"
-        " * (mx[i] - mn[i]) / 256))"
+    d = d.withColumn("code", code).withColumn(
+        "n_clipped",
+        F.expr(
+            """
+            CAST(size(filter(transform(v, (x, i) ->
+                CASE WHEN mx[i] = mn[i] THEN 0D
+                     ELSE floor((x - mn[i]) * 256 / (mx[i] - mn[i])) END),
+                f -> f >= 256)) AS BIGINT)
+            """
+        ),
+    ).withColumn(
+        "diff",
+        F.expr(
+            "transform(v, (x, i) -> x - (mn[i] + (code[i] + 0.5)"
+            " * (mx[i] - mn[i]) / 256))"
+        ),
     )
     return d.select(
         "vec_id",
         "label",
-        F.expr("CAST(size(filter(code, c -> c = 255)) AS BIGINT)").alias(
-            "n_clipped"
-        ),
+        "n_clipped",
         F.round(
             F.expr(
-                f"aggregate(zip_with({diff}, {diff}, (a, b) -> a * b),"
+                "aggregate(zip_with(diff, diff, (a, b) -> a * b),"
                 " 0D, (s, y) -> s + y)"
             )
-            / F.expr("size(code)"),
+            / F.expr("size(diff)"),
             9,
         ).alias("mse"),
     )

@@ -56,6 +56,32 @@ _CASES = [
 ]
 
 
+def _sof_marker(raw: bytes) -> int:
+    """First SOF marker byte via a REAL segment walk (lengths honored —
+    a naive byte scan would trip on FF Cx bytes inside APPn metadata
+    such as an embedded EXIF thumbnail's own SOF)."""
+    import struct
+
+    assert raw[:2] == b"\xff\xd8", "not a JPEG"
+    pos = 2
+    sofs = {m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)}
+    while pos + 4 <= len(raw):
+        assert raw[pos] == 0xFF, f"marker desync at {pos}"
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in sofs:
+            return marker
+        assert marker != 0xD9, "EOI before any SOF"
+        (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    raise AssertionError("no SOF marker found")
+
+
 @pytest.mark.parametrize(
     "path,kind,dims,md5p",
     _CASES,
@@ -70,14 +96,8 @@ def test_realworld_decode(path, kind, dims, md5p):
     elif kind == "jpg":
         # these fixtures exist to prove PROGRESSIVE coverage — fail
         # loudly if a host upgrade ever swaps in a baseline file
-        i = 2
-        sof = None
-        while i + 1 < len(raw):
-            if raw[i] == 0xFF and raw[i + 1] in {0xC0, 0xC1, 0xC2}:
-                sof = raw[i + 1]
-                break
-            i += 1
-        assert sof == 0xC2, f"fixture is no longer progressive (SOF {sof})"
+        sof = _sof_marker(raw)
+        assert sof == 0xC2, f"fixture is no longer progressive (SOF {sof:#x})"
         w, h, px = decode_jpeg_gray(raw)
     else:
         w, h, px = codecs.decode_gif_gray(raw)
