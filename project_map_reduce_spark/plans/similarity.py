@@ -400,10 +400,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats that is only x == max, but applied to NEW data it is the
     saturation signal), not mere top-bucket occupancy.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    # Repartition to cores like _vectors: the fixture is one parquet
+    # file (= one scan partition) and the encode is CPU-bound HOF work.
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
     )
     stats = (
         e.select(F.posexplode("v").alias("dim", "x"))
