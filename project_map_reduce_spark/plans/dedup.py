@@ -870,3 +870,108 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (token-window) dedup — the ExactSubstr/C4 window rule
+
+_SUB_W = 20  # window length (tokens)
+_SUB_S = 10  # stride (tokens)
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    w AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(
+                   t[(j*{_SUB_S}+1):(j*{_SUB_S}+{_SUB_W})], ' ')) AS fp
+        FROM d, LATERAL (
+            SELECT unnest(range(0,
+                CAST(floor((len(t) - {_SUB_W}) / {_SUB_S}) AS BIGINT) + 1
+            )) AS j
+        ) s
+        WHERE len(t) >= {_SUB_W}
+    ),
+    f AS (SELECT fp, count(*) AS cnt FROM w GROUP BY fp),
+    p AS (
+        SELECT w.doc_id, any_value(w.lang) AS lang,
+               count(*) AS n_windows,
+               CAST(count(*) FILTER (WHERE f.cnt > 1) AS BIGINT)
+                   AS n_dup_windows
+        FROM w JOIN f USING (fp) GROUP BY w.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_windows AS BIGINT) AS n_windows,
+           n_dup_windows,
+           round(n_dup_windows * 1.0 / n_windows, 6) AS dup_fraction
+    FROM p
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup accounting (the ExactSubstr rule of
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better", in its Spark-scalable strided form): every {w}-token
+    window at stride {s} is fingerprinted (md5 of the joined tokens),
+    windows occurring 2+ times ANYWHERE in the corpus are flagged, and
+    each document reports its duplicated-window fraction — the signal
+    the removal variant cuts on. Completes the dedup ladder between
+    Q43 (whole-document) and Q89 (line-level): copied PASSAGES inside
+    otherwise-distinct documents, which neither catches.
+
+    Scale shape: explode → window-fingerprint frequency (partial+final
+    agg, shuffle O(distinct windows × 32-byte keys, ~corpus tokens/{s}
+    — the stride keeps the index {s}× smaller than per-token suffix
+    indexing)) → frequency joined back to windows (the Zipfian hot
+    head is the declared skew-operator use case, same as Q89's line
+    join) → one per-doc agg. The removal variant is the same plan with
+    a span-merge instead of counters; counters keep the oracle exact
+    (integer counts, one exact division rounded at 6 dp).
+    """
+    # Repartition to cores before the CPU-bound window/md5 explode —
+    # a one-file ingest would otherwise serialize it (family convention)
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .where(F.expr(f"size(t) >= {_SUB_W}"))
+    )
+    wins = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                    sequence(0, CAST(floor((size(t) - {_SUB_W}) / {_SUB_S})
+                                     AS INT)),
+                    j -> md5(cast(concat_ws(' ',
+                             slice(t, j * {_SUB_S} + 1, {_SUB_W})) as binary))
+                )"""
+            )
+        ).alias("fp"),
+    )
+    freq = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        wins.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("cnt") > 1).cast("bigint")).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") * 1.0 / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+fmt_doc(q_dedup_substring, w=_SUB_W, s=_SUB_S)
