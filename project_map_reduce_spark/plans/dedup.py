@@ -898,11 +898,11 @@ _SUB_S = 10  # stride (tokens)
     ),
     f AS (SELECT fp, count(*) AS cnt FROM w GROUP BY fp),
     p AS (
-        SELECT w.doc_id, any_value(w.lang) AS lang,
+        SELECT w.doc_id, w.lang,
                count(*) AS n_windows,
                CAST(count(*) FILTER (WHERE f.cnt > 1) AS BIGINT)
                    AS n_dup_windows
-        FROM w JOIN f USING (fp) GROUP BY w.doc_id
+        FROM w JOIN f USING (fp) GROUP BY w.doc_id, w.lang
     )
     SELECT doc_id, lang, CAST(n_windows AS BIGINT) AS n_windows,
            n_dup_windows,
@@ -956,9 +956,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         wins.join(freq, "fp")
-        .groupBy("doc_id")
+        # lang rides the grouping key (functionally dependent on doc_id)
+        # — a first(lang) aggregate would put a string buffer in the agg
+        # and fall off the hash-agg fast path onto SortAggregate
+        .groupBy("doc_id", "lang")
         .agg(
-            F.first("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_windows"),
             F.sum((F.col("cnt") > 1).cast("bigint")).alias("n_dup_windows"),
         )
