@@ -101,6 +101,10 @@ _DRIVER_WINDOW = [
     "q_watermark_late",
     "q_dedup_embedding_ivf",
 ]
+# Awaiting rotation into a future window (added after the round-5 list
+# froze; parity/pytest-covered at positions 51+ meanwhile):
+# q_stream_dedup_watermark, q_join_interval_stream, q_quality_classifier,
+# q_embedding_quantize, q_dedup_substring.
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O
     raise RuntimeError(
