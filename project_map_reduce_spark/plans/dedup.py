@@ -969,9 +969,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_windows",
             "n_dup_windows",
-            F.round(
-                F.col("n_dup_windows") * 1.0 / F.col("n_windows"), 6
-            ).alias("dup_fraction"),
+            r6d(
+                F.col("n_dup_windows") * 1.0 / F.col("n_windows"),
+                "dup_fraction",
+            ),
         )
     )
 
