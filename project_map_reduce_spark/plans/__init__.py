@@ -39,72 +39,68 @@ from project_map_reduce_spark.plans import (  # noqa: F401
 )
 
 _DRIVER_WINDOW = [
-    # -- round-5 rotation (VERDICT r4 item 2): the 47 queries whose last
-    #    authoritative driver signal is round-3 vintage — every one was
-    #    green then (and judge-re-verified via tools/parity.py in r4),
-    #    but rotating them in leaves no query with a driver signal older
-    #    than one round. The 50 round-4-window queries are unchanged and
-    #    keep pytest + local-parity coverage at positions 51+.
-    "q_scan_project",
-    "q_scan_count",
-    "q_filter_predicate",
-    "q_case_when",
-    "q_job_pipeline",
-    "q_approx_count_distinct",
-    "q_grouped_count",
-    "q_topk_global",
-    "q_topk_per_group",
-    "q_sort_multi",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_intersect",
-    "q_set_except",
-    "q_json_extract",
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_events_session",
-    "q_stream_dedup",
-    "q_udf_python",
-    "q_grouped_map",
-    "q_token_count",
-    "q_sample_stratified",
-    "q_source_quota",
-    "q_pivot_status",
-    "q_percentiles",
-    "q_corr_stats",
-    "q_decontaminate",
-    "q_pii_mask",
-    "q_repetition",
-    "q_events_retention",
-    "q_events_funnel",
-    "q_join_range",
-    "q_approx_quantile_check",
-    "q_string_agg",
-    "q_minmax_by",
-    "q_unpivot",
-    "q_scalar_subquery",
-    "q_time_rollup",
-    "q_length_deciles",
-    "q_zscore_outliers",
-    "q_kmeans",
-    "q_value_histogram",
-    "q_salted_agg",
-    "q_udtf_sentences",
-    "q_doc_logprob",
-    "q_dedup_lines",
-    # -- changed this round: the driver-collect removal (VERDICT r4
-    #    item 1) re-routes q_stream_totals' final snapshot through a
-    #    distributed parquet write — re-check it under the new path.
-    "q_stream_totals",
-    # -- round-5 new queries: watermark late-data semantics end-to-end
-    #    (VERDICT r4 item 7), k-means-blocked embedding dedup (item 6)
-    "q_watermark_late",
-    "q_dedup_embedding_ivf",
+    # -- round-6 rotation (VERDICT r5 item 1): first, the five round-5
+    #    queries that landed after the round-5 window froze and have
+    #    never carried a driver-authoritative hash.
+    "q_stream_dedup_watermark",
+    "q_join_interval_stream",
+    "q_quality_classifier",
+    "q_embedding_quantize",
+    "q_dedup_substring",
+    # -- then 45 of the 49 queries whose last driver signal is round-4
+    #    vintage (each judge-re-verified via tools/parity.py in r5).
+    #    The four left out — q_string_funcs, q_date_funcs, q_math_funcs,
+    #    q_datediff, the pure deterministic scalar-function queries,
+    #    lowest drift risk — sit at exactly two rounds old and rotate in
+    #    round 7. Everything displaced from the r5 window was
+    #    driver-green in CORRECTNESS_r05 and keeps pytest + local-parity
+    #    coverage at positions 51+.
+    "q_join_inner",
+    "q_join_multi",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_theta",
+    "q_join_asof",
+    "q_pricing_summary",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_moving",
+    "q_window_range",
+    "q_array_ops",
+    "q_map_ops",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_pandas_udf_scalar",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_similarity_ann",
+    "q_lang_id",
+    "q_text_quality",
+    "q_doc_fingerprint",
+    "q_udaf_weighted_mean",
+    "q_split_train_val",
+    "q_dedup_clusters",
+    "q_window_distribution",
+    "q_pack_sequences",
+    "q_join_salted",
+    "q_dedup_incremental",
+    "q_not_exists",
+    "q_pipeline_e2e",
+    "q_multimodal_dims",
+    "q_join_bucketed",
+    "q_sample_temperature",
 ]
-# Awaiting rotation into a future window (added after the round-5 list
-# froze; parity/pytest-covered at positions 51+ meanwhile):
-# q_stream_dedup_watermark, q_join_interval_stream, q_quality_classifier,
-# q_embedding_quantize, q_dedup_substring.
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O
     raise RuntimeError(
