@@ -657,10 +657,14 @@ def avi_stream_format(raw: bytes) -> tuple[str, int, int, int]:
             handler = None
             for fc3, o3, s3 in _riff_chunks(raw, o2 + 4, o2 + s2):
                 if fc3 == b"strh":
-                    if s3 < 8:
-                        raise ValueError("strh header too short")
+                    # Stream-type check FIRST: a truncated strh in an
+                    # audio/other strl must not abort format parsing for
+                    # the whole file (mirror avi_stream_palette, which
+                    # breaks out of non-vids strls instead of raising).
                     if raw[o3 : o3 + 4] != b"vids":
                         break  # not the video stream; next strl
+                    if s3 < 8:
+                        raise ValueError("strh header too short")
                     handler = raw[o3 + 4 : o3 + 8].decode(
                         "ascii", "replace"
                     )

@@ -664,8 +664,17 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         )
     )
-    n = lloyd_assignments(e, k=_IVF_K, iters=_IVF_ITERS).withColumn(
-        "nrm", F.sqrt("nv")
+    # persist(): both sides of the self-join below read this frame, and
+    # without a cache boundary the CPU-bound pandas-UDF k-means scoring
+    # pass (operators/kmeans.py::_assign) executes once PER JOIN SIDE.
+    # Caching the assignment halves the Python-UDF work in the pair
+    # stage; like _lloyd_loop's training-set cache it lives for the
+    # session (LRU-evicted) — it cannot be unpersisted here because the
+    # returned plan is lazy and the caller owns the action.
+    n = (
+        lloyd_assignments(e, k=_IVF_K, iters=_IVF_ITERS)
+        .withColumn("nrm", F.sqrt("nv"))
+        .persist()
     )
     a = n.alias("a")
     b = n.alias("b")

@@ -593,6 +593,8 @@ def q_join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
         ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None or hi is None:
+        raise ValueError("events table is empty — nothing to stream-join")
     span_us = max(1, int((hi - lo).total_seconds() * 1_000_000))
 
     tmp = tempfile.mkdtemp(prefix="pmrs_q101_")

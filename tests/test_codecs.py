@@ -756,6 +756,47 @@ def test_avi_stream_format_and_dib_decode():
         codecs.avi_stream_format(mjpeg)
 
 
+def test_avi_truncated_audio_strh_does_not_abort_format():
+    """A truncated strh inside an AUDIO (or unknown) strl must not
+    abort format parsing — the stream-type check precedes the length
+    requirement, so the intact vids strl after it still reports. A
+    truncated strh in the VIDEO strl itself still raises."""
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    w, h = 4, 3
+    # a broken audio strl (strh holds only the 4-byte 'auds' type —
+    # shorter than the 8 bytes a handler needs) and a fully empty strl
+    # sit ahead of the intact video strl inside hdrl
+    vids_strl = chunk(
+        b"LIST",
+        b"strl"
+        + chunk(b"strh", b"vids" + b"DIB " + bytes(48))
+        + chunk(
+            b"strf",
+            struct.pack("<IiihHI", 40, w, h, 1, 24, 0) + bytes(20),
+        ),
+    )
+    bad_auds = chunk(b"LIST", b"strl" + chunk(b"strh", b"auds"))
+    empty_strl = chunk(b"LIST", b"strl" + chunk(b"strh", b""))
+    avih = chunk(b"avih", bytes(56))
+    hdrl = chunk(b"LIST", b"hdrl" + avih + bad_auds + empty_strl + vids_strl)
+    movi = chunk(b"LIST", b"movi")
+    body = b"AVI " + hdrl + movi
+    patched = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert codecs.avi_stream_format(patched) == ("DIB ", 24, w, h)
+    # control: the same truncation in the vids strl itself still raises
+    bad_vids = chunk(b"LIST", b"strl" + chunk(b"strh", b"vids"))
+    hdrl2 = chunk(b"LIST", b"hdrl" + avih + bad_vids)
+    body2 = b"AVI " + hdrl2 + movi
+    with pytest.raises(ValueError, match="strh header too short"):
+        codecs.avi_stream_format(
+            b"RIFF" + struct.pack("<I", len(body2)) + body2
+        )
+
+
 def test_dib_8bit_palette_maps_to_luminance():
     """8-bit BI_RGB frames are palette INDICES: a colored bmiColors
     table (BGRX quads) must map through integer luminance like the

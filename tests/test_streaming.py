@@ -343,6 +343,23 @@ def test_watermark_drop_semantics_pinned(spark):
     assert set(last.values()) == {(10, 1, 1.0), (12, 2, 42.0)}, last
 
 
+def test_interval_stream_rejects_empty_events(spark, sf_dir, tmp_path):
+    """q_join_interval_stream stages the finite stream by slicing the
+    events time span — on an EMPTY events table it must fail fast with
+    a clear error before any staging, not a TypeError on None
+    arithmetic from the min/max unpack."""
+    from project_map_reduce_spark.registry import entries
+    from project_map_reduce_spark.tables import load
+
+    empty_sf = tmp_path / "sf_empty"
+    empty_sf.mkdir()
+    load(spark, sf_dir, "events").limit(0).write.parquet(
+        str(empty_sf / "events.parquet")
+    )
+    with pytest.raises(ValueError, match="events table is empty"):
+        entries()["q_join_interval_stream"].fn(spark, str(empty_sf))
+
+
 def test_stream_queries_return_distributed_reads(spark, sf_dir):
     """The r4 VERDICT flagged q_stream_totals' driver-side collect():
     both finite-stream queries must now return a LAZY parquet read of
