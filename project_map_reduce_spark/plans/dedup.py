@@ -987,3 +987,178 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_dedup_substring, w=_SUB_W, s=_SUB_S)
+
+
+@register(
+    "q_dedup_substring_removal",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    w AS (
+        SELECT doc_id, lang, j,
+               md5(array_to_string(
+                   t[(j*{_SUB_S}+1):(j*{_SUB_S}+{_SUB_W})], ' ')) AS fp
+        FROM d, LATERAL (
+            SELECT unnest(range(0,
+                CAST(floor((len(t) - {_SUB_W}) / {_SUB_S}) AS BIGINT) + 1
+            )) AS j
+        ) s
+        WHERE len(t) >= {_SUB_W}
+    ),
+    f AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+    dup AS (
+        SELECT doc_id, lang, j*{_SUB_S} AS s, j*{_SUB_S} + {_SUB_W} AS e
+        FROM w JOIN f USING (fp)
+    ),
+    isl AS (
+        SELECT doc_id, lang, s, e,
+               CASE WHEN s > lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    g AS (
+        SELECT doc_id, lang, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, lang, island,
+               min(s) AS tok_start, max(e) AS tok_end,
+               count(*) AS n_windows
+        FROM g GROUP BY doc_id, lang, island
+    )
+    SELECT sp.doc_id, sp.lang,
+           CAST(row_number() OVER (PARTITION BY sp.doc_id
+                                   ORDER BY sp.tok_start) AS BIGINT)
+               AS span_id,
+           CAST(sp.tok_start AS BIGINT) AS tok_start,
+           CAST(sp.tok_end AS BIGINT) AS tok_end,
+           -- coalesce: DuckDB's array_to_string([]) is NULL, not ''
+           CAST(coalesce(len(array_to_string(
+                    d.t[1:CAST(sp.tok_start AS BIGINT)], ' ')), 0)
+                + CASE WHEN sp.tok_start > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS char_start,
+           CAST(coalesce(len(array_to_string(
+                    d.t[1:CAST(sp.tok_end AS BIGINT)], ' ')), 0)
+                AS BIGINT) AS char_end,
+           CAST(sp.n_windows AS BIGINT) AS n_windows
+    FROM spans sp JOIN d USING (doc_id)
+    """,
+)
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q105: the ACTIONABLE form of Q104 — instead of counting
+    duplicated windows, emit the character spans a pipeline would cut
+    out of each document (ExactSubstr removal, Lee et al. §3.1). Same
+    strided {w}-token/{s}-stride window fingerprints and corpus-wide
+    frequency as Q104; windows seen 2+ times become per-doc token
+    spans, overlapping/adjacent spans are MERGED (the span-merge the
+    Q104 docstring promised), and each merged span is reported with
+    both token and character offsets — ``substr(text, char_start+1,
+    char_end-char_start)`` is exactly the text to delete.
+
+    Plan shape: the span merge is a per-doc sorted fold — dup window
+    starts collect_list'd per (doc_id, lang) (small: only DUPLICATED
+    windows survive the frequency join) and merged in one higher-order
+    ``aggregate`` lambda, so merging is a single hash-agg shuffle on
+    the same key as Q104's report, with no window-function sort pass.
+    Char offsets come from one join back to the pruned (doc_id,
+    tokens) relation: prefix-join length, O(span · doc chars), the
+    same order as reading the document once. The oracle expresses the
+    identical merge as lateral-unnest + gaps-and-islands SQL, so both
+    the dedup decision AND the merge arithmetic are hash-checked.
+
+    Scale: everything Q104 says, plus — spans per doc are bounded by
+    n_windows/2 and in practice tiny, so collect_list here is a
+    per-document buffer, never a corpus-level gather; the final join
+    is doc_id-partitioned against a column-pruned scan.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .where(F.expr(f"size(t) >= {_SUB_W}"))
+    )
+    wins = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(
+                    sequence(0, CAST(floor((size(t) - {_SUB_W}) / {_SUB_S})
+                                     AS INT)),
+                    j -> md5(cast(concat_ws(' ',
+                             slice(t, j * {_SUB_S} + 1, {_SUB_W})) as binary))
+                )"""
+            )
+        ).alias("j", "fp"),
+    )
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("fp")
+    )
+    # Merged spans: sorted dup-window starts folded left-to-right —
+    # a window starting at or before the running span end extends it,
+    # otherwise it opens a new span. greatest() keeps the fold correct
+    # even for contained windows (uniform W makes ends monotone, so it
+    # is belt-and-braces here, but the operator spec is general).
+    merge = F.expr(
+        f"""
+        aggregate(
+            array_sort(js),
+            CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT, n: BIGINT>>),
+            (acc, j) -> CASE
+                WHEN size(acc) > 0
+                     AND j * {_SUB_S} <= element_at(acc, -1).e THEN
+                    concat(
+                        slice(acc, 1, size(acc) - 1),
+                        array(named_struct(
+                            's', element_at(acc, -1).s,
+                            'e', greatest(element_at(acc, -1).e,
+                                          CAST(j * {_SUB_S} + {_SUB_W}
+                                               AS BIGINT)),
+                            'n', element_at(acc, -1).n + CAST(1 AS BIGINT)))
+                    )
+                ELSE concat(acc, array(named_struct(
+                    's', CAST(j * {_SUB_S} AS BIGINT),
+                    'e', CAST(j * {_SUB_S} + {_SUB_W} AS BIGINT),
+                    'n', CAST(1 AS BIGINT))))
+            END
+        )"""
+    )
+    spans = (
+        wins.join(dup_fps, "fp")
+        .groupBy("doc_id", "lang")
+        .agg(F.collect_list("j").alias("js"))
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(merge).alias("pos", "sp"),
+        )
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    prefix_len = lambda bound: F.length(  # noqa: E731
+        F.concat_ws(" ", F.expr(f"slice(t, 1, CAST({bound} AS INT))"))
+    ).cast("bigint")
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        "lang",
+        (F.col("pos") + 1).cast("bigint").alias("span_id"),
+        F.col("sp.s").alias("tok_start"),
+        F.col("sp.e").alias("tok_end"),
+        (
+            prefix_len("sp.s")
+            + F.when(F.col("sp.s") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("char_start"),
+        prefix_len("sp.e").alias("char_end"),
+        F.col("sp.n").alias("n_windows"),
+    )
+
+
+fmt_doc(q_dedup_substring_removal, w=_SUB_W, s=_SUB_S)

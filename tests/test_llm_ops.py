@@ -162,3 +162,38 @@ def test_simhash_identical_texts_collide(spark):
     hs = {r.doc_id: r.hs for r in h}
     assert hs[1] == hs[2]
     assert hs[1] != hs[3]
+
+
+def test_substring_removal_spans_merge_and_offsets(spark, tmp_path):
+    """Q105 semantic check on a crafted corpus: a 30-token passage
+    shared by two otherwise-distinct 40-token docs yields, per doc,
+    ONE merged span (two overlapping dup windows folded together)
+    whose token and char offsets slice out exactly the shared text.
+    A unique doc and a <W-token doc contribute no spans."""
+    from project_map_reduce_spark.registry import entries
+
+    shared = [f"p{i:02d}" for i in range(30)]  # 3-char tokens
+    ua = [f"a{i:02d}" for i in range(10)]
+    ub = [f"b{i:02d}" for i in range(10)]
+    texts = {
+        1: " ".join(ua + shared),  # dup windows j=1,2 → toks [10,40)
+        2: " ".join(shared + ub),  # dup windows j=0,1 → toks [0,30)
+        3: " ".join(f"c{i:02d}" for i in range(25)),  # unique
+        4: "too short",  # below the W=20 window size
+    }
+    sf = tmp_path / "sf_sub"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, "en", t) for i, t in texts.items()],
+        "doc_id BIGINT, lang STRING, text STRING",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    rows = entries()["q_dedup_substring_removal"].fn(spark, str(sf)).collect()
+    out = {r["doc_id"]: r for r in rows}
+    assert set(out) == {1, 2} and all(r["span_id"] == 1 for r in rows)
+    assert (out[1]["tok_start"], out[1]["tok_end"], out[1]["n_windows"]) == (10, 40, 2)
+    assert (out[2]["tok_start"], out[2]["tok_end"], out[2]["n_windows"]) == (0, 30, 2)
+    # char offsets are cut-ready: text[start:end] is the shared passage
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert texts[doc_id][r["char_start"] : r["char_end"]] == " ".join(shared)
