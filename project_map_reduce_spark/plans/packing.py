@@ -61,8 +61,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits the straddler — a narrow flatMap — which doesn't change bin
     assignment). One window (shuffle on lang, per-partition sort) + one
     grouped agg; at 100 TB the partition key becomes (lang, hash-prefix)
-    so no language serializes on one reducer, at the cost of per-prefix
-    bin offsets — documented, not needed at test scale."""
+    so no language serializes on one reducer — that form is IMPLEMENTED
+    in operators/packing.py (prefix-range partitioning of the hash
+    space preserves the global (h, doc_id) order, so per-prefix local
+    windows + an O(langs·16^chars) offset table reproduce this exact
+    bin assignment; equivalence-tested in tests/test_pack_scale.py).
+    The single-window form stays the declared query: at test scale it
+    is the cheaper plan, and its oracle pins the semantics both forms
+    must match."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "lang",
