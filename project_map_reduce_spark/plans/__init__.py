@@ -47,17 +47,19 @@ _DRIVER_WINDOW = [
     "q_quality_classifier",
     "q_embedding_quantize",
     "q_dedup_substring",
-    # -- new this round (VERDICT r5 item 7): the ExactSubstr removal
-    #    variant — in the window from birth.
+    # -- new this round (VERDICT r5 items 7 and 4): the ExactSubstr
+    #    removal variant and the trained-weights quality classifier —
+    #    in the window from birth.
     "q_dedup_substring_removal",
-    # -- then 44 of the 49 queries whose last driver signal is round-4
+    "q_quality_classifier_trained",
+    # -- then 43 of the 49 queries whose last driver signal is round-4
     #    vintage (each judge-re-verified via tools/parity.py in r5).
-    #    The five left out — q_string_funcs, q_date_funcs, q_math_funcs,
-    #    q_datediff, q_array_ops: pure deterministic scalar/collection-
-    #    function queries, lowest drift risk — sit at exactly two rounds
-    #    old and rotate in round 7. Everything displaced from the r5
-    #    window was driver-green in CORRECTNESS_r05 and keeps pytest +
-    #    local-parity coverage at positions 51+.
+    #    The six left out — q_string_funcs, q_date_funcs, q_math_funcs,
+    #    q_datediff, q_array_ops, q_map_ops: pure deterministic scalar/
+    #    collection-function queries, lowest drift risk — sit at exactly
+    #    two rounds old and rotate in round 7. Everything displaced from
+    #    the r5 window was driver-green in CORRECTNESS_r05 and keeps
+    #    pytest + local-parity coverage at positions 51+.
     "q_join_inner",
     "q_join_multi",
     "q_join_left_outer",
@@ -76,7 +78,6 @@ _DRIVER_WINDOW = [
     "q_window_lag_lead",
     "q_window_moving",
     "q_window_range",
-    "q_map_ops",
     "q_dedup_exact",
     "q_dedup_fuzzy",
     "q_similarity_topk",

@@ -512,3 +512,158 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_quality_classifier, b=_QC_BUCKETS)
+
+
+_QCT_GOOD_MIN = 30  # fit labels: docs with >= this many tokens are "good"
+_QCT_SCALE = 1000  # weight quantization: round(SCALE * ln-odds) -> int
+
+
+def _round_half_away(x: float) -> int:
+    """round-half-away-from-zero — DuckDB's round() rule, so the
+    Python-side fit quantizes weights exactly like the oracle's SQL."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _qct_bucket_sql_duck(a: str, b: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5({a} || '_' || {b}), 1, 6)) AS BIGINT)"
+        f" % {_QC_BUCKETS})"
+    )
+
+
+@register(
+    "q_quality_classifier_trained",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    lab AS (SELECT doc_id, t, len(t) >= {_QCT_GOOD_MIN} AS good FROM toks),
+    bg AS (
+        SELECT good, {_qct_bucket_sql_duck('t[i]', 't[i+1]')} AS bkt
+        FROM lab, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+        WHERE len(t) >= 2
+    ),
+    cnt AS (
+        SELECT bkt,
+               sum(CASE WHEN good THEN 1 ELSE 0 END) AS g,
+               sum(CASE WHEN good THEN 0 ELSE 1 END) AS bb
+        FROM bg GROUP BY bkt
+    ),
+    w AS (
+        SELECT r.bkt,
+               CAST(round({_QCT_SCALE} * ln(
+                   (coalesce(cnt.g, 0) + 1.0) / (coalesce(cnt.bb, 0) + 1.0)
+               )) AS BIGINT) AS wt
+        FROM (SELECT unnest(range(0, {_QC_BUCKETS})) AS bkt) r
+        LEFT JOIN cnt ON r.bkt = cnt.bkt
+    ),
+    wa AS (SELECT list(wt ORDER BY bkt) AS warr FROM w),
+    prior AS (
+        SELECT CAST(round({_QCT_SCALE} * ln(
+            (sum(CASE WHEN good THEN 1 ELSE 0 END) + 1.0)
+            / (sum(CASE WHEN good THEN 0 ELSE 1 END) + 1.0)
+        )) AS BIGINT) AS bias FROM lab
+    )
+    SELECT doc_id, lang,
+           CAST(prior.bias + CASE WHEN len(t) < 2 THEN 0 ELSE list_sum(
+               list_transform(range(1, len(t)),
+                   i -> wa.warr[{_qct_bucket_sql_duck('t[i]', 't[i+1]')} + 1]))
+           END AS BIGINT) AS logit,
+           CASE WHEN prior.bias + CASE WHEN len(t) < 2 THEN 0 ELSE list_sum(
+               list_transform(range(1, len(t)),
+                   i -> wa.warr[{_qct_bucket_sql_duck('t[i]', 't[i+1]')} + 1]))
+           END >= 0 THEN 'keep' ELSE 'drop' END AS quality_label
+    FROM toks, wa, prior
+    """,
+)
+def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q106: the TRAINED-weights form Q102's docstring promises — same
+    hashed token-bigram features, but per-bucket weights FIT from the
+    corpus itself: one naive-Bayes-style pass labels docs good/bad
+    (token count ≥ {m} — a deterministic stand-in for human labels),
+    counts each hash bucket's occurrences under both labels, and the
+    weight is the log-odds ratio quantized to 1/{sc} (the integer
+    quantization every production int8/int16 classifier ships with —
+    and what keeps the scoring fold integer-exact, no float-sum order
+    contract). Bias = quantized doc-level prior log-odds.
+
+    Plan: the fit is two tiny training jobs at plan-build time —
+    explode → per-bucket partial+final agg (shuffle O({b} buckets))
+    and one doc-count agg — whose O({b}) result is collected and baked
+    into the scoring plan as a LITERAL weight array (the kmeans /
+    SQ8-stats model pattern: O(model) crosses the cluster boundary,
+    never O(data)). The returned scoring plan is IDENTICAL in shape to
+    Q102: element_at(weights, bucket+1) inside one codegen'd HOF fold,
+    zero shuffles, zero joins, no Python eval (plan-audit-asserted in
+    tests/test_plan_audit.py). The oracle re-derives fit AND scoring
+    in SQL, so training and inference are hash-checked together.
+    """
+    import math
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    bucket = (
+        f"(CAST(conv(substr(md5(cast(concat(toks[i], '_', toks[i+1])"
+        f" as binary)), 1, 6), 16, 10) AS BIGINT) % {_QC_BUCKETS})"
+    )
+    # -- fit (two O(model)-output training jobs, executed now) --------
+    good = (F.size("toks") >= _QCT_GOOD_MIN).cast("int")
+    cnts = (
+        d.where(F.size("toks") >= 2)
+        .select(
+            good.alias("g"),
+            F.explode(
+                F.expr(f"transform(sequence(0, size(toks) - 2), i -> {bucket})")
+            ).alias("bkt"),
+        )
+        .groupBy("bkt")
+        .agg(
+            F.sum("g").alias("g"),
+            F.sum(F.lit(1) - F.col("g")).alias("b"),
+        )
+        .collect()
+    )
+    by_bkt = {int(r["bkt"]): (int(r["g"]), int(r["b"])) for r in cnts}
+    weights = [
+        _round_half_away(
+            _QCT_SCALE
+            * math.log(
+                (by_bkt.get(i, (0, 0))[0] + 1.0)
+                / (by_bkt.get(i, (0, 0))[1] + 1.0)
+            )
+        )
+        for i in range(_QC_BUCKETS)
+    ]
+    ng, nb = d.select(
+        F.sum(good).alias("ng"), F.sum(F.lit(1) - good).alias("nb")
+    ).first()
+    bias = _round_half_away(
+        _QCT_SCALE * math.log((int(ng) + 1.0) / (int(nb) + 1.0))
+    )
+    # -- scoring: Q102's exact shuffle-free shape, literal model ------
+    w_csv = ", ".join(str(w) for w in weights)
+    logit = F.expr(
+        f"""
+        CAST({bias} AS BIGINT) + CASE
+          WHEN size(toks) < 2 THEN CAST(0 AS BIGINT)
+          ELSE aggregate(
+            transform(sequence(0, size(toks) - 2),
+              i -> element_at(array({w_csv}), CAST({bucket} AS INT) + 1)),
+            CAST(0 AS BIGINT), (s, x) -> s + x)
+        END"""
+    ).alias("logit")
+    return d.select("doc_id", "lang", logit).withColumn(
+        "quality_label",
+        F.when(F.col("logit") >= 0, "keep").otherwise("drop"),
+    )
+
+
+fmt_doc(
+    q_quality_classifier_trained,
+    m=_QCT_GOOD_MIN,
+    sc=_QCT_SCALE,
+    b=_QC_BUCKETS,
+)

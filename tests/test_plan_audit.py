@@ -436,3 +436,14 @@ def test_quality_classifier_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_quality_classifier")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_trained_classifier_scoring_is_shuffle_free(spark, sf_dir):
+    """Q106's RETURNED plan must have Q102's exact shape: the fit runs
+    as separate training jobs at plan-build, the baked literal-weight
+    scoring pass is a pure narrow map — no Exchange, no Python eval.
+    This is the docstring claim of Q102 ('a trained model swaps the
+    weight expression... plan shape identical') made checkable."""
+    plan = plan_of(spark, sf_dir, "q_quality_classifier_trained")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
