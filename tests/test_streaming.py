@@ -12,6 +12,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.streaming import transforms
@@ -341,6 +342,104 @@ def test_watermark_drop_semantics_pinned(spark):
         last[r["ws"]] = (r["ws"].hour, r["n"], r["s"])
     assert dropped == 2, f"expected 2 late rows dropped, got {dropped}"
     assert set(last.values()) == {(10, 1, 1.0), (12, 2, 42.0)}, last
+
+
+def test_checkpoint_recovery_replays_batch_idempotently(spark, sf_dir, tmp_path):
+    """The exactly-once claim of sources/sinks.py::write_stream_idempotent
+    under ACTUAL failure, not a clean run: kill q_stream_totals'
+    pipeline after the sink wrote batch 0 but BEFORE the checkpoint
+    committed it (delete ckpt/commits/0 — the precise crash window
+    where the reference's SQS redelivery double-counts), restart from
+    the same checkpoint, and the replayed batch must OVERWRITE its
+    batch_id directory (sentinel file vanishes, no appended duplicate
+    rows) while the stateful operator rebuilds batch-0 state — the
+    final last-update snapshot still equals the batch aggregate."""
+    import glob
+
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+    from project_map_reduce_spark.streaming.stateful import (
+        batch_user_totals,
+        running_user_totals,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = tmp_path / "recovery"
+    src, sink, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+
+    def stage(i):
+        chunk = ev.where(F.col("event_id") % 3 == i).drop("event_id")
+        chunk.coalesce(1).write.parquet(str(base / f"c{i}"))
+        (part,) = glob.glob(str(base / f"c{i}" / "part-*.parquet"))
+        shutil.move(part, f"{src}/b{i}.parquet")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = write_stream_idempotent(
+            running_user_totals(stream, evict_idle=False),
+            sink,
+            ckpt,
+            output_mode="update",
+        )
+        assert q.awaitTermination(180), "stream did not drain"
+        assert q.exception() is None
+
+    # Run 1: only batch 0's file exists; availableNow drains it cleanly.
+    stage(0)
+    run_stream()
+    assert os.path.exists(f"{ckpt}/commits/0")
+    users_b0 = spark.read.parquet(f"{sink}/batch_id=0").count()
+
+    # Crash injection: batch 0 is in the sink but its checkpoint commit
+    # never landed. The sentinel proves the replay overwrites the dir
+    # rather than appending next to stale output.
+    os.remove(f"{ckpt}/commits/0")
+    # Hadoop's local ChecksumFileSystem leaves a .0.crc shadow file; a
+    # stale one makes the replayed commit's rename fail, which Spark
+    # surfaces as a (spurious) concurrent-query error. A real crash
+    # loses both files together.
+    crc = f"{ckpt}/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    sentinel = f"{sink}/batch_id=0/SENTINEL"
+    with open(sentinel, "w") as f:
+        f.write("stale pre-crash output")
+
+    # Restart from the checkpoint with the rest of the input staged:
+    # batch 0 replays from the offsets log, batches 1-2 are new files.
+    stage(1)
+    stage(2)
+    run_stream()
+
+    assert not os.path.exists(sentinel), "replayed batch did not overwrite"
+    commits = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if c.isdigit()
+    )
+    assert commits == ["0", "1", "2"], commits
+    assert spark.read.parquet(f"{sink}/batch_id=0").count() == users_b0
+
+    snap = spark.read.option("basePath", sink).parquet(sink)
+    last = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    final = (
+        snap.withColumn("__rn", F.row_number().over(last))
+        .where(F.col("__rn") == 1)
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in batch_user_totals(ev.drop("event_id")).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], f"user {u} count"
+        assert abs(got[u][1] - want[u][1]) < 1e-6, f"user {u} sum"
 
 
 def test_interval_stream_rejects_empty_events(spark, sf_dir, tmp_path):
