@@ -28,12 +28,25 @@ tables and an 8×8 IDCT (numpy). This module implements it:
   multimodal surface is grayscale (same convention as the GIF
   palette-luminance decode). Output is cropped to the true dims.
 
-Arithmetic-coded and hierarchical JPEGs raise ValueError — together
-baseline + progressive cover essentially every real-world file. The
-test encoder (tests/test_jpeg_codec.py, from-spec) emits both modes,
-and progressive decodes are asserted equal to the BASELINE decode of
-the same quantized coefficients, so the two code paths cross-check
-each other rather than sharing a mistake.
+Arithmetic-coded JPEG (SOF9/10/11/13-15) is a DECLARED WON'T-FIX, not
+a pending gap: T.81's QM-coder requires the 113-entry probability
+state machine of Table D.3 — a designed artifact that cannot be
+re-derived from first principles, and no authoritative copy of it (or
+any real arithmetic-coded sample to validate against) is available in
+this offline environment. Shipping a reconstructed-from-memory table
+would decode real files into silently WRONG pixels; an explicit error
+is the correct engineering contract. So: these markers raise a
+distinct "arithmetic-coded JPEG" ValueError, the multimodal layer
+catches it and emits its in-band stub row with TRUE header dimensions
+(tests/test_multimodal.py asserts the full chain), and a future
+environment with the verified table swaps the raise for a decoder
+without touching any caller. Hierarchical/lossless Huffman processes
+(SOF3/5/6/7) also raise — never seen in crawls. Together baseline +
+progressive cover essentially every real-world file. The test encoder
+(tests/test_jpeg_codec.py, from-spec) emits both supported modes, and
+progressive decodes are asserted equal to the BASELINE decode of the
+same quantized coefficients, so the two code paths cross-check each
+other rather than sharing a mistake.
 """
 
 from __future__ import annotations
@@ -301,8 +314,18 @@ def _decode(raw: bytes) -> tuple[int, int, bytes]:
                 )
             frame = (w, h, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # Declared won't-fix (see module docstring): the QM-coder's
+            # Table D.3 state machine cannot be verified offline, and a
+            # reconstructed table would decode real files silently
+            # wrong. Contract: raise HERE (distinct message), so the
+            # multimodal chain degrades to its in-band stub row with
+            # TRUE header dimensions — asserted in tests.
+            raise ValueError(
+                f"arithmetic-coded JPEG (SOF marker 0x{marker:02x}): "
+                "QM-coder decode is a declared won't-fix"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0x{marker:02x})"
             )

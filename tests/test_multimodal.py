@@ -607,3 +607,32 @@ def test_video_frames_dib_demux_and_decode(spark, binary_dir):
         assert codecs.decode_dib_gray(dib, w, h, bits) == (
             _AVI_W, _AVI_H, plane,
         )
+
+
+def test_arithmetic_jpeg_contract_stub_row(spark):
+    """Arithmetic-coded JPEG (SOF9/SOF10) is a DECLARED won't-fix
+    (operators/jpeg.py module docstring): the decoder raises its
+    arithmetic-specific error, and the multimodal chain degrades to
+    the contracted in-band row — status 'ok', decoder 'stub', TRUE
+    header dimensions from the SOF walk, deterministic raster."""
+    from tests.test_jpeg_codec import _encode_gray_jpeg
+
+    from project_map_reduce_spark.operators.jpeg import decode_jpeg_gray
+
+    w, h = 24, 16
+    pixels = bytes((5 * x + 3 * y) % 256 for y in range(h) for x in range(w))
+    base = _encode_gray_jpeg(w, h, pixels)
+    for sof in (b"\xc9", b"\xca"):  # sequential + progressive arithmetic
+        raw = base.replace(b"\xff\xc0", b"\xff" + sof)
+        with pytest.raises(ValueError, match="arithmetic-coded JPEG"):
+            decode_jpeg_gray(raw)
+        df = spark.createDataFrame(
+            [("mem://arith.jpg", bytearray(raw))],
+            "path string, content binary",
+        )
+        (row,) = multimodal.resize_image(df, width=8, height=6).collect()
+        assert (row.status, row.decoder) == ("ok", "stub")
+        assert (row.src_width, row.src_height) == (w, h)
+        assert len(row.content) == 8 * 6
+        (again,) = multimodal.resize_image(df, width=8, height=6).collect()
+        assert bytes(again.content) == bytes(row.content)
