@@ -47,19 +47,20 @@ _DRIVER_WINDOW = [
     "q_quality_classifier",
     "q_embedding_quantize",
     "q_dedup_substring",
-    # -- new this round (VERDICT r5 items 7 and 4): the ExactSubstr
-    #    removal variant and the trained-weights quality classifier —
-    #    in the window from birth.
+    # -- new this round (VERDICT r5 items 7 and 4, plus the
+    #    stream-static enrichment join): in the window from birth.
     "q_dedup_substring_removal",
     "q_quality_classifier_trained",
-    # -- then 43 of the 49 queries whose last driver signal is round-4
+    "q_stream_enrich",
+    # -- then 42 of the 49 queries whose last driver signal is round-4
     #    vintage (each judge-re-verified via tools/parity.py in r5).
-    #    The six left out — q_string_funcs, q_date_funcs, q_math_funcs,
-    #    q_datediff, q_array_ops, q_map_ops: pure deterministic scalar/
-    #    collection-function queries, lowest drift risk — sit at exactly
-    #    two rounds old and rotate in round 7. Everything displaced from
-    #    the r5 window was driver-green in CORRECTNESS_r05 and keeps
-    #    pytest + local-parity coverage at positions 51+.
+    #    The seven left out — q_string_funcs, q_date_funcs, q_math_funcs,
+    #    q_datediff, q_array_ops, q_map_ops, q_window_lag_lead: pure
+    #    deterministic scalar/collection/window-function queries, lowest
+    #    drift risk — sit at exactly two rounds old and rotate in round
+    #    7. Everything displaced from the r5 window was driver-green in
+    #    CORRECTNESS_r05 and keeps pytest + local-parity coverage at
+    #    positions 51+.
     "q_join_inner",
     "q_join_multi",
     "q_join_left_outer",
@@ -75,7 +76,6 @@ _DRIVER_WINDOW = [
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_window_rank",
-    "q_window_lag_lead",
     "q_window_moving",
     "q_window_range",
     "q_dedup_exact",

@@ -12,9 +12,10 @@ the streaming path itself (not just its batch-shaped twin) carries a
 driver correctness signal: Q90 drives the custom stateful operator
 (``applyInPandasWithState``), Q98 the watermark late-data admission
 rule, Q100 bounded-state streaming dedup with its expiry/re-admission
-window, Q101 the watermark-bounded stream-stream interval join. All
-return a LAZY read of an executor-written snapshot — no
-driver gather anywhere (SURVEY §4.2).
+window, Q101 the watermark-bounded stream-stream interval join, Q107
+the stream-static broadcast enrichment join. All return a LAZY
+distributed plan over an executor-written sink — no driver gather
+anywhere (SURVEY §4.2).
 """
 
 from __future__ import annotations
@@ -671,4 +672,82 @@ def q_join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6)     AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q107: STREAM-STATIC broadcast enrichment — the third streaming
+    join class after stateful agg (Q90) and stream-stream (Q101), and
+    the single most common production streaming pattern: every event
+    micro-batch is enriched against a slowly-changing dimension
+    (customer → nation) by a STATELESS per-batch join, so the streaming
+    result is exactly the batch join (which is the oracle).
+
+    Plan shape: the dim side (customer ⋈ nation, pre-joined once) is
+    explicitly broadcast — each micro-batch's join is map-side against
+    the replicated dim, NO shuffle and NO state store in-stream
+    (contrast Q101's two per-partition state stores); enriched rows
+    land append-mode in the idempotent per-batchId sink. At 100 TB the
+    dim broadcast is the standard enrichment design (dims are MBs
+    while the stream is unbounded), a too-big dim degrades to a
+    shuffled stream-static join with the same semantics, and dim
+    REFRESH is Spark's own contract: the static side is re-read per
+    micro-batch, so a slowly-changing dim picks up updates at batch
+    boundaries. The returned DataFrame is a lazy distributed aggregate
+    over the session-persistent sink — downstream jobs read the same
+    path; no driver gather (SURVEY §4.2).
+    """
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    tmp = tempfile.mkdtemp(prefix="pmrs_q107_")
+    sink = _session_output_dir("pmrs_q107_sink_")
+    try:
+        src = _stage_batches(tmp, tuple(
+            (
+                f"c{i}",
+                ev.where(F.col("event_id") % 3 == i).select(
+                    "user_id", "value"
+                ),
+            )
+            for i in range(3)
+        ))
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        enriched = stream.join(
+            F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+        ).select("n_name", "value")
+        q = write_stream_idempotent(
+            enriched, sink, f"{tmp}/ckpt", output_mode="append"
+        )
+        _await_finite_stream(q, "q_stream_enrich")
+        snap = spark.read.option("basePath", sink).parquet(sink)
+        return snap.groupBy("n_name").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6d(F.sum("value"), "sum_value"),
+        )
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -472,3 +472,36 @@ def test_stream_queries_return_distributed_reads(spark, sf_dir):
         assert "LocalTableScan" not in plan, f"{name} gathers on the driver"
         assert "FileScan parquet" in plan, f"{name} is not a parquet read"
         assert df.count() > 0
+
+
+def test_stream_static_join_is_broadcast_and_stateless(spark, sf_dir, tmp_path):
+    """Q107's in-stream join must execute as a BroadcastHashJoin with
+    NO stateful operator: the dim replicates to every stream partition
+    (map-side enrichment), and statelessness is what makes the
+    streaming result exactly the batch join at any scale."""
+    from project_map_reduce_spark.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "value")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    dim = (
+        _load(spark, sf_dir, "customer")
+        .join(
+            _load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(src)
+    enriched = stream.join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    ).select("n_name", "value")
+    q = (
+        enriched.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    plan = q._jsq.explainInternal(True)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "StateStore" not in plan, plan
