@@ -36,6 +36,8 @@ from project_map_reduce_spark.plans import (  # noqa: F401
     sql_surface,
     packing,
     multimodal_shaped,
+    warehouse,
+    graph,
 )
 
 _DRIVER_WINDOW = [
@@ -52,15 +54,23 @@ _DRIVER_WINDOW = [
     "q_dedup_substring_removal",
     "q_quality_classifier_trained",
     "q_stream_enrich",
-    # -- then 42 of the 49 queries whose last driver signal is round-4
+    # -- also new this round: the warehouse/graph/audio additions
+    #    (SCD2 rebuild, bloom-pruned join, PageRank, WAV round-trip).
+    "q_scd2_merge",
+    "q_join_bloom",
+    "q_pagerank",
+    "q_audio_features",
+    # -- then 38 of the 49 queries whose last driver signal is round-4
     #    vintage (each judge-re-verified via tools/parity.py in r5).
-    #    The seven left out — q_string_funcs, q_date_funcs, q_math_funcs,
-    #    q_datediff, q_array_ops, q_map_ops, q_window_lag_lead: pure
-    #    deterministic scalar/collection/window-function queries, lowest
-    #    drift risk — sit at exactly two rounds old and rotate in round
-    #    7. Everything displaced from the r5 window was driver-green in
-    #    CORRECTNESS_r05 and keeps pytest + local-parity coverage at
-    #    positions 51+.
+    #    The eleven left out — q_string_funcs, q_date_funcs,
+    #    q_math_funcs, q_datediff, q_array_ops, q_map_ops,
+    #    q_window_lag_lead (pure deterministic scalar/collection/window
+    #    functions, lowest drift risk) plus q_pipeline_e2e,
+    #    q_multimodal_dims, q_join_bucketed, q_sample_temperature
+    #    (displaced by this round's four new queries, which have NO
+    #    driver signal yet) — rotate in round 7. Everything displaced
+    #    was driver-green in CORRECTNESS_r04/r05, judge-re-verified in
+    #    r5, and keeps pytest + local-parity coverage at positions 51+.
     "q_join_inner",
     "q_join_multi",
     "q_join_left_outer",
@@ -99,10 +109,6 @@ _DRIVER_WINDOW = [
     "q_join_salted",
     "q_dedup_incremental",
     "q_not_exists",
-    "q_pipeline_e2e",
-    "q_multimodal_dims",
-    "q_join_bucketed",
-    "q_sample_temperature",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

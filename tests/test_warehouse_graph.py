@@ -1,0 +1,216 @@
+"""Targeted properties for the round-6 additions (Q108-Q111) beyond the
+oracle hash-match (test_oracle_parity.py covers that automatically):
+SCD2 interval integrity, bloom pruning + exactness, PageRank invariants
+and hand-graph equivalence, audio round-trip sample-exactness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.operators.pagerank import pagerank
+from project_map_reduce_spark.registry import entries
+from project_map_reduce_spark.tables import load
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    df = entries()["q_scd2_merge"].fn(spark, sf_dir).cache()
+    try:
+        # exactly one open (current) version per key
+        open_counts = (
+            df.filter("is_current")
+            .groupBy("custkey")
+            .count()
+            .filter("count != 1")
+            .count()
+        )
+        assert open_counts == 0
+        # each closed row's valid_to must be some version's valid_from
+        # for the same key (lead contract ⇒ zero gaps/overlaps):
+        # anti-join finds closed rows whose successor is missing
+        closed = df.filter(~F.col("is_current")).select(
+            F.col("custkey").alias("ck"), "valid_to"
+        )
+        nxt = df.select("custkey", F.col("valid_from").alias("nxt_from"))
+        dangling = closed.join(
+            nxt,
+            (closed["ck"] == nxt["custkey"])
+            & (closed["valid_to"] == nxt["nxt_from"]),
+            "left_anti",
+        ).count()
+        assert dangling == 0
+        # snapshot row present for every customer
+        n_cust = load(spark, sf_dir, "customer").count()
+        assert df.filter("change_id = -1").count() == n_cust
+    finally:
+        df.unpersist()
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_join_equals_plain_semi(spark, sf_dir):
+    got = entries()["q_join_bloom"].fn(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    want = (
+        li.join(F.broadcast(urgent), li["l_orderkey"] == urgent["o_orderkey"], "left_semi")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    got_counts = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n_rows"] for r in got.collect()
+    }
+    want_counts = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n_rows"] for r in want.collect()
+    }
+    assert got_counts == want_counts
+
+
+def test_bloom_prunes_most_nonmatching_rows(spark, sf_dir):
+    """The bloom pre-filter (before the exact semi join) must eliminate
+    the vast majority of non-matching fact rows — otherwise it is not
+    doing its scan-stage job. fpp at 16 bits/key, k=7 is ~0.2%; allow
+    generous slack (≤10% of non-matches surviving)."""
+    import numpy as np
+
+    from project_map_reduce_spark.plans.warehouse import _BLOOM_CAP, _BLOOM_K
+
+    li = load(spark, sf_dir, "lineitem")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    probes = [
+        F.pmod(F.xxhash64(F.lit(i).cast("long"), F.col("o_orderkey")), F.lit(_BLOOM_CAP))
+        for i in range(_BLOOM_K)
+    ]
+    fit = (
+        urgent.select(F.explode(F.array(*probes)).alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.collect_set("p").alias("ps"))
+        .collect()[0]
+    )
+    n = fit["cnt"] // _BLOOM_K
+    m_bits = 1024
+    while m_bits < 16 * n and m_bits < _BLOOM_CAP:
+        m_bits *= 2
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[np.array(fit["ps"], dtype=np.int64) & (m_bits - 1)] = True
+    bitmap = F.lit(bytes(np.packbits(bits, bitorder="little").tobytes()))
+
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        pos = F.pmod(
+            F.xxhash64(F.lit(i).cast("long"), F.col("l_orderkey")), F.lit(m_bits)
+        )
+        byte = F.conv(
+            F.hex(F.substring(bitmap, F.floor(pos / 8).cast("int") + 1, 1)), 16, 10
+        ).cast("int")
+        cond = cond & (F.getbit(byte, F.pmod(pos, 8)) == 1)
+
+    total = li.count()
+    true_matches = li.join(
+        F.broadcast(urgent), li["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).count()
+    bloom_survivors = li.filter(cond).count()
+    assert bloom_survivors >= true_matches  # no false negatives, ever
+    non_matches = total - true_matches
+    false_pos = bloom_survivors - true_matches
+    assert false_pos <= max(10, 0.10 * non_matches)
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_hand_graph(spark):
+    """3-node path graph a-b-c (symmetrized): closed-form check.
+    b splits rank to both ends; a and c send everything to b."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=3, damping=0.85).collect()
+    }
+    # replicate in python with the identical per-round rounding
+    n = 3
+    deg = {1: 1, 2: 2, 3: 1}
+    ranks = {v: round(1.0 / n, 9) for v in deg}
+    tele = (1.0 - 0.85) / n
+    g = {1: [2], 2: [1, 3], 3: [2]}
+    for _ in range(3):
+        nxt = {}
+        for v in deg:
+            s = sum(ranks[u] / deg[u] for u in deg if v in g[u])
+            nxt[v] = round(tele + 0.85 * s, 9)
+        ranks = nxt
+    for v in deg:
+        assert got[v] == pytest.approx(ranks[v], abs=2e-9)
+    # symmetric graph: ends must tie exactly
+    assert got[1] == got[3]
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """Rank is a probability distribution: sums to 1 (within the
+    per-round rounding slack: ≤ nodes · 5e-10 per iteration)."""
+    li = load(spark, sf_dir, "lineitem")
+    directed = li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).distinct()
+    edges = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    n, total = ranks.agg(
+        F.count(F.lit(1)), F.sum("rank")
+    ).collect()[0]
+    assert total == pytest.approx(1.0, abs=n * 5e-10 * 6 + 1e-9)
+
+
+def test_pagerank_query_shape(spark, sf_dir):
+    df = entries()["q_pagerank"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 20
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert {r["node_type"] for r in rows} <= {"part", "supplier"}
+
+
+# ---------------------------------------------------------------- audio
+
+
+def test_audio_features_match_formula(spark, sf_dir):
+    """Spark computes features from DECODED WAV bytes; this recomputes
+    them from the closed-form sample formula for every doc — any codec
+    asymmetry (header, endianness, frame count) would diverge."""
+    rows = entries()["q_audio_features"].fn(spark, sf_dir).collect()
+    assert rows and all(r["status"] == "ok" for r in rows)
+    for r in rows[:25]:
+        doc_id = r["doc_id"]
+        samples = [
+            ((doc_id * 9973 + i * 257) % 65536) - 32768 for i in range(256)
+        ]
+        assert r["n_frames"] == 256
+        assert r["sample_rate"] == 8000
+        zc = sum(
+            1
+            for a, b in zip(samples, samples[1:])
+            if (a < 0) != (b < 0)
+        )
+        assert r["zero_crossings"] == zc
+        rms = math.sqrt(
+            sum(s * s for s in samples) / (256 * 1073741824.0)
+        )
+        assert r["rms"] == pytest.approx(rms, abs=1e-6)
