@@ -85,8 +85,76 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_K = 7  # hash functions per key (seeded xxhash64 family)
-_BLOOM_CAP = 1 << 22  # bitmap ceiling: 512 KiB broadcast at most
+_BLOOM_K = 7  # bit positions per key inside its 64-bit block
+_BLOOM_BLOCKS = 1 << 16  # 64-bit blocks → 512 KiB bitmap
+
+
+def _bloom_block(key: str) -> Column:
+    """Block index for a key (which 64-bit word of the bitmap)."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(_BLOOM_BLOCKS))
+
+
+def _bloom_bits_hash(key: str) -> Column:
+    """Second hash: its 6-bit slices pick the K bit positions in-block."""
+    return F.xxhash64(F.lit(1).cast("long"), F.col(key))
+
+
+def _bloom_mask_sql(key: str) -> str:
+    """SQL for the key's in-block bit mask (shiftleft by a COLUMN
+    amount exists only in SQL form — the pyspark wrapper takes a
+    literal int). Used identically by fit and probe."""
+    h2 = f"xxhash64(1L, {key})"
+    return " | ".join(
+        f"shiftleft(1L, cast((shiftright({h2}, {6 * i}) & 63) as int))"
+        for i in range(_BLOOM_K)
+    )
+
+
+def _bloom_fit(keys: DataFrame, key: str) -> bytes:
+    """Build the split-block bloom bitmap over ``keys[key]`` — ONE
+    aggregate job whose bit_or word-fold runs EXECUTOR-side (the driver
+    collects at most m/64 = 64k int64 words, never a raw position set,
+    which reaches millions of entries once the dim side grows and
+    dominated the fit wall-time at sf1). Big-endian word bytes so the
+    probe's substring+hex reads each block back verbatim."""
+    import numpy as np
+
+    fit = (
+        keys.select(
+            _bloom_block(key).cast("int").alias("w"),
+            F.expr(_bloom_mask_sql(key)).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros(_BLOOM_BLOCKS, dtype=np.int64)
+    for r in fit:
+        arr[r["w"]] = r["bits"]
+    return arr.astype(">i8").tobytes()
+
+
+def _bloom_prescreen(df: DataFrame, key: str, bitmap: bytes) -> DataFrame:
+    """Filter ``df`` to rows whose ``key`` MAY be in the bloom set
+    (no false negatives). One substring fetches the row's whole 8-byte
+    block (one cache line at scale), conv(·,16,-10) reinterprets the
+    hex as the SIGNED int64 it was, and membership is a SINGLE
+    ``(word & mask) == mask`` test against the key's recomputed bit
+    mask — all K bit probes in one codegen'd compare.
+
+    The one-expression shape is deliberate: any form that references
+    the fetched word from K separate bit tests gets the 512 KiB
+    literal re-inlined K times by Catalyst's tree rewrites (a Project
+    in between does not survive CollapseProject; measured 14.7 MiB
+    task binaries and probe wall-time scaling with K·|bitmap|), and a
+    single-literal `forall` stays outside whole-stage codegen and ran
+    ~1.5× slower. Here the literal occurs exactly once in the plan."""
+    block = _bloom_block(key)
+    word = F.conv(
+        F.hex(F.substring(F.lit(bitmap), block.cast("int") * 8 + 1, 8)), 16, -10
+    ).cast("long")
+    mask = F.expr(_bloom_mask_sql(key))
+    return df.filter(word.bitwiseAND(mask) == mask)
 
 
 @register(
@@ -106,82 +174,46 @@ _BLOOM_CAP = 1 << 22  # bitmap ceiling: 512 KiB broadcast at most
 def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q109: bloom-filter pre-filtered semi join — revenue of lineitem
     rows whose order is URGENT. The urgent orderkey set is summarized
-    into a bloom bitmap at plan-build (ONE fused probe-positions +
-    key-count aggregate, O(m) driver model — the kmeans/SQ8 model-fit
-    pattern), shipped as a single BINARY literal, and every fact row is
-    pre-screened JVM-side with {k} seeded xxhash64 bit probes BEFORE
-    the exact broadcast semi join removes the bloom's false positives —
-    so the result is exactly the plain semi join (the oracle), but the
-    shuffle/join input has already been cut to ~|matches| + fpp·|facts|
-    rows in the scan stage.
+    into a SPLIT-BLOCK bloom bitmap at plan-build (`_bloom_fit`: one
+    64-bit block per key, {k} bit positions from 6-bit slices of a
+    second xxhash64 — the Impala/Parquet register-blocked design; ONE
+    aggregate job whose bit_or word-fold runs executor-side, O(m)
+    driver model, the kmeans/SQ8 fit pattern), shipped as a single
+    BINARY literal, and every fact row is pre-screened JVM-side
+    (`_bloom_prescreen`: one 8-byte block fetch — one cache line at
+    scale — plus ONE codegen'd (word & mask) == mask compare covering
+    all {k} bits) BEFORE the exact broadcast
+    semi join removes the bloom's false positives — so the result is
+    exactly the plain semi join (the oracle), but the shuffle/join
+    input has already been cut to ~|matches| + fpp·|facts| rows in the
+    scan stage.
 
-    Sizing: m = next_pow2(16·n) bits (k=7 ⇒ fpp ≈ 0.2%), capped at
-    512 KiB of bitmap. Scale limits are explicit: the literal-bitmap
-    form carries dims up to ~10^6-10^7 keys; past that a real
-    deployment flips to Spark's own runtime row-level bloom (AQE
+    Sizing: fixed m = 2^22 bits (512 KiB) — ~14 bits/key at 3·10^5
+    keys (fpp well under 1%; the exact join deletes the stragglers
+    regardless). Scale limits are explicit: the literal-bitmap form
+    carries dims up to ~10^6-10^7 keys (grow the block count — the fit
+    stays one bit_or aggregate); past that a real deployment flips to
+    Spark's own runtime row-level bloom (AQE
     `spark.sql.optimizer.runtime.bloomFilter.enabled`) or stays with
     the shuffle semi join. The point demonstrated here is the
-    scan-stage cut: the bloom runs inside the scan's WholeStageCodegen
-    span — a predicate Catalyst cannot derive on its own — so at 100 TB
-    only ~|matches| rows ever reach an exchange. (The fixed two-job fit
-    cost means the plain broadcast semi join wins at toy scale; the
-    bloom pays for itself once the fact side is large enough that
-    scan-stage row elimination dominates, which is exactly the 100 TB
-    regime.)
+    scan-stage cut: the bloom runs inside the scan's
+    WholeStageCodegen span — a predicate Catalyst cannot derive on its
+    own — so at 100 TB only ~|matches| rows ever reach an exchange.
+    (The fixed fit-job cost means the plain broadcast semi join wins at
+    toy scale; the bloom pays for itself once the fact side is large
+    enough that scan-stage row elimination dominates, which is exactly
+    the 100 TB regime.)
     """
-    import numpy as np
-
     urgent = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    # ONE model-fit job: probe positions at the CAP size M plus the key
-    # count (each key contributes exactly k probes, so n = rows/k).
-    # Positions for the final m fold out of the cap positions because
-    # both are powers of two: h mod m = (h mod M) & (m-1).
-    probes = [
-        F.pmod(F.xxhash64(F.lit(i).cast("long"), F.col("o_orderkey")), F.lit(_BLOOM_CAP))
-        for i in range(_BLOOM_K)
-    ]
-    fit = (
-        urgent.select(F.explode(F.array(*probes)).alias("p"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.collect_set("p").alias("ps"),
-        )
-        .collect()[0]
-    )
-    n = fit["cnt"] // _BLOOM_K
-    m_bits = 1024
-    while m_bits < 16 * n and m_bits < _BLOOM_CAP:
-        m_bits *= 2
-
-    # Pack the bitmap into BYTES and ship it as ONE binary literal:
-    # a single py4j transfer (measured 8 ms vs 3.7 s for the same
-    # bitmap as an array<bigint> literal — py4j marshals array
-    # literals element-wise) and the byte probes run ~2× faster too.
-    bits = np.zeros(m_bits, dtype=bool)
-    bits[np.array(fit["ps"], dtype=np.int64) & (m_bits - 1)] = True
-    bitmap = F.lit(bytes(np.packbits(bits, bitorder="little").tobytes()))
-
-    def bit_set(i: int) -> Column:
-        pos = F.pmod(
-            F.xxhash64(F.lit(i).cast("long"), F.col("l_orderkey")), F.lit(m_bits)
-        )
-        byte = F.conv(
-            F.hex(F.substring(bitmap, F.floor(pos / 8).cast("int") + 1, 1)), 16, 10
-        ).cast("int")
-        return F.getbit(byte, F.pmod(pos, 8)) == 1
-
-    maybe = F.lit(True)
-    for i in range(_BLOOM_K):
-        maybe = maybe & bit_set(i)
-
+    bitmap = _bloom_fit(urgent, "o_orderkey")
     li = load(spark, sf_dir, "lineitem")
-    survivors = li.filter(maybe).join(
+    survivors = _bloom_prescreen(li, "l_orderkey", bitmap).join(
         F.broadcast(urgent),
-        li["l_orderkey"] == urgent["o_orderkey"],
+        F.col("l_orderkey") == urgent["o_orderkey"],
         "left_semi",
     )
     return survivors.groupBy("l_returnflag", "l_linestatus").agg(

@@ -82,9 +82,10 @@ def test_bloom_prunes_most_nonmatching_rows(spark, sf_dir):
     the vast majority of non-matching fact rows — otherwise it is not
     doing its scan-stage job. fpp at 16 bits/key, k=7 is ~0.2%; allow
     generous slack (≤10% of non-matches surviving)."""
-    import numpy as np
-
-    from project_map_reduce_spark.plans.warehouse import _BLOOM_CAP, _BLOOM_K
+    from project_map_reduce_spark.plans.warehouse import (
+        _bloom_fit,
+        _bloom_prescreen,
+    )
 
     li = load(spark, sf_dir, "lineitem")
     urgent = (
@@ -92,38 +93,13 @@ def test_bloom_prunes_most_nonmatching_rows(spark, sf_dir):
         .filter("o_orderpriority = '1-URGENT'")
         .select("o_orderkey")
     )
-    probes = [
-        F.pmod(F.xxhash64(F.lit(i).cast("long"), F.col("o_orderkey")), F.lit(_BLOOM_CAP))
-        for i in range(_BLOOM_K)
-    ]
-    fit = (
-        urgent.select(F.explode(F.array(*probes)).alias("p"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.collect_set("p").alias("ps"))
-        .collect()[0]
-    )
-    n = fit["cnt"] // _BLOOM_K
-    m_bits = 1024
-    while m_bits < 16 * n and m_bits < _BLOOM_CAP:
-        m_bits *= 2
-    bits = np.zeros(m_bits, dtype=bool)
-    bits[np.array(fit["ps"], dtype=np.int64) & (m_bits - 1)] = True
-    bitmap = F.lit(bytes(np.packbits(bits, bitorder="little").tobytes()))
-
-    cond = F.lit(True)
-    for i in range(_BLOOM_K):
-        pos = F.pmod(
-            F.xxhash64(F.lit(i).cast("long"), F.col("l_orderkey")), F.lit(m_bits)
-        )
-        byte = F.conv(
-            F.hex(F.substring(bitmap, F.floor(pos / 8).cast("int") + 1, 1)), 16, 10
-        ).cast("int")
-        cond = cond & (F.getbit(byte, F.pmod(pos, 8)) == 1)
+    bitmap = _bloom_fit(urgent, "o_orderkey")
 
     total = li.count()
     true_matches = li.join(
         F.broadcast(urgent), li["l_orderkey"] == urgent["o_orderkey"], "left_semi"
     ).count()
-    bloom_survivors = li.filter(cond).count()
+    bloom_survivors = _bloom_prescreen(li, "l_orderkey", bitmap).count()
     assert bloom_survivors >= true_matches  # no false negatives, ever
     non_matches = total - true_matches
     false_pos = bloom_survivors - true_matches
