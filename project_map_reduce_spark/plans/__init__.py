@@ -60,14 +60,18 @@ _DRIVER_WINDOW = [
     "q_join_bloom",
     "q_pagerank",
     "q_audio_features",
-    # -- then 38 of the 49 queries whose last driver signal is round-4
+    "q_stream_sessions",
+    "q_timeseries_fill",
+    "q_cdc_apply",
+    # -- then 35 of the 49 queries whose last driver signal is round-4
     #    vintage (each judge-re-verified via tools/parity.py in r5).
-    #    The eleven left out — q_string_funcs, q_date_funcs,
+    #    The fourteen left out — q_string_funcs, q_date_funcs,
     #    q_math_funcs, q_datediff, q_array_ops, q_map_ops,
     #    q_window_lag_lead (pure deterministic scalar/collection/window
-    #    functions, lowest drift risk) plus q_pipeline_e2e,
-    #    q_multimodal_dims, q_join_bucketed, q_sample_temperature
-    #    (displaced by this round's four new queries, which have NO
+    #    functions, lowest drift risk) plus q_dedup_incremental,
+    #    q_not_exists, q_pipeline_e2e, q_multimodal_dims,
+    #    q_join_bucketed, q_sample_temperature, q_join_salted
+    #    (displaced by this round's seven new queries, which have NO
     #    driver signal yet) — rotate in round 7. Everything displaced
     #    was driver-green in CORRECTNESS_r04/r05, judge-re-verified in
     #    r5, and keeps pytest + local-parity coverage at positions 51+.
@@ -106,9 +110,6 @@ _DRIVER_WINDOW = [
     "q_dedup_clusters",
     "q_window_distribution",
     "q_pack_sequences",
-    "q_join_salted",
-    "q_dedup_incremental",
-    "q_not_exists",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

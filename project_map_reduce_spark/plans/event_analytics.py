@@ -160,3 +160,85 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("funnel_stage").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_timeseries_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS n, round(sum(value), 6) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           g.hour_start,
+           coalesce(a.n, 0)   AS n_events,
+           coalesce(a.s, 0.0) AS sum_value
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.h = g.hour_start AND a.event_type = t.event_type
+    """,
+)
+def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q113: time-series gap filling — the dense hourly grid every
+    charting/forecasting consumer expects: one row per (event_type,
+    hour) over the stream's full span, zero-filled where no event
+    landed. The dense axis is GENERATED, not joined: the hour sequence
+    is a constant `sequence(lo, hi, 1h)` exploded per event_type row
+    (grid bounds are two scalars collected at plan-build — the model-fit
+    pattern), so there is no cross join in the plan; the only real work
+    is the hourly aggregate (partial+final) and one keyed left join of
+    the tiny dense grid against it.
+
+    Scale shape: grid cardinality = types × hours — calendar-bounded
+    (a year is 8.8k hours), never data-bounded, so the generated side
+    stays broadcastable at ANY corpus size while the aggregate side
+    shrinks the 100 TB stream to O(types × hours) rows before the join.
+    A per-entity fill (millions of series) would explode the same
+    sequence per entity row — same plan, no new shapes.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    lo, hi = ev.agg(
+        F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+    ).first()
+    if hi is None:
+        raise ValueError("q_timeseries_fill: events table is empty")
+
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast(ts_type),
+                    F.lit(hi).cast(ts_type),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour_start"),
+        )
+    )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("s"),
+    )
+    return grid.join(hourly, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("s"), F.lit(0.0)).alias("sum_value"),
+    )

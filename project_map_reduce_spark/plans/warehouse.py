@@ -1,14 +1,16 @@
-"""Warehouse maintenance surface — SCD type-2 dimension rebuild and an
-explicit bloom-filter pre-filtered join (Q108-Q109).
+"""Warehouse maintenance surface — SCD type-2 dimension rebuild, an
+explicit bloom-filter pre-filtered join, and CDC changelog application
+(Q108-Q109, Q114).
 
-Both are operations a reference user running a production warehouse
+All are operations a reference user running a production warehouse
 would reach for next after the SQL surface (plans/sql_surface.py):
-slowly-changing-dimension history is how dim tables absorb a changelog,
-and bloom pruning is how a 100 TB fact scan avoids shuffling rows that
-a selective dim-side predicate will discard anyway.
+slowly-changing-dimension history (Q108) and MERGE-style current-state
+application (Q114) are how tables absorb a changelog, and bloom
+pruning (Q109) is how a 100 TB fact scan avoids shuffling rows that a
+selective dim-side predicate will discard anyway.
 
 Reference analog: none (the reference has no table-maintenance layer,
-SURVEY.md §2 Part A "does NOT implement" list); both rows are `ext`.
+SURVEY.md §2 Part A "does NOT implement" list); all rows are `ext`.
 """
 
 from __future__ import annotations
@@ -223,3 +225,95 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_join_bloom, k=_BLOOM_K)
+
+
+_CDC_DEL_MOD = 10  # orderkey % 10 == 0 → delete op (~10% of changes)
+
+
+@register(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH latest AS (
+        SELECT o_custkey AS custkey,
+               (max(struct_pack(d := o_orderdate, k := o_orderkey,
+                                op := CASE WHEN o_orderkey % {_CDC_DEL_MOD} = 0
+                                           THEN 'D' ELSE 'U' END,
+                                a := round(o_totalprice, 6)))).op AS op,
+               (max(struct_pack(d := o_orderdate, k := o_orderkey,
+                                op := CASE WHEN o_orderkey % {_CDC_DEL_MOD} = 0
+                                           THEN 'D' ELSE 'U' END,
+                                a := round(o_totalprice, 6)))).a  AS attr,
+               (max(struct_pack(d := o_orderdate, k := o_orderkey,
+                                op := CASE WHEN o_orderkey % {_CDC_DEL_MOD} = 0
+                                           THEN 'D' ELSE 'U' END,
+                                a := round(o_totalprice, 6)))).k  AS last_change_id
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT coalesce(l.custkey, c.c_custkey) AS custkey,
+           CASE WHEN l.custkey IS NULL THEN round(c.c_acctbal, 6)
+                ELSE l.attr END             AS attr,
+           CASE WHEN l.custkey IS NULL THEN 'base' ELSE 'cdc' END AS src,
+           l.last_change_id
+    FROM customer c
+    FULL OUTER JOIN latest l ON l.custkey = c.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q114: CDC changelog application (MERGE INTO semantics) — the
+    companion to Q108: where SCD2 keeps every version, this produces
+    the CURRENT snapshot after applying an upsert/delete changelog to a
+    base table. Changes are orders rows (op: orderkey % {dm} == 0 →
+    delete, else upsert; change order = (o_orderdate, o_orderkey)); the
+    winner per key is ONE mergeable struct-max aggregate (the Q77
+    arg-max idiom — no window, no sort), then a single keyed FULL OUTER
+    join against the base snapshot applies the merge rule: untouched
+    base rows pass through, latest-upsert keys take the change's
+    attribute, latest-delete keys vanish even if present in the base.
+
+    Scale shape: the struct-max is a partial+final aggregate (the
+    changelog — the big side at 100 TB, since changelogs outgrow dims —
+    collapses map-side to one row per key before the exchange; the
+    struct buffer keeps it on SortAggregate rather than the hash path,
+    a documented planscan flag shared with q_minmax_by — the
+    single-shuffle mergeable-argmax trade, same as the dedup survivor
+    picks), and the join is one hash partition on the key; this is
+    exactly how Delta/Iceberg MERGE compacts a CDC feed, minus the
+    file rewrite. Deletes ride the same dataflow as upserts — no
+    separate anti-join pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    arg = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % _CDC_DEL_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round("o_totalprice", 6).alias("a"),
+    )
+    latest = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.max(arg).alias("w"))
+        .select(
+            "custkey",
+            F.col("w.op").alias("op"),
+            F.col("w.a").alias("attr"),
+            F.col("w.k").alias("last_change_id"),
+        )
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    merged = c.join(latest, c["c_custkey"] == latest["custkey"], "full_outer")
+    return merged.where(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.coalesce(F.col("custkey"), F.col("c_custkey")).alias("custkey"),
+        F.when(F.col("custkey").isNull(), F.round("c_acctbal", 6))
+        .otherwise(F.col("attr"))
+        .alias("attr"),
+        F.when(F.col("custkey").isNull(), "base").otherwise("cdc").alias("src"),
+        "last_change_id",
+    )
+
+
+fmt_doc(q_cdc_apply, dm=_CDC_DEL_MOD)

@@ -505,3 +505,52 @@ def test_stream_static_join_is_broadcast_and_stateless(spark, sf_dir, tmp_path):
     plan = q._jsq.explainInternal(True)
     assert "BroadcastHashJoin" in plan, plan
     assert "StateStore" not in plan, plan
+
+
+def test_stream_sessions_premise_and_merge(spark, sf_dir):
+    """Q112's design premise: at least one user session STRADDLES the
+    batch split — otherwise the streaming run would never exercise
+    cross-batch session-state merging and the query would pass
+    vacuously. Recomputes the query's own cut rule (earliest
+    in-session strictly-increasing pair) batch-side and asserts a
+    straddler exists; the oracle hash then proves the merged sessions
+    come out RIGHT."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cut = (
+        ev.withColumn("nts", F.lead("ts").over(wse))
+        .where(
+            (F.col("nts") > F.col("ts"))
+            & (F.col("nts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTE"))
+        )
+        .agg(F.min("ts"))
+        .first()[0]
+    )
+    assert cut is not None
+    ev = ev.select("user_id", "ts")
+    # gaps-and-islands session id, then: does any session span the cut?
+    w = Window.partitionBy("user_id").orderBy("ts")
+    from project_map_reduce_spark.functions.det import micros_between
+
+    marked = ev.withColumn(
+        "new_s",
+        (
+            F.coalesce(
+                micros_between(F.lag("ts").over(w), F.col("ts")),
+                F.lit(10**15),
+            )
+            > 30 * 60 * 1_000_000
+        ).cast("int"),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    straddlers = (
+        marked.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("smin"), F.max("ts").alias("smax"))
+        .where((F.col("smin") <= F.lit(cut)) & (F.col("smax") > F.lit(cut)))
+        .count()
+    )
+    assert straddlers > 0

@@ -1,7 +1,9 @@
-"""Targeted properties for the round-6 additions (Q108-Q111) beyond the
-oracle hash-match (test_oracle_parity.py covers that automatically):
-SCD2 interval integrity, bloom pruning + exactness, PageRank invariants
-and hand-graph equivalence, audio round-trip sample-exactness.
+"""Targeted properties for the round-6 additions (Q108-Q111, Q113-Q114)
+beyond the oracle hash-match (test_oracle_parity.py covers that
+automatically): SCD2 interval integrity, bloom pruning + exactness,
+PageRank invariants and hand-graph equivalence, audio round-trip
+sample-exactness, CDC delete semantics, gap-fill grid density.
+(Q112's streaming properties live in tests/test_streaming.py.)
 """
 
 from __future__ import annotations
@@ -190,3 +192,61 @@ def test_audio_features_match_formula(spark, sf_dir):
             sum(s * s for s in samples) / (256 * 1073741824.0)
         )
         assert r["rms"] == pytest.approx(rms, abs=1e-6)
+
+
+# ------------------------------------------------------- cdc/timeseries
+
+
+def test_cdc_apply_deletes_remove_base_rows(spark, sf_dir):
+    from project_map_reduce_spark.plans.warehouse import _CDC_DEL_MOD
+
+    out = entries()["q_cdc_apply"].fn(spark, sf_dir).cache()
+    try:
+        orders = load(spark, sf_dir, "orders")
+        # keys whose LATEST change is a delete must be absent
+        latest = (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.max(
+                    F.struct(
+                        "o_orderdate",
+                        "o_orderkey",
+                        ((F.col("o_orderkey") % _CDC_DEL_MOD) == 0).alias("del_"),
+                    )
+                ).alias("w")
+            )
+            .select("o_custkey", F.col("w.del_").alias("del_"))
+        )
+        deleted = {r["o_custkey"] for r in latest.filter("del_").collect()}
+        assert deleted, "fixture must exercise the delete path"
+        present = {r["custkey"] for r in out.collect()}
+        assert not (deleted & present)
+        # untouched base keys pass through with src='base'
+        touched = {r["o_custkey"] for r in latest.collect()}
+        n_base = out.filter("src = 'base'").count()
+        n_cust = load(spark, sf_dir, "customer").count()
+        assert n_base == n_cust - len(
+            touched & {r["c_custkey"] for r in load(spark, sf_dir, "customer").select("c_custkey").collect()}
+        )
+    finally:
+        out.unpersist()
+
+
+def test_timeseries_fill_grid_is_dense(spark, sf_dir):
+    out = entries()["q_timeseries_fill"].fn(spark, sf_dir).cache()
+    try:
+        ev = load(spark, sf_dir, "events")
+        n_types = ev.select("event_type").distinct().count()
+        lo, hi = ev.agg(
+            F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+        ).first()
+        n_hours = int((hi - lo).total_seconds() // 3600) + 1
+        assert out.count() == n_types * n_hours
+        # zero-filled rows exist (the fixture has at least one gap) and
+        # totals are preserved exactly
+        assert out.filter("n_events = 0").count() > 0
+        assert (
+            out.agg(F.sum("n_events")).first()[0] == ev.count()
+        )
+    finally:
+        out.unpersist()

@@ -32,7 +32,7 @@ from project_map_reduce_spark.session import get_spark  # noqa: E402
 # Queries that execute side effects at plan-build time (streaming jobs,
 # table writes) — compiled plans of their final localized frame are not
 # the interesting part; their shapes are covered by dedicated tests.
-_SKIP = {"q_stream_totals", "q_watermark_late", "q_stream_dedup_watermark", "q_join_interval_stream", "q_stream_enrich", "q_join_bucketed"}
+_SKIP = {"q_stream_totals", "q_watermark_late", "q_stream_dedup_watermark", "q_join_interval_stream", "q_stream_enrich", "q_stream_sessions", "q_join_bucketed"}
 
 _SMELLS = ("SortAggregate", "CartesianProduct", "BroadcastNestedLoopJoin")
 
