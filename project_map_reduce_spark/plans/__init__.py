@@ -63,18 +63,25 @@ _DRIVER_WINDOW = [
     "q_stream_sessions",
     "q_timeseries_fill",
     "q_cdc_apply",
-    # -- then 35 of the 49 queries whose last driver signal is round-4
+    "q_events_attribution",
+    "q_hll_rollup",
+    "q_mv_incremental",
+    "q_partition_prune",
+    "q_profile_columns",
+    # -- then 30 of the 49 queries whose last driver signal is round-4
     #    vintage (each judge-re-verified via tools/parity.py in r5).
-    #    The fourteen left out — q_string_funcs, q_date_funcs,
+    #    The nineteen left out — q_string_funcs, q_date_funcs,
     #    q_math_funcs, q_datediff, q_array_ops, q_map_ops,
-    #    q_window_lag_lead (pure deterministic scalar/collection/window
-    #    functions, lowest drift risk) plus q_dedup_incremental,
-    #    q_not_exists, q_pipeline_e2e, q_multimodal_dims,
-    #    q_join_bucketed, q_sample_temperature, q_join_salted
-    #    (displaced by this round's seven new queries, which have NO
-    #    driver signal yet) — rotate in round 7. Everything displaced
-    #    was driver-green in CORRECTNESS_r04/r05, judge-re-verified in
-    #    r5, and keeps pytest + local-parity coverage at positions 51+.
+    #    q_window_lag_lead, q_window_rank, q_window_moving,
+    #    q_window_range, q_split_train_val, q_udaf_weighted_mean
+    #    (pure deterministic scalar/collection/window/hash functions,
+    #    lowest drift risk) plus q_dedup_incremental, q_not_exists,
+    #    q_pipeline_e2e, q_multimodal_dims, q_join_bucketed,
+    #    q_sample_temperature, q_join_salted (displaced by this
+    #    round's twelve new queries, which have NO driver signal yet)
+    #    — rotate in round 7. Everything displaced was driver-green in
+    #    CORRECTNESS_r04/r05, judge-re-verified in r5, and keeps
+    #    pytest + local-parity coverage at positions 51+.
     "q_join_inner",
     "q_join_multi",
     "q_join_left_outer",
@@ -89,9 +96,6 @@ _DRIVER_WINDOW = [
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
-    "q_window_rank",
-    "q_window_moving",
-    "q_window_range",
     "q_dedup_exact",
     "q_dedup_fuzzy",
     "q_similarity_topk",
@@ -105,8 +109,6 @@ _DRIVER_WINDOW = [
     "q_lang_id",
     "q_text_quality",
     "q_doc_fingerprint",
-    "q_udaf_weighted_mean",
-    "q_split_train_val",
     "q_dedup_clusters",
     "q_window_distribution",
     "q_pack_sequences",

@@ -210,3 +210,71 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6d(F.col("min_value"), "min_value"),
         r6d(F.col("max_value"), "max_value"),
     )
+
+
+@register(
+    "q_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT date_trunc('day', ts)) AS n_days,
+           TRUE AS merged_within_tol,
+           TRUE AS merge_consistent
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q116: mergeable-sketch re-aggregation — the pattern behind every
+    pre-aggregated distinct-count cube at 100 TB: sketch ONCE per
+    (event_type, day) cell (Datasketches HLL, lgConfigK=12), then answer
+    the coarser per-type question by MERGING the daily sketches
+    (``hll_union_agg``) instead of rescanning raw events. A year of
+    daily sketches is O(days × types × 2^lgK) bytes — any date-range
+    distinct query after that touches sketches only, which is why
+    warehouses persist the sketch column, not the raw IDs.
+
+    Like Q20, HLL estimates legitimately differ across engines, so the
+    hash contract is engine-internal invariants both sides emit as
+    deterministic TRUE: (a) the merged estimate lands within 3·rsd of
+    this engine's own exact distinct (rsd = 1.04/√2^12 ≈ 1.63%), and
+    (b) merging daily sketches agrees with sketching the raw stream
+    directly to the same tolerance — the re-aggregation consistency
+    that makes the stored daily cube trustworthy (register-wise max is
+    associative; the small residual is sparse→dense estimator
+    promotion in the union path, observed ≤0.5% at every test SF).
+
+    Scale shape: two partial+final hash aggs over the stream (the daily
+    cube and the direct/exact check) plus one O(types) join; nothing
+    wider than a sketch blob ever shuffles per group. In production the
+    daily-cube agg is the only one that touches raw data — the exact
+    branch exists purely as this query's self-check.
+    """
+    lg_k = 12
+    rsd3 = 3 * 1.04 / (2**lg_k) ** 0.5
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(lg_k))
+        ).alias("_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = F.lit(rsd3) * F.col("exact_users")
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (F.abs(F.col("_merged") - F.col("exact_users")) <= tol).alias(
+            "merged_within_tol"
+        ),
+        (F.abs(F.col("_merged") - F.col("_direct")) <= tol).alias(
+            "merge_consistent"
+        ),
+    )

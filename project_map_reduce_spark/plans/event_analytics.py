@@ -242,3 +242,102 @@ def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("s"), F.lit(0.0)).alias("sum_value"),
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle=f"""
+    WITH touched AS (
+        SELECT ts, event_type, value, event_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS click_ts
+        FROM events
+    ),
+    purchases AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               value,
+               (click_ts IS NOT NULL AND
+                epoch_us(ts) - epoch_us(click_ts) <= 604800000000)
+                   AS attributed,
+               (epoch_us(ts) - epoch_us(click_ts)) / 3600000000.0 AS hours
+        FROM touched WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           count(*) AS n_purchases,
+           count(*) FILTER (WHERE attributed) AS n_attributed,
+           CAST(sum(CASE WHEN attributed
+                         THEN CAST(value AS DECIMAL(27,6))
+                         ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+               AS attributed_revenue,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_revenue,
+           round(avg(CASE WHEN attributed THEN hours END), 6)
+               AS avg_hours_to_convert
+    FROM purchases
+    GROUP BY day
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q115: last-touch marketing attribution — each purchase credited
+    to the same user's most recent preceding click within a 7-day
+    lookback, reported per purchase day. This is the third classic
+    product-analytics shape after retention (Q72) and funnels (Q73),
+    and the one most often written WRONG at scale: the naive form is an
+    interval self-join (every purchase x every prior click within 7
+    days — quadratic in events per user), here replaced by ONE keyed
+    window: a running `last(click_ts) ignore nulls` carried forward per
+    user in event order, so each purchase reads its attribution in O(1)
+    from the frame.
+
+    Scale shape: the only exchange over the raw stream is the hash
+    partition on user_id for the window (per-user sort is
+    partition-local); the day-level aggregate collapses to O(days)
+    rows before anything else happens. No self-join exists in the
+    plan at any corpus size. Deterministic: window ordered by
+    (ts, event_id) so same-timestamp rows tiebreak stably; revenue
+    sums are exact decimals (``sum6`` contract).
+    """
+    from pyspark.sql import Window
+
+    from project_map_reduce_spark.functions.det import micros_between, r6
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touched = ev.withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    lookback_us = 7 * 86400 * 1_000_000
+    gap_us = micros_between("click_ts", "ts")
+    purchases = touched.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+        (
+            F.col("click_ts").isNotNull() & (gap_us <= F.lit(lookback_us))
+        ).alias("attributed"),
+        (gap_us / 3.6e9).alias("hours"),
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return purchases.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count(F.when(F.col("attributed"), 1)).alias("n_attributed"),
+        F.sum(F.when(F.col("attributed"), dec).otherwise(F.lit(0).cast("decimal(18,6)")))
+        .cast("double")
+        .alias("attributed_revenue"),
+        F.sum(dec).cast("double").alias("total_revenue"),
+        r6(F.avg(F.when(F.col("attributed"), F.col("hours")))).alias(
+            "avg_hours_to_convert"
+        ),
+    )

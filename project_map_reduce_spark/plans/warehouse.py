@@ -317,3 +317,81 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_cdc_apply, dm=_CDC_DEL_MOD)
+
+
+_MV_CUTOFF = "2024-01-25 00:00:00"
+
+
+@register(
+    "q_mv_incremental",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events,
+           {SUM6.format(expr="value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q117: incremental materialized-view refresh — the partial-
+    aggregate merge that keeps a 100 TB MV fresh without rescanning
+    history. Yesterday's MV (per-(event_type, day) count + exact-decimal
+    value sum over everything before the cutoff) is MATERIALIZED to
+    parquet and read back as the stored table; the refresh job then
+    scans ONLY that stored MV plus the delta (events at/after the
+    cutoff), aggregates the delta to the same partial shape, and merges
+    with one union + re-aggregate — counts add, decimal sums add
+    exactly (order-independent), averages would derive from (sum,
+    count). Refresh cost is O(|MV| + |delta|), independent of history
+    size — the reason partials, not finals, are what an MV stores.
+
+    The result must equal the full recompute over all events, which IS
+    the oracle — the hash matches only if the merge is lossless. The
+    sum partial is DECIMAL end to end (``sum6`` contract), because a
+    double partial would make the stored MV order-sensitive.
+
+    Driver-collect note (the Q96 pattern): the refreshed MV is
+    O(types × days) = 150 rows at any corpus size; it is localized so
+    the scratch MV directory can be removed before returning. At scale
+    the stored MV is the durable asset and the refresh writes back to
+    it instead.
+    """
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cutoff = F.lit(_MV_CUTOFF).cast(ev.schema["ts"].dataType.simpleString())
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+
+    mv_dir = tempfile.mkdtemp(prefix="q_mv_incremental_")
+    try:
+        # Yesterday's refresh: history partials persisted as the stored MV.
+        partials(ev.filter(F.col("ts") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(mv_dir)
+        stored = spark.read.parquet(mv_dir)
+        delta = partials(ev.filter(F.col("ts") >= cutoff))
+        refreshed = (
+            stored.unionByName(delta)
+            .groupBy("event_type", "day")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_dec").cast("double").alias("sum_value"),
+            )
+        )
+        rows = refreshed.collect()
+    finally:
+        shutil.rmtree(mv_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="event_type string, day timestamp_ntz, "
+        "n_events bigint, sum_value double",
+    )

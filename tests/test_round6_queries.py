@@ -1,0 +1,142 @@
+"""Semantic tests for the round-6 additions beyond the oracle sweep:
+last-touch attribution (Q115), HLL sketch rollup (Q116), incremental
+MV refresh (Q117), and partition pruning (Q118).
+
+The oracle sweep (test_oracle_parity.py) already hash-checks each
+against DuckDB; these tests pin the properties the hash alone can't
+see — that the window form of attribution equals the naive interval
+join it replaces, that the sketch invariants are non-vacuous, that the
+MV merge genuinely exercises both the stored and the delta side, and
+that pruning actually restricts the partition set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.plans.agg_extra import q_hll_rollup
+from project_map_reduce_spark.plans.event_analytics import q_events_attribution
+from project_map_reduce_spark.plans.scans import q_partition_prune
+from project_map_reduce_spark.plans.warehouse import _MV_CUTOFF, q_mv_incremental
+from project_map_reduce_spark.tables import load
+
+
+def test_attribution_equals_naive_interval_join(spark, sf_dir):
+    """The keyed-window form must agree with the quadratic interval
+    self-join it replaces: a purchase is attributed iff SOME click by
+    the same user lies in (purchase_ts - 7d, purchase_ts], with the
+    (ts, event_id) tiebreak making 'most recent' well-defined."""
+    res = q_events_attribution(spark, sf_dir)
+    got = res.agg(
+        F.sum("n_purchases").alias("np"), F.sum("n_attributed").alias("na")
+    ).first()
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+    )
+    naive = (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (
+                (F.col("c_ts") < F.col("p_ts"))
+                | (
+                    (F.col("c_ts") == F.col("p_ts"))
+                    & (F.col("c_id") <= F.col("p_id"))
+                )
+            )
+            & (
+                F.timestamp_diff("MICROSECOND", "c_ts", "p_ts")
+                <= 7 * 86400 * 1_000_000
+            ),
+            "left_semi",
+        )
+        .count()
+    )
+    assert got.np == p.count()
+    assert got.na == naive
+    assert 0 < got.na <= got.np  # non-vacuous at every test SF
+
+
+def test_hll_rollup_invariants_hold(spark, sf_dir):
+    rows = q_hll_rollup(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.merged_within_tol and r.merge_consistent
+        assert r.n_days == 30 and r.exact_users > 0
+
+
+def test_mv_incremental_premise_and_merge(spark, sf_dir):
+    """Premise: the fixture straddles the cutoff (both the stored MV
+    and the delta are non-empty, so the merge path is exercised), and
+    the refreshed MV equals a full recompute done in Spark."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(_MV_CUTOFF).cast(ev.schema["ts"].dataType.simpleString())
+    n_base = ev.filter(F.col("ts") < cutoff).count()
+    n_delta = ev.filter(F.col("ts") >= cutoff).count()
+    assert n_base > 0 and n_delta > 0
+
+    res = q_mv_incremental(spark, sf_dir)
+    full = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert res.count() == full.count()
+    assert (
+        res.exceptAll(
+            full.select("event_type", "day", "n_events", "sum_value")
+        ).count()
+        == 0
+    )
+    # Some day straddles the cutoff only if the cutoff is mid-day; here
+    # it is midnight, so every MV row comes wholly from one side — the
+    # count identity above is what proves the merge added them back
+    # together correctly.
+    assert res.agg(F.sum("n_events")).first()[0] == n_base + n_delta
+
+
+def test_partition_prune_restricts_partition_set(spark, sf_dir):
+    """The 3-day window is a strict subset of the 30-day fixture, and
+    the query's own plan assertion (raises on missing PartitionFilter)
+    ran without raising."""
+    res = q_partition_prune(spark, sf_dir)
+    pruned_total = res.agg(F.sum("n_events")).first()[0]
+    ev = load(spark, sf_dir, "events")
+    expected = ev.filter(
+        F.to_date("ts").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+    ).count()
+    total = ev.count()
+    assert pruned_total == expected
+    assert 0 < pruned_total < total
+
+
+def test_profile_columns_is_single_scan(spark, sf_dir):
+    """The profiler's one-pass claim: the executed plan reads lineitem
+    exactly once (the multi-distinct Expand replicates rows inside the
+    same scan, it does not rescan), and the report values cohere."""
+    from project_map_reduce_spark.plans.olap_extra import q_profile_columns
+
+    df = q_profile_columns(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = {r.column: r for r in df.collect()}
+    assert len(rows) == 6
+    n = next(iter(rows.values())).n_rows
+    for r in rows.values():
+        assert r.n_rows == n and r.n_nulls == 0
+        assert 0 < r.n_distinct <= n
+    assert rows["l_quantity"].min_num <= rows["l_quantity"].mean
+    assert rows["l_quantity"].mean <= rows["l_quantity"].max_num
+    assert rows["l_returnflag"].min_str == "A"
+    assert rows["l_returnflag"].max_str == "R"

@@ -9,10 +9,12 @@ refactor, across the whole inventory at once.
 
 Known/adjudicated sites (see VERDICT r3/r4): the four BNLJ hits are
 broadcast-tiny crossJoins (O(1)-row or 16-row frames — similarity
-centroids/queries, tfidf totals, Q97's 1-row n_min scalar); the three
-SortAggregate hits are deliberate single-shuffle min(string) survivor
-picks, documented in q_pipeline_e2e's docstring. Current expected
-total: 7 flagged, all documented.
+centroids/queries, tfidf totals, Q97's 1-row n_min scalar); the four
+SortAggregate hits are deliberate single-shuffle mergeable argmax/
+survivor picks over struct or string buffers (q_minmax_by,
+q_cdc_apply's struct-max MERGE, and the min(string) survivor picks
+documented in q_pipeline_e2e's docstring). Current expected total:
+8 flagged, all documented.
 
 Usage:
     python tools/planscan.py [--sf-dir /root/testdata/sf0.01]
@@ -32,7 +34,7 @@ from project_map_reduce_spark.session import get_spark  # noqa: E402
 # Queries that execute side effects at plan-build time (streaming jobs,
 # table writes) — compiled plans of their final localized frame are not
 # the interesting part; their shapes are covered by dedicated tests.
-_SKIP = {"q_stream_totals", "q_watermark_late", "q_stream_dedup_watermark", "q_join_interval_stream", "q_stream_enrich", "q_stream_sessions", "q_join_bucketed"}
+_SKIP = {"q_stream_totals", "q_watermark_late", "q_stream_dedup_watermark", "q_join_interval_stream", "q_stream_enrich", "q_stream_sessions", "q_join_bucketed", "q_mv_incremental", "q_partition_prune"}
 
 _SMELLS = ("SortAggregate", "CartesianProduct", "BroadcastNestedLoopJoin")
 
