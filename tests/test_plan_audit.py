@@ -447,3 +447,58 @@ def test_trained_classifier_scoring_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_quality_classifier_trained")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def _plan_tree(plan: str) -> str:
+    """The tree block of a formatted explain (the detail section below
+    repeats every node name, so counts must run on the tree only)."""
+    return plan.split("\n\n")[0]
+
+
+def test_attribution_is_windowed_not_joined(spark, sf_dir):
+    """Q115's whole point: last-touch attribution compiles to ONE keyed
+    window plus the day aggregate — exactly two hash exchanges
+    (user_id, then day), NO join of any kind (the naive quadratic form
+    is an interval self-join), and the window's sort is partition-local
+    (no range exchange = no global sort)."""
+    tree = _plan_tree(plan_of(spark, sf_dir, "q_events_attribution"))
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") == 2, tree
+    assert "rangepartitioning" not in tree, tree
+    assert "Window" in tree, tree
+
+
+def test_scd2_single_exchange_no_join(spark, sf_dir):
+    """Q108: UNION ALL is a free plan concat; the entire SCD2 rebuild
+    hangs off ONE hash exchange on custkey — no join, no global sort
+    (the per-key sort runs inside partitions)."""
+    tree = _plan_tree(plan_of(spark, sf_dir, "q_scd2_merge"))
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert "rangepartitioning" not in tree, tree
+
+
+def test_hll_rollup_stays_on_object_hash_path(spark, sf_dir):
+    """Q116: sketch aggregation buffers must ride ObjectHashAggregate
+    (the hash path for typed buffers) — SortAggregate here would sort
+    the full stream per level; and the O(types) merged/direct join must
+    broadcast, never shuffle."""
+    tree = _plan_tree(plan_of(spark, sf_dir, "q_hll_rollup"))
+    assert "ObjectHashAggregate" in tree, tree
+    assert "SortAggregate" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_cdc_changelog_collapses_map_side(spark, sf_dir):
+    """Q114: the struct-max winner-per-key aggregate must have a
+    partial phase BEFORE its exchange (the changelog — the big side at
+    100 TB — collapses to one row per key map-side), then exactly one
+    full-outer join applies the merge."""
+    tree = _plan_tree(plan_of(spark, sf_dir, "q_cdc_apply"))
+    assert tree.count("FullOuter") == 1, tree
+    # two SortAggregate phases (partial below the exchange, final above)
+    assert tree.count("SortAggregate") == 2, tree
+    first_agg = tree.find("SortAggregate")
+    exchange_between = tree.find("Exchange", first_agg)
+    assert exchange_between != -1, tree
