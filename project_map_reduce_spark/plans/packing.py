@@ -258,3 +258,88 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_CHUNK_W = 32  # chunk length (tokens)
+_CHUNK_S = 24  # stride (tokens) — 8-token overlap between chunks
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           j AS chunk_id,
+           least({_CHUNK_W}, len(t) - j * {_CHUNK_S}) AS n_tokens,
+           md5(array_to_string(
+               t[(j*{_CHUNK_S}+1):(j*{_CHUNK_S}+{_CHUNK_W})], ' ')) AS chunk_fp,
+           CASE WHEN j = 0 THEN 0
+                ELSE length(array_to_string(t[1:(j*{_CHUNK_S})], ' ')) + 1
+           END AS char_start,
+           length(array_to_string(
+               t[(j*{_CHUNK_S}+1):(j*{_CHUNK_S}+{_CHUNK_W})], ' ')) AS char_len
+    FROM d, LATERAL (
+        SELECT unnest(range(0,
+            CAST(floor((len(t) - 1) / {_CHUNK_S}) AS BIGINT) + 1)) AS j
+    ) s
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q120: document chunking — the RAG/embedding-ingest transform
+    every retrieval pipeline runs: each document split into overlapping
+    {w}-token windows at stride {s} ({w}-{s} tokens of overlap so no
+    sentence straddles a hard cut), emitting per chunk its token count,
+    content fingerprint, and CHARACTER offsets (char_start/char_len
+    index straight into the original text — what the downstream
+    embedder and the citation renderer both need; token slicing alone
+    loses them). Tokenization and fingerprint conventions are exactly
+    Q104's (whitespace split, md5 of the space-joined window), so chunk
+    fingerprints join directly against the dedup family's window index.
+
+    Scale shape: a pure NARROW transform — tokenize, generate the
+    chunk sequence, slice, fingerprint, all inside one projection per
+    document, chunks inherit the input partitioning; no KEYED exchange
+    exists in the plan (plan-audit-asserted — the only Exchange is the
+    round-robin ingest-parallelism repartition below, which a
+    many-file production scan wouldn't need), so the operator scales
+    with scan bandwidth alone. The char offsets reuse the already-split
+    token array (one prefix fold per chunk, O(doc length × chunks/doc))
+    — bounded per document, never a corpus-wide pass.
+    """
+    fmt_doc(q_doc_chunks, w=_CHUNK_W, s=_CHUNK_S)
+    d = (
+        load(spark, sf_dir, "documents")
+        # cores-repartition before the CPU-bound explode (family
+        # convention — a one-file ingest would serialize it). Still
+        # exchange-free at the operator level: this is ingest
+        # parallelism, round-robin, not a keyed shuffle.
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                    sequence(0, CAST(floor((size(t) - 1) / {_CHUNK_S})
+                                     AS INT)),
+                    j -> struct(
+                        CAST(j AS BIGINT) AS chunk_id,
+                        CAST(least({_CHUNK_W}, size(t) - j * {_CHUNK_S})
+                             AS BIGINT) AS n_tokens,
+                        md5(cast(concat_ws(' ',
+                            slice(t, j * {_CHUNK_S} + 1, {_CHUNK_W}))
+                            as binary)) AS chunk_fp,
+                        CAST(IF(j = 0, 0,
+                            length(concat_ws(' ',
+                                slice(t, 1, j * {_CHUNK_S}))) + 1)
+                             AS BIGINT) AS char_start,
+                        CAST(length(concat_ws(' ',
+                            slice(t, j * {_CHUNK_S} + 1, {_CHUNK_W})))
+                             AS BIGINT) AS char_len))"""
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.*")

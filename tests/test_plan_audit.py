@@ -502,3 +502,14 @@ def test_cdc_changelog_collapses_map_side(spark, sf_dir):
     first_agg = tree.find("SortAggregate")
     exchange_between = tree.find("Exchange", first_agg)
     assert exchange_between != -1, tree
+
+
+def test_doc_chunks_has_no_keyed_exchange(spark, sf_dir):
+    """Q120 is a pure narrow transform: the only Exchange allowed is
+    the round-robin ingest repartition — never a hash or range
+    partition, never a join, never an aggregate."""
+    tree = _plan_tree(plan_of(spark, sf_dir, "q_doc_chunks"))
+    assert "hashpartitioning" not in tree, tree
+    assert "rangepartitioning" not in tree, tree
+    assert "Join" not in tree, tree
+    assert "Aggregate" not in tree, tree

@@ -140,3 +140,40 @@ def test_profile_columns_is_single_scan(spark, sf_dir):
     assert rows["l_quantity"].mean <= rows["l_quantity"].max_num
     assert rows["l_returnflag"].min_str == "A"
     assert rows["l_returnflag"].max_str == "R"
+
+
+def test_doc_chunks_offsets_index_into_text(spark, sf_dir):
+    """Q120's char offsets are only useful if they index straight into
+    the ORIGINAL text: substr(text, char_start+1, char_len) must
+    reproduce every chunk exactly (verified via the fingerprint), chunks
+    must tile the token stream at the declared stride, and every doc
+    must appear."""
+    from project_map_reduce_spark.plans.packing import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_doc_chunks,
+    )
+
+    chunks = q_doc_chunks(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = chunks.join(docs, "doc_id").withColumn(
+        "cut",
+        F.expr("substr(text, cast(char_start + 1 as int), cast(char_len as int))"),
+    )
+    bad = joined.filter(
+        F.md5(F.col("cut").cast("binary")) != F.col("chunk_fp")
+    ).count()
+    assert bad == 0
+    n_docs = docs.count()
+    assert chunks.select("doc_id").distinct().count() == n_docs
+    # stride contract: a chunk is short only in the tail region
+    # (start past size-W); with overlap at most ceil((W-1)/S) trailing
+    # chunks can be short
+    max_short = -(-(_CHUNK_W - 1) // _CHUNK_S)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n_tokens") < _CHUNK_W, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+    )
+    assert per_doc.filter(F.col("n_short") > max_short).count() == 0
+    assert _CHUNK_S < _CHUNK_W  # overlap premise
