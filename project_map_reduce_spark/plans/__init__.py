@@ -69,22 +69,24 @@ _DRIVER_WINDOW = [
     "q_partition_prune",
     "q_profile_columns",
     "q_doc_chunks",
-    # -- then 29 of the 49 queries whose last driver signal is round-4
+    "q_not_in",
+    # -- then 28 of the 49 queries whose last driver signal is round-4
     #    vintage (each judge-re-verified via tools/parity.py in r5).
-    #    The twenty left out — q_string_funcs, q_date_funcs,
+    #    The twenty-one left out — q_string_funcs, q_date_funcs,
     #    q_math_funcs, q_datediff, q_array_ops, q_map_ops,
     #    q_window_lag_lead, q_window_rank, q_window_moving,
     #    q_window_range, q_split_train_val, q_udaf_weighted_mean,
-    #    q_agg_rollup (pure deterministic scalar/collection/window/
-    #    hash/grouping-set functions, lowest drift risk — q_agg_cube
-    #    stays in-window covering the same Expand machinery) plus
-    #    q_dedup_incremental, q_not_exists, q_pipeline_e2e,
-    #    q_multimodal_dims, q_join_bucketed, q_sample_temperature,
-    #    q_join_salted (displaced by this round's thirteen new
-    #    queries, which have NO driver signal yet) — rotate in round
-    #    7. Everything displaced was driver-green in
-    #    CORRECTNESS_r04/r05, judge-re-verified in r5, and keeps
-    #    pytest + local-parity coverage at positions 51+.
+    #    q_agg_rollup, q_join_theta (pure deterministic scalar/
+    #    collection/window/hash/grouping-set/inequality functions,
+    #    lowest drift risk — q_agg_cube stays in-window covering the
+    #    same Expand machinery) plus q_dedup_incremental,
+    #    q_not_exists, q_pipeline_e2e, q_multimodal_dims,
+    #    q_join_bucketed, q_sample_temperature, q_join_salted
+    #    (displaced by this round's fourteen new queries, which have
+    #    NO driver signal yet) — rotate in round 7. Everything
+    #    displaced was driver-green in CORRECTNESS_r04/r05,
+    #    judge-re-verified in r5, and keeps pytest + local-parity
+    #    coverage at positions 51+.
     "q_join_inner",
     "q_join_multi",
     "q_join_left_outer",
@@ -92,7 +94,6 @@ _DRIVER_WINDOW = [
     "q_join_semi",
     "q_join_anti",
     "q_join_broadcast",
-    "q_join_theta",
     "q_join_asof",
     "q_pricing_summary",
     "q_agg_distinct",

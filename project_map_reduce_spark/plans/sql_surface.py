@@ -298,3 +298,52 @@ def q_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+@register(
+    "q_not_in",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q121: uncorrelated NOT IN — the three-valued-logic sibling of
+    Q93's NOT EXISTS, and the classic SQL correctness trap: if the
+    subquery can produce a NULL, NOT IN must return UNKNOWN for every
+    probe row (one NULL empties the whole result), so a plain anti
+    join is WRONG under nullable keys. Spark compiles this to a
+    NULL-AWARE anti join — visible in the plan as the LeftAnti
+    BroadcastHashJoin's trailing ``isNullAware=true`` flag, which the
+    plan audit pins — that checks the build side for nulls at runtime
+    instead of silently degrading to anti-join semantics. A test
+    injects a NULL into the build side and asserts the result empties,
+    proving the 3VL path is live, not incidental.
+
+    Scale shape: the null-aware variant requires a broadcast build
+    side (Spark cannot shuffle-partition it, because one NULL anywhere
+    must veto every partition) — fine here and in the common
+    dim-subquery case; when the subquery side outgrows broadcast, the
+    deployment rewrites to Q93's NOT EXISTS (null-safe by
+    construction, shuffle-able), which is exactly the guidance the two
+    queries pair to document.
+    """
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_custs,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
+    )

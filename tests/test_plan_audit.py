@@ -513,3 +513,14 @@ def test_doc_chunks_has_no_keyed_exchange(spark, sf_dir):
     assert "rangepartitioning" not in tree, tree
     assert "Join" not in tree, tree
     assert "Aggregate" not in tree, tree
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """Q121: the NOT IN subquery must compile to the NULL-AWARE anti
+    join (the trailing isNullAware=true argument on the LeftAnti
+    broadcast join — only visible in the simple plan string, the
+    formatted explain elides it), not a plain anti join that would
+    silently drop 3VL semantics under nullable keys."""
+    df = entries()["q_not_in"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"LeftAnti, BuildRight, true", plan), plan

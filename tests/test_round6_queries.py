@@ -177,3 +177,28 @@ def test_doc_chunks_offsets_index_into_text(spark, sf_dir):
     )
     assert per_doc.filter(F.col("n_short") > max_short).count() == 0
     assert _CHUNK_S < _CHUNK_W  # overlap premise
+
+
+def test_not_in_empties_when_build_side_has_null(spark, sf_dir):
+    """The 3VL trap Q121 documents, proven live: injecting one NULL
+    into the subquery side must empty the NOT IN result entirely
+    (every comparison becomes UNKNOWN), while the null-free form
+    returns rows."""
+    from project_map_reduce_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    base = spark.sql(
+        """SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')"""
+    ).first()[0]
+    assert base > 0
+    poisoned = spark.sql(
+        """SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_custkey END
+              FROM orders)"""
+    ).first()[0]
+    assert poisoned == 0
