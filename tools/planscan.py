@@ -9,12 +9,15 @@ refactor, across the whole inventory at once.
 
 Known/adjudicated sites (see VERDICT r3/r4): the four BNLJ hits are
 broadcast-tiny crossJoins (O(1)-row or 16-row frames — similarity
-centroids/queries, tfidf totals, Q97's 1-row n_min scalar); the four
-SortAggregate hits are deliberate single-shuffle mergeable argmax/
+centroids/queries, tfidf totals, Q97's 1-row n_min scalar); the five
+SortAggregate hits are deliberate: single-shuffle mergeable argmax/
 survivor picks over struct or string buffers (q_minmax_by,
-q_cdc_apply's struct-max MERGE, and the min(string) survivor picks
-documented in q_pipeline_e2e's docstring). Current expected total:
-8 flagged, all documented.
+q_cdc_apply's struct-max MERGE, the min(string) survivor picks
+documented in q_pipeline_e2e's docstring), and q_profile_columns'
+level-2 measures agg, which by design runs AFTER the hash-agg
+collapse so its sort input is the O(Σ distinct values) relation, not
+the corpus (see its docstring's measured A/B). Current expected
+total: 9 flagged, all documented.
 
 Usage:
     python tools/planscan.py [--sf-dir /root/testdata/sf0.01]
