@@ -2,7 +2,7 @@
 
 Times only the named queries (min-of-k, noop sink, warm session, steal
 accounting) so a regression can be re-measured without paying the full
-104-query bench. Used for the clean-host re-measures VERDICT r3 asks for
+full-inventory bench. Used for the clean-host re-measures VERDICT r3 asks for
 and for the sf1 scale probe.
 
 Usage:
