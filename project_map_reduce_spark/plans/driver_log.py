@@ -1,0 +1,172 @@
+"""Driver-window telemetry: which round last hash-verified each query.
+
+The external correctness driver hash-checks only the FIRST 50 registered
+queries per round (``plans/__init__.py::_DRIVER_WINDOW``), so every
+query's driver-authoritative signal ages one round for each round it
+spends outside the window. ``DRIVER_ROUNDS`` records, per query, the
+most recent round whose ``CORRECTNESS_r{N}.json`` carried a full
+rows+schema+hash match for it. It is the machine-checkable form of the
+rotation debt that rounds 5-6 tracked in comments (VERDICT r6 item 8).
+
+Maintenance contract (enforced by ``tests/test_plan_audit.py``):
+
+* ``CURRENT_ROUND`` is bumped at the start of each round, when the
+  window is rotated.
+* Every query in the current ``_DRIVER_WINDOW`` will receive a
+  ``CURRENT_ROUND`` signal when this round's driver run lands; queries
+  OUTSIDE the window must already hold a signal no older than
+  ``CURRENT_ROUND - 2`` — i.e. after this round's rotation no query's
+  evidence is ever more than two rounds stale.
+* Queries new this round carry ``CURRENT_ROUND`` (they are in the
+  window from birth and have no earlier signal by definition).
+
+Provenance of the initial values: computed from the on-disk
+``CORRECTNESS_r0{1..6}.json`` artifacts (last round in which the query
+name appears as a key; every appearance through r6 was a full match).
+"""
+
+from __future__ import annotations
+
+CURRENT_ROUND = 7
+
+# Queries whose last driver hash predates this round's window, by cohort.
+_R4_COHORT = [
+    "q_agg_rollup",
+    "q_array_ops",
+    "q_date_funcs",
+    "q_datediff",
+    "q_dedup_incremental",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_join_theta",
+    "q_map_ops",
+    "q_math_funcs",
+    "q_multimodal_dims",
+    "q_not_exists",
+    "q_pipeline_e2e",
+    "q_sample_temperature",
+    "q_split_train_val",
+    "q_string_funcs",
+    "q_udaf_weighted_mean",
+    "q_window_lag_lead",
+    "q_window_moving",
+    "q_window_range",
+    "q_window_rank",
+]
+
+_R5_COHORT = [
+    "q_approx_count_distinct",
+    "q_approx_quantile_check",
+    "q_case_when",
+    "q_corr_stats",
+    "q_decontaminate",
+    "q_dedup_embedding_ivf",
+    "q_dedup_lines",
+    "q_doc_logprob",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_session",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_filter_predicate",
+    "q_grouped_count",
+    "q_grouped_map",
+    "q_job_pipeline",
+    "q_join_range",
+    "q_json_extract",
+    "q_kmeans",
+    "q_length_deciles",
+    "q_minmax_by",
+    "q_percentiles",
+    "q_pii_mask",
+    "q_pivot_status",
+    "q_repetition",
+    "q_salted_agg",
+    "q_sample_stratified",
+    "q_scalar_subquery",
+    "q_scan_count",
+    "q_scan_project",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_sort_multi",
+    "q_source_quota",
+    "q_stream_dedup",
+    "q_stream_totals",
+    "q_string_agg",
+    "q_time_rollup",
+    "q_token_count",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_udf_python",
+    "q_udtf_sentences",
+    "q_unpivot",
+    "q_value_histogram",
+    "q_watermark_late",
+    "q_zscore_outliers",
+]
+
+_R6_COHORT = [
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_audio_features",
+    "q_cdc_apply",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_substring",
+    "q_dedup_substring_removal",
+    "q_doc_chunks",
+    "q_doc_fingerprint",
+    "q_embedding_quantize",
+    "q_events_attribution",
+    "q_hll_rollup",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_bloom",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_interval_stream",
+    "q_join_left_outer",
+    "q_join_multi",
+    "q_join_semi",
+    "q_lang_id",
+    "q_mv_incremental",
+    "q_not_in",
+    "q_pack_sequences",
+    "q_pagerank",
+    "q_pandas_udf_scalar",
+    "q_partition_prune",
+    "q_pricing_summary",
+    "q_profile_columns",
+    "q_quality_classifier",
+    "q_quality_classifier_trained",
+    "q_scd2_merge",
+    "q_similarity_ann",
+    "q_similarity_topk",
+    "q_stream_dedup_watermark",
+    "q_stream_enrich",
+    "q_stream_sessions",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_timeseries_fill",
+    "q_window_distribution",
+]
+
+# Queries introduced in round 7 (in the window from birth; their first
+# driver signal will be CURRENT_ROUND).
+_R7_NEW: list[str] = []
+
+DRIVER_ROUNDS: dict[str, int] = {
+    **{q: 4 for q in _R4_COHORT},
+    **{q: 5 for q in _R5_COHORT},
+    **{q: 6 for q in _R6_COHORT},
+    **{q: CURRENT_ROUND for q in _R7_NEW},
+}

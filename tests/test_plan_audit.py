@@ -524,3 +524,35 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     df = entries()["q_not_in"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"LeftAnti, BuildRight, true", plan), plan
+
+
+def test_driver_window_rotation_debt_bounded():
+    """plans/driver_log.py is the machine-checkable rotation ledger
+    (VERDICT r6 item 8): after this round's window rotation, no query
+    outside the window may carry a driver hash older than two rounds,
+    every in-window query must actually exist, the ledger must cover
+    the registry exactly, and new-this-round queries must sit in the
+    window from birth."""
+    from project_map_reduce_spark.plans import _DRIVER_WINDOW
+    from project_map_reduce_spark.plans.driver_log import (
+        CURRENT_ROUND,
+        DRIVER_ROUNDS,
+        _R7_NEW,
+    )
+
+    reg = set(entries())
+    assert set(DRIVER_ROUNDS) == reg, (
+        sorted(reg - set(DRIVER_ROUNDS)),
+        sorted(set(DRIVER_ROUNDS) - reg),
+    )
+    window = set(_DRIVER_WINDOW)
+    assert window <= reg, sorted(window - reg)
+    assert len(_DRIVER_WINDOW) == 50 == len(window)
+    stale = {
+        q: r
+        for q, r in DRIVER_ROUNDS.items()
+        if q not in window and r < CURRENT_ROUND - 2
+    }
+    assert not stale, f"rotate these into the window: {stale}"
+    missing_new = [q for q in _R7_NEW if q not in window]
+    assert not missing_new, f"new queries must be in-window from birth: {missing_new}"
