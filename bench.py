@@ -13,14 +13,30 @@ the driver — the same work profile a cluster write would have, and no
 driver-memory artifact of local mode. A one-off warmup action amortizes
 JVM/session startup out of the per-query numbers.
 
-The host VM exhibits sporadic multi-second freezes (visible as steal
-time in /proc/stat): a query that happens to straddle one records a
-wall time 10-100× its true cost while its neighbors stay sub-second.
-Any first run slower than ``_RETRY_THRESHOLD_SEC`` is therefore re-run
-once and the minimum kept (min-of-k is the standard wall-clock
-de-noiser); cumulative steal seconds across the bench are reported in
-the JSON as ``steal_sec`` so a poisoned run is diagnosable after the
-fact.
+Two measurement-hardening disciplines (VERDICT r6 item 2):
+
+**Per-run steal accounting.** The host VM exhibits sporadic multi-second
+freezes (hypervisor steal, visible in /proc/stat field 9): a query that
+straddles one records a wall time 10-100× its true cost while its
+neighbors stay sub-second — round 6's driver bench accumulated 111.7 s
+of steal and 14 per-query numbers breached the 2× grid gate on paper
+while a clean-host re-measure put every one under it. Each run here
+therefore records its OWN steal delta; a run whose steal exceeds
+``_STEAL_POISON_SEC`` is discarded as poisoned and re-sampled (bounded
+by ``_MAX_RUNS``), the same discipline ``tools/timeq.py`` applies to
+clean-host probes. The reported number is min over CLEAN runs; only if
+every sample was poisoned does the raw min stand (and the query is
+listed under ``poisoned`` so the artifact is diagnosable).
+
+**Tail-capture-proof output.** The driver records the last 2000 chars of
+output; a 121-entry named queries dict is ~2.8 KB, so round 6's artifact
+kept only the tail of the line and parsed as null. The full named
+mapping is therefore always written to ``bench_full.json`` next to this
+file (committed to git — the durable record), and the stdout line keeps
+the contract's named-dict form only while it fits the capture window;
+above that it degrades to ``"q_sec"``: values aligned with the SORTED
+query names (the registry's own order, recoverable from
+``sorted(entries())`` or from bench_full.json's ``queries`` keys).
 """
 
 from __future__ import annotations
@@ -43,6 +59,20 @@ from project_map_reduce_spark.tables import load  # noqa: E402
 # stall noise); the handful of genuinely >3 s queries just pay one
 # extra timed run each.
 _RETRY_THRESHOLD_SEC = 3.0
+# A run observing more steal than max(0.3 s, 10% of its wall time) is
+# poisoned and re-sampled. The floor distinguishes a real stall from
+# the host's ambient ~0.05 s/s drizzle for sub-second queries; the
+# proportional term keeps the multi-second streaming queries (whose
+# micro-batch floor makes them straddle drizzle for 5-7 s) from burning
+# their sample budget on steal that inflates them by only a few percent.
+_STEAL_POISON_SEC = 0.3
+_STEAL_POISON_FRAC = 0.10
+# Hard cap on samples per query — a persistent steal storm must not
+# spin the bench forever; the artifact flags the query instead.
+_MAX_RUNS = 5
+# The driver keeps the last 2000 chars of output; leave headroom for
+# the trailing newline and any interleaved stderr flush.
+_LINE_BUDGET = 1900
 
 
 def _steal_sec() -> float:
@@ -53,6 +83,31 @@ def _steal_sec() -> float:
         return int(fields[8]) / os.sysconf("SC_CLK_TCK")
     except Exception:  # noqa: BLE001
         return 0.0
+
+
+def _measure(fn, spark, sf_dir) -> tuple[float, int, bool]:
+    """(min clean wall sec, n samples, all_poisoned) for one query."""
+    runs: list[tuple[float, float]] = []  # (wall, steal)
+    while True:
+        s0 = _steal_sec()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append((time.perf_counter() - t0, _steal_sec() - s0))
+        clean = [
+            w for w, s in runs
+            if s <= max(_STEAL_POISON_SEC, _STEAL_POISON_FRAC * w)
+        ]
+        # Always take min-of-2 clean (the host also has sub-threshold
+        # noise windows inflating everything ~30%); sample a 3rd time
+        # only while the clean min still looks stall-poisoned.
+        if len(clean) >= 2 and (
+            min(clean) <= _RETRY_THRESHOLD_SEC or len(clean) >= 3
+        ):
+            return min(clean), len(runs), False
+        if len(runs) >= _MAX_RUNS:
+            if clean:
+                return min(clean), len(runs), False
+            return min(w for w, _ in runs), len(runs), True
 
 
 def main() -> int:
@@ -73,23 +128,18 @@ def main() -> int:
     steal0 = _steal_sec()
 
     times: dict[str, float] = {}
+    poisoned: list[str] = []
     for name, e in sorted(entries().items()):
         try:
-            runs = []
-            while True:
-                t0 = time.perf_counter()
-                e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-                # Always take min-of-2 (the host also has sub-threshold
-                # noise windows inflating everything ~30%); sample a 3rd
-                # time only while the min still looks stall-poisoned.
-                if len(runs) >= 2 and (
-                    min(runs) <= _RETRY_THRESHOLD_SEC or len(runs) >= 3
-                ):
-                    break
-            times[name] = round(min(runs), 3)
-            note = "" if len(runs) == 2 else f" ({len(runs)} samples)"
-            print(f"bench: {name} {times[name]:.2f}s{note}", file=sys.stderr)
+            sec, n_runs, all_poisoned = _measure(e.fn, spark, sf_dir)
+            times[name] = round(sec, 3)
+            if all_poisoned:
+                poisoned.append(name)
+            note = "" if n_runs == 2 else f" ({n_runs} samples)"
+            flag = " [steal-poisoned]" if all_poisoned else ""
+            print(
+                f"bench: {name} {times[name]:.2f}s{note}{flag}", file=sys.stderr
+            )
         except Exception as ex:  # noqa: BLE001
             print(f"bench: {name} failed: {type(ex).__name__}: {ex}", file=sys.stderr)
             times[name] = -1.0
@@ -104,8 +154,28 @@ def main() -> int:
         "n_queries": len(times),
         "n_failed": len(times) - len(ok),
         "steal_sec": round(_steal_sec() - steal0, 1),
+        "poisoned": poisoned,
     }
-    print(json.dumps(out))
+
+    # Durable full record, independent of the driver's capture window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as ex:
+        print(f"bench: could not write {full_path}: {ex}", file=sys.stderr)
+
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > _LINE_BUDGET:
+        # Degrade the named dict to a sorted-name-aligned value array so
+        # the whole line survives the driver's 2000-char tail capture.
+        compact = dict(out)
+        compact["queries"] = "q_sec, aligned with sorted query names"
+        compact["q_sec"] = [times[k] for k in sorted(times)]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

@@ -668,14 +668,22 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a cache boundary the CPU-bound pandas-UDF k-means scoring
     # pass (operators/kmeans.py::_assign) executes once PER JOIN SIDE.
     # Caching the assignment halves the Python-UDF work in the pair
-    # stage; like _lloyd_loop's training-set cache it lives for the
-    # session (LRU-evicted) — it cannot be unpersisted here because the
-    # returned plan is lazy and the caller owns the action.
+    # stage. It cannot be unpersisted here (the returned plan is lazy;
+    # the caller owns the action), but a long multi-query fleet run
+    # must not pin one assignment frame per INVOCATION either — so
+    # each call releases the previous call's frame (blocking=False:
+    # an in-flight prior action keeps its blocks until it finishes),
+    # bounding pinned executor storage to one frame per session. The
+    # default storage level already spills (MEMORY_AND_DISK_DESER).
     n = (
         lloyd_assignments(e, k=_IVF_K, iters=_IVF_ITERS)
         .withColumn("nrm", F.sqrt("nv"))
         .persist()
     )
+    prev = getattr(q_dedup_embedding_ivf, "_cached_assignments", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    q_dedup_embedding_ivf._cached_assignments = n
     a = n.alias("a")
     b = n.alias("b")
     dot = _DOT_SPARK.format(a="a.v", b="b.v")

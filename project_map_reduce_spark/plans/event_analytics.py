@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_map_reduce_spark.functions.det import SUM6, sum6
 from project_map_reduce_spark.registry import register
 from project_map_reduce_spark.tables import load
 
@@ -164,7 +165,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_timeseries_fill",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
         SELECT date_trunc('hour', min(ts)) AS lo,
                date_trunc('hour', max(ts)) AS hi
@@ -177,7 +178,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     types AS (SELECT DISTINCT event_type FROM events),
     agg AS (
         SELECT date_trunc('hour', ts) AS h, event_type,
-               count(*) AS n, round(sum(value), 6) AS s
+               count(*) AS n, {SUM6.format(expr="value")} AS s
         FROM events GROUP BY 1, 2
     )
     SELECT t.event_type,
@@ -234,7 +235,11 @@ def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("s"),
+        # sum6, not round(sum(double), 6): the exact-decimal sum
+        # contract shared by the other value-sum queries — a float
+        # accumulation-order difference vs DuckDB could flake the hash
+        # at a 1e-6 boundary once per-hour row counts grow.
+        sum6("value").alias("s"),
     )
     return grid.join(hourly, ["event_type", "hour_start"], "left").select(
         "event_type",

@@ -308,7 +308,6 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array (one prefix fold per chunk, O(doc length × chunks/doc))
     — bounded per document, never a corpus-wide pass.
     """
-    fmt_doc(q_doc_chunks, w=_CHUNK_W, s=_CHUNK_S)
     d = (
         load(spark, sf_dir, "documents")
         # cores-repartition before the CPU-bound explode (family
@@ -343,3 +342,6 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "c.*")
+
+
+fmt_doc(q_doc_chunks, w=_CHUNK_W, s=_CHUNK_S)

@@ -554,3 +554,136 @@ def test_stream_sessions_premise_and_merge(spark, sf_dir):
         .count()
     )
     assert straddlers > 0
+
+
+def test_session_merge_state_recovers_after_crash(spark, tmp_path):
+    """VERDICT r6 item 4: the checkpoint-replay proof above covers the
+    stateful-AGG store (insert-only state); ``session_window`` state
+    goes through Spark's session-MERGING store, whose recovery path —
+    rehydrating OPEN sessions from a state snapshot and merging new
+    rows into them — is different. Kill the stream mid-merge (batch 1,
+    which extends a session opened by batch 0, is in the sink's past
+    but its checkpoint commit is gone — the same crash window as the
+    agg-class test), restart, and the replayed batch must merge into
+    the REHYDRATED open-session state: the final sink hash-matches
+    batch gaps-and-islands sessionization exactly — no session emitted
+    early, twice, split at the crash point, or merged wrongly."""
+    import datetime
+
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _await_finite_stream,
+    )
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # gap = 30 min. user 1's single session straddles the cut (10:45
+    # lands inside the session opened by 10:00/10:20 — the cross-batch
+    # merge); user 2 has one session per side of the cut (proves the
+    # recovery neither leaks the closed one nor invents a merge).
+    rows = [
+        (1, ts(0), 1.0),
+        (1, ts(20), 2.0),
+        (1, ts(45), 4.0),
+        (2, ts(5), 8.0),
+        (2, ts(90), 16.0),
+    ]
+    schema = "user_id bigint, ts timestamp, value double"
+    cut = ts(30)
+    flush_row = [(-1, t0 + datetime.timedelta(days=30), 0.0)]
+
+    base = tmp_path / "smerge"
+    src, sink, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+
+    def stage(i, name, data):
+        df = spark.createDataFrame(data, schema)
+        df.coalesce(1).write.parquet(str(base / name))
+        import glob
+
+        (part,) = glob.glob(str(base / name / "part-*.parquet"))
+        shutil.move(part, f"{src}/b{i}_{name}.parquet")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = write_stream_idempotent(agg, sink, ckpt, output_mode="append")
+        _await_finite_stream(q, "session_merge_recovery")
+        return q
+
+    # Run 1: batch 0 opens sessions, batch 1 MERGES 10:45 into user 1's
+    # open session — both commit; every session is still open in the
+    # merge store (the watermark lags one batch and trails the gap).
+    stage(0, "early", [r for r in rows if r[1] <= cut])
+    stage(1, "late", [r for r in rows if r[1] > cut])
+    run_stream()
+    commits = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if c.isdigit()
+    )
+    # availableNow appends one trailing no-data batch (2) after the
+    # two staged files — the watermark-advance flush batch.
+    assert commits == ["0", "1", "2"], commits
+
+    # Crash injection: the stream died after batch 1's offsets landed
+    # but before its commit — the authentic crash window (offsets 0-1 +
+    # commits 0; batch 2 never started, so its offset must go too: a
+    # dangling LATER offset is a state no real crash produces and Spark
+    # would re-run only that latest batch). On restart the merge store
+    # must roll back to the post-batch-0 snapshot (user 1's session
+    # OPEN as [10:00, 10:50)) and re-merge batch 1 into it.
+    os.remove(f"{ckpt}/commits/1")
+    os.remove(f"{ckpt}/commits/2")
+    os.remove(f"{ckpt}/offsets/2")
+    for stale in (f"{ckpt}/commits/.1.crc", f"{ckpt}/commits/.2.crc",
+                  f"{ckpt}/offsets/.2.crc"):
+        if os.path.exists(stale):
+            os.remove(stale)
+
+    # Restart with the flush sentinel (+30 d, advances the watermark
+    # past every real session end) and a spacer (the pinned one-batch
+    # filter-watermark lag) staged: replay b1, then finalize everything.
+    stage(2, "flush", flush_row)
+    stage(3, "spacer", [])
+    q = run_stream()
+    replayed = [p["batchId"] for p in q.recentProgress]
+    assert replayed[0] == 1, f"restart did not replay batch 1: {replayed}"
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", sink)
+        .parquet(sink)
+        .where(F.col("user_id") != -1)
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+        .collect()
+    )
+    want = sorted(
+        [
+            (1, ts(0), ts(45 + 30), 3, 7.0),
+            (2, ts(5), ts(5 + 30), 1, 8.0),
+            (2, ts(90), ts(90 + 30), 1, 16.0),
+        ]
+    )
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
