@@ -748,8 +748,10 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative, not a one-shot pair ranking).
 
     Scoring plan: the trained model is a LITERAL chain of {m}
-    ``replace`` calls inside whole-stage codegen — zero shuffles, zero
-    joins, zero Python in the hot path (plan-audit-asserted). Output is
+    ``replace`` calls — no keyed exchange, no join, no aggregate, no
+    Python in the hot path (plan-audit-asserted; the one allowed
+    Exchange is the round-robin cores-repartition before the CPU-bound
+    chain, the Q120/Q103 ingest-parallelism lesson). Output is
     per-doc token count + an md5 over the joined token stream, so the
     hash check covers every token of every document.
 
@@ -762,10 +764,19 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     rules = bpe_fit(docs, vocab_words=_BPE_K, merges=_BPE_M)
     toks = bpe_tokens_expr(F.col("text"), rules)
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.md5(F.concat_ws("|", toks)).alias("tok_md5"),
+    return (
+        # cores-repartition before the CPU-bound replace chain (the
+        # q_doc_chunks / q_embedding_quantize family lesson: the one-
+        # or-two-file fixture otherwise pins per-char work to as many
+        # cores as there are input files — measured 6.5 s → 1.5 s at
+        # sf1). Round-robin, never keyed: no data co-location is
+        # needed, only ingest parallelism.
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.md5(F.concat_ws("|", toks)).alias("tok_md5"),
+        )
     )
 
 

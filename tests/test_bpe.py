@@ -66,13 +66,18 @@ def test_tilde_in_input_is_sanitized(spark):
 
 def test_scoring_plan_is_shuffle_and_python_free(spark, sf_dir):
     """The trained model is a literal replace chain: the scoring plan
-    must contain no Exchange and no Python evaluation (the fit jobs run
+    must contain no KEYED exchange (the only allowed Exchange is the
+    round-robin ingest repartition — the q_doc_chunks family lesson),
+    no join, no aggregate, and no Python evaluation (the fit jobs run
     at plan-build time and are not part of this plan)."""
     from project_map_reduce_spark.registry import entries
 
     df = entries()["q_tokenize_bpe"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
     assert "Python" not in plan, plan
     # The token-array filter is a higher-order-function lambda, which
     # Spark evaluates outside whole-stage codegen — the plan is still a
