@@ -26,10 +26,18 @@ partials, writes version N+1, and prunes versions older than
 refresh; single-writer is the caller's contract (one refresh job per
 MV, the normal warehouse arrangement).
 
+The streaming form (``mv_stream_refresh`` → ``mv_apply_batch``) runs a
+Structured Streaming source INTO the MV with exactly-once semantics by
+construction: version number = batch_id + 1, merge base = latest
+committed version ≤ batch_id, overwrite on replay — see
+``mv_apply_batch``'s docstring for why that triple makes checkpoint
+replay safe where a naive foreachBatch-append would double-count.
+
 Reference analog: none (``ext``) — the reference recomputes every
 query from scratch (Manager.java re-runs the full scatter per request);
 incremental view maintenance is warehouse-engine capability it lacks.
-Query harness: plans/warehouse.py::q_mv_incremental.
+Query harnesses: plans/warehouse.py::q_mv_incremental (batch) and
+::q_stream_mv_refresh (streaming).
 """
 
 from __future__ import annotations
@@ -121,4 +129,65 @@ def mv_finalize(mv: DataFrame, sums: dict[str, str]) -> DataFrame:
         *cols,
         F.col("n_events").alias("n_events"),
         *[F.col(out).cast("double").alias(out) for out in sums],
+    )
+
+
+def mv_apply_batch(spark: SparkSession, path: str, batch: DataFrame,
+                   batch_id: int, keys: list[str], sums: dict[str, str],
+                   keep_versions: int = 2) -> int | None:
+    """Exactly-once streaming refresh step (foreachBatch body): merge
+    one micro-batch's partials into the MV, committed as version
+    ``batch_id + 1``.
+
+    Idempotence is BY CONSTRUCTION, not by marker bookkeeping: the
+    target version number is a pure function of the batch id, the merge
+    base is the latest committed version ``<= batch_id`` (so a version
+    this same batch wrote before a crash is never its own input), and
+    the write OVERWRITES the target directory — a replayed batch
+    recomputes byte-identical content over whatever the dead attempt
+    left (the write_stream_idempotent per-batch-directory discipline
+    applied to a MERGE target, where naive re-append would double-count
+    the delta: the exact failure mode tests/test_mv.py crash-proves).
+    Empty batches (availableNow's trailing no-data batch) are skipped —
+    version numbering stays sparse and the base rule handles gaps.
+    Returns the committed version, or None for a skipped empty batch.
+    """
+    if batch.isEmpty():
+        return None
+    delta = mv_partials(batch, keys, sums)
+    base_versions = [v for v in _versions(path) if v <= batch_id]
+    if base_versions:
+        base = spark.read.parquet(os.path.join(path, f"v={base_versions[-1]}"))
+        merged = _merge(base, delta, keys, sums)
+    else:
+        merged = delta
+    new = batch_id + 1
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"v={new}"))
+    # Prune floor of TWO: a crashed batch may have committed its MV
+    # version while its checkpoint commit was lost — the replay then
+    # needs the PREVIOUS version as its merge base. Structured
+    # Streaming replays at most the single latest uncommitted batch
+    # (commits are sequential), so last + its base is always enough.
+    for v in _versions(path)[: -max(keep_versions, 2)]:
+        if v != new:
+            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return new
+
+
+def mv_stream_refresh(stream: DataFrame, path: str, checkpoint: str,
+                      keys: list[str], sums: dict[str, str]):
+    """Run a stream INTO the MV: every micro-batch merges its partials
+    exactly once (``mv_apply_batch``), the MV path is the only sink.
+    Returns the started StreamingQuery (availableNow trigger — the
+    finite-stream test harness; a production stream drops the trigger)."""
+    spark = stream.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        mv_apply_batch(spark, path, batch, batch_id, keys, sums)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -403,3 +403,91 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, day timestamp_ntz, "
         "n_events bigint, sum_value double",
     )
+
+
+@register(
+    "q_stream_mv_refresh",
+    oracle=f"""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events,
+           {SUM6.format(expr="value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q123: STREAMING incremental MV refresh — Q117's durable MV fed
+    by a Structured Streaming source with EXACTLY-ONCE merge semantics,
+    the streaming-into-warehouse pattern whose classic failure mode is
+    a foreachBatch that re-appends its delta on checkpoint replay and
+    silently double-counts. operators/mv.py::mv_apply_batch makes the
+    replay idempotent BY CONSTRUCTION: version = batch_id + 1, merge
+    base = latest committed version ≤ batch_id (a dead attempt's own
+    output can never be its input), overwrite on replay — proven by a
+    kill+replay test in tests/test_mv.py, and by this query's oracle:
+    the MV after the stream drains must hash-match the full batch
+    recompute over all events (counts and exact-decimal sums — the
+    sum6 partial contract, so the per-batch merge order cannot show).
+
+    Scale shape: each micro-batch shuffles only its own partials
+    (map-side combine → O(groups) rows), the merge reads O(|MV|) — the
+    unbounded history is never rescanned; the MV path is the only sink
+    (no second copy of the stream), versions prune to a bounded tail.
+    Driver-collect note: the refreshed MV is O(types × days) = 150
+    rows at any corpus size (the Q96/Q117 pattern).
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.operators.mv import (
+        mv_finalize,
+        mv_read,
+        mv_stream_refresh,
+    )
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _await_finite_stream,
+        _stage_batches,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("timestamp").alias("day"),
+        "value",
+        "event_id",
+    )
+    keys = ["event_type", "day"]
+    sums = {"sum_value": "value"}
+    tmp = tempfile.mkdtemp(prefix="q_stream_mv_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src = _stage_batches(tmp, tuple(
+            (f"c{i}", ev.where(F.col("event_id") % 3 == i).drop("event_id"))
+            for i in range(3)
+        ))
+        # The per-batch merge shuffles O(types×days)=150 partial rows
+        # and each version write produces one file per post-shuffle
+        # partition: 32 shuffle partitions meant 32 tasks + 32-file
+        # versions PER BATCH for 150 rows (measured 9.5 s). Pin small —
+        # the q_stream_sessions small-state lesson applied to the merge
+        # job; a big-MV deployment sizes this to |MV|/128MB instead.
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        stream = (
+            spark.readStream.schema(
+                "event_type string, day timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = mv_stream_refresh(stream, f"{tmp}/mv", f"{tmp}/ckpt", keys, sums)
+        _await_finite_stream(q, "q_stream_mv_refresh")
+        rows = mv_finalize(mv_read(spark, f"{tmp}/mv"), sums).select(
+            "event_type", "day", "n_events", "sum_value"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="event_type string, day timestamp_ntz, "
+        "n_events bigint, sum_value double",
+    )

@@ -6,6 +6,7 @@ the trailing versions."""
 from __future__ import annotations
 
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -94,3 +95,81 @@ def test_crashed_refresh_leaves_previous_version_live(spark, sf_dir, tmp_path):
 def test_read_without_init_fails_loudly(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed MV version"):
         mv_read(spark, str(tmp_path / "nope"))
+
+
+def test_stream_refresh_replay_does_not_double_count(spark, tmp_path):
+    """The classic streaming-MV bug, crash-proven: batch 1's MV version
+    committed but its checkpoint commit was lost — on restart the batch
+    REPLAYS, and a naive foreachBatch merge would add the delta a
+    second time. mv_apply_batch must instead overwrite version
+    batch_id+1 from the version ≤ batch_id base: the final MV equals
+    the batch recompute over everything, exactly once."""
+    import datetime
+
+    from project_map_reduce_spark.operators.mv import (
+        mv_partials,
+        mv_read,
+        mv_stream_refresh,
+    )
+
+    day = datetime.datetime(2024, 5, 1)
+    schema = "event_type string, day timestamp, value double"
+    batches = [
+        [("a", day, 1.0), ("b", day, 2.0)],
+        [("a", day, 4.0)],
+        [("b", day, 8.0), ("a", day, 16.0)],
+    ]
+    base = tmp_path / "smv"
+    src, mv, ckpt = (str(base / d) for d in ("src", "mv", "ckpt"))
+    os.makedirs(src)
+
+    def stage(i):
+        df = spark.createDataFrame(batches[i], schema)
+        df.coalesce(1).write.parquet(str(base / f"c{i}"))
+        import glob
+
+        (part,) = glob.glob(str(base / f"c{i}" / "part-*.parquet"))
+        shutil.move(part, f"{src}/b{i}.parquet")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = mv_stream_refresh(stream, mv, ckpt, KEYS, SUMS)
+        assert q.awaitTermination(180), "stream did not drain"
+        assert q.exception() is None
+
+    stage(0)
+    stage(1)
+    run()
+    # batch 0 → v=1, batch 1 → v=2 (trailing no-data batch skipped)
+    assert os.path.exists(f"{mv}/v=2/_SUCCESS")
+
+    # Crash window: v=2 is on disk but batch 1's checkpoint commit (and
+    # the trailing batch's dangling offsets) never landed.
+    for f in ("commits/1", "commits/2", "offsets/2",
+              "commits/.1.crc", "commits/.2.crc", "offsets/.2.crc"):
+        p = os.path.join(ckpt, f)
+        if os.path.exists(p):
+            os.remove(p)
+
+    stage(2)
+    run()
+
+    got = _canon(mv_read(spark, mv))
+    want = _canon(
+        mv_partials(
+            spark.createDataFrame(sum(batches, []), schema), KEYS, SUMS
+        )
+    )
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    # total count proves exactly-once directly: 5 events, not 6
+    assert sum(r[2] for r in got) == 5
+    # pruning keeps a bounded tail (last version + its replay base)
+    committed = sorted(
+        d for d in os.listdir(mv)
+        if d.startswith("v=") and os.path.exists(os.path.join(mv, d, "_SUCCESS"))
+    )
+    assert len(committed) == 2, committed
