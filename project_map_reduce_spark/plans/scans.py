@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 
@@ -115,3 +115,135 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
+
+
+_CLUSTER_LO = "2024-01-10 00:00:00"
+_CLUSTER_HI = "2024-01-13 00:00:00"
+_CLUSTER_FILES = 10  # range partitions = sorted files in the layout
+_CLUSTER_MAX_OVERLAP = 0.34  # ≤ this fraction of row groups may overlap
+
+
+def _assert_ts_bounds_pushed(df: DataFrame) -> None:
+    """Raise unless the scan under ``df`` carries ts bounds in
+    PushedFilters — the guard q_cluster_prune runs on every execution.
+    Catches the real regression class: a predicate rewritten into a
+    form the parquet source cannot accept (e.g. a function over the
+    column), which silently turns the clustered layout's row-group
+    skipping off. (The plan string lists ACCEPTED filters, so this is
+    a property of the predicate shape, not of the runtime pushdown
+    conf.)"""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    if pf is None or "ts" not in pf.group(1) or "GreaterThan" not in pf.group(1):
+        raise RuntimeError(
+            "filter-pushdown regression — scan does not push the ts "
+            f"bounds:\n{plan}"
+        )
+
+
+@register(
+    "q_cluster_prune",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_CLUSTER_LO}' AND ts < TIMESTAMP '{_CLUSTER_HI}'
+    GROUP BY event_type
+    """,
+)
+def q_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q124: range-clustered layout DRIVER-PROVEN to enable row-group /
+    file skipping — Q118's sibling and the second data-skipping lever
+    at 100 TB: partition pruning eliminates DIRECTORIES; CLUSTERING
+    (range-repartition + sort within files on the filter column) makes
+    every parquet footer's per-row-group min/max statistics TIGHT, so a
+    pushed-down time predicate skips whole row groups and files without
+    reading a data page. An unclustered layout carries the same pushed
+    filter but every row group's [min,max] spans the full time range —
+    the filter prunes nothing and the scan silently reads the corpus.
+
+    Two raises make the contract driver-checked (the Q118 pattern):
+    (1) the executed scan must carry the ts bounds in PushedFilters —
+    a planner regression fails loudly; (2) the layout itself is audited
+    through the parquet footers (pyarrow): the fraction of row groups
+    whose ts [min,max] intersects the {d}-day window must be ≤ {f:.0%}
+    — on this 30-day corpus a tight {n}-file range layout leaves
+    ~1-2 overlapping groups, while an unclustered write overlaps ~100%
+    (asserted by test). The oracle computes the same aggregate by
+    filtering the raw table, so the hash matches only if skipping
+    changed the I/O and nothing else.
+
+    Driver-collect note (Q96/Q117/Q118 pattern): the aggregate is
+    O(event types) = 5 rows; the scratch layout is removed before
+    returning — at scale the clustered table is the durable asset
+    (written once by ingest, skipped by every time-bounded query after).
+    """
+    import datetime
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    lo = datetime.datetime.fromisoformat(_CLUSTER_LO)
+    hi = datetime.datetime.fromisoformat(_CLUSTER_HI)
+    lay_dir = tempfile.mkdtemp(prefix="q_cluster_prune_")
+    try:
+        (
+            ev.repartitionByRange(_CLUSTER_FILES, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(lay_dir)
+        )
+
+        # Layout audit straight from the parquet footers.
+        import pyarrow.parquet as pq
+
+        total = overlap = 0
+        for f in _glob.glob(f"{lay_dir}/part-*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            ts_idx = meta.schema.names.index("ts")
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(ts_idx).statistics
+                total += 1
+                if st is None:
+                    overlap += 1  # no stats = unskippable, counts against
+                elif st.min < hi and st.max >= lo:
+                    overlap += 1
+        if total == 0 or overlap / total > _CLUSTER_MAX_OVERLAP:
+            raise RuntimeError(
+                "clustered layout regression — "
+                f"{overlap}/{total} row groups overlap the window; "
+                "min/max stats are not tight enough to skip"
+            )
+
+        pruned = (
+            spark.read.parquet(lay_dir)
+            .filter(
+                (F.col("ts") >= F.lit(lo.isoformat(sep=" ")).cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(hi.isoformat(sep=" ")).cast("timestamp_ntz"))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+            )
+        )
+        _assert_ts_bounds_pushed(pruned)
+        rows = pruned.collect()
+    finally:
+        shutil.rmtree(lay_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_events bigint, sum_value double"
+    )
+
+
+fmt_doc(
+    q_cluster_prune,
+    d=3,
+    f=_CLUSTER_MAX_OVERLAP,
+    n=_CLUSTER_FILES,
+)
