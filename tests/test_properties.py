@@ -280,3 +280,48 @@ def test_components_accept_empty_edge_sets(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components(empty).count() == 0
     assert connected_components_jump(empty).count() == 0
+
+
+_bpe_texts = st.lists(
+    st.text(alphabet="abc~ ", min_size=0, max_size=12), min_size=1, max_size=12
+)
+
+
+@given(texts=_bpe_texts)
+@settings(**_SETTINGS)
+def test_bpe_fit_apply_laws(spark, texts):
+    """Three laws of the trained tokenizer on ANY corpus (incl. the
+    '~' metacharacter and empty/whitespace degenerate words):
+    1. determinism — two fits of the same corpus give the same rules;
+    2. engine agreement — Spark's replace-chain apply equals the
+       driver-side Python mirror (same left-to-right non-overlapping
+       replace semantics the oracle relies on);
+    3. losslessness — concatenating a doc's tokens reproduces its
+       sanitized non-space characters (merging never drops or invents
+       a character)."""
+    from project_map_reduce_spark.operators.bpe import (
+        bpe_fit,
+        bpe_tokens_expr,
+    )
+
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rules = bpe_fit(docs, vocab_words=8, merges=3)
+    assert rules == bpe_fit(docs, vocab_words=8, merges=3)
+
+    got = (
+        docs.select("text", bpe_tokens_expr(F.col("text"), rules).alias("t"))
+        .collect()
+    )
+
+    def py_apply(text):
+        clean = text.replace("~", "")
+        s = "".join(f"~{c}~" for c in clean)
+        for pat, rep in rules:
+            s = s.replace(pat, rep)
+        t = s.strip("~")
+        toks = t.split("~~") if t else [""]
+        return [x for x in toks if x != " "]
+
+    for r in got:
+        assert r["t"] == py_apply(r["text"]), (r["text"], rules)
+        assert "".join(r["t"]) == r["text"].replace("~", "").replace(" ", "")
