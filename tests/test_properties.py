@@ -325,3 +325,60 @@ def test_bpe_fit_apply_laws(spark, texts):
     for r in got:
         assert r["t"] == py_apply(r["text"]), (r["text"], rules)
         assert "".join(r["t"]) == r["text"].replace("~", "").replace(" ", "")
+
+
+_mv_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=2),  # day bucket
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+_mv_cuts = st.lists(st.integers(min_value=0, max_value=20), max_size=3)
+
+
+@given(rows=_mv_rows, cuts=_mv_cuts)
+@settings(**_SETTINGS)
+def test_mv_refresh_is_associative_over_any_split(spark, rows, cuts, tmp_path_factory):
+    """The MV law the whole design rests on: splitting a corpus into
+    ANY ordered sequence of deltas (including empty ones) and folding
+    them through init+refresh equals one full partials pass. Holds
+    because the stored partials are counts + exact decimal sums —
+    order- and grouping-independent."""
+    import datetime
+
+    from project_map_reduce_spark.operators.mv import (
+        mv_finalize,
+        mv_init,
+        mv_partials,
+        mv_read,
+        mv_refresh,
+    )
+
+    base_day = datetime.datetime(2024, 1, 1)
+    data = [
+        (t, base_day + datetime.timedelta(days=d), float(v))
+        for t, d, v in rows
+    ]
+    schema = "event_type string, day timestamp, value double"
+    keys, sums = ["event_type", "day"], {"sum_value": "value"}
+
+    bounds = sorted({min(c, len(data)) for c in cuts} | {0, len(data)})
+    chunks = [data[lo:hi] for lo, hi in zip(bounds, bounds[1:])] or [data]
+
+    path = str(tmp_path_factory.mktemp("mvprop") / "mv")
+    mv_init(spark.createDataFrame(chunks[0], schema), keys, sums, path)
+    for chunk in chunks[1:]:
+        mv_refresh(spark, path, spark.createDataFrame(chunk, schema), keys, sums)
+
+    def canon(df):
+        return sorted(
+            (r["event_type"], r["day"], r["n_events"], round(r["sum_value"], 6))
+            for r in mv_finalize(df, sums).collect()
+        )
+
+    got = canon(mv_read(spark, path))
+    want = canon(mv_partials(spark.createDataFrame(data, schema), keys, sums))
+    assert got == want
