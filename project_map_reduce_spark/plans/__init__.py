@@ -49,6 +49,8 @@ _DRIVER_WINDOW = [
     "q_tokenize_bpe",  # NEW this round (r7): trained BPE tokenizer
     "q_stream_mv_refresh",  # NEW (r7): exactly-once streaming MV refresh
     "q_cluster_prune",  # NEW (r7): range-clustered layout / row-group skipping
+    "q_compact_small_files",  # NEW (r7): small-file compaction, driver-proven
+    "q_schema_evolution",  # NEW (r7): mergeSchema evolved-column read
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
@@ -70,13 +72,14 @@ _DRIVER_WINDOW = [
     "q_join_bucketed",
     "q_sample_temperature",
     "q_join_salted",
-    # -- then 26 of the 50 round-5-vintage queries, drift-prone plan
+    # -- then 24 of the 50 round-5-vintage queries, drift-prone plan
     #    machinery first (streaming, Arrow/UDF, iterative, sampling,
-    #    guard pipeline, OLAP stats, SQL surface). The 24 round-5
+    #    guard pipeline, OLAP stats, SQL surface). The 26 round-5
     #    queries left out (simple scan/filter/setop/topk scalar plans:
     #    q_case_when, q_filter_predicate, q_grouped_count,
     #    q_job_pipeline, q_join_range, q_json_extract,
-    #    q_length_deciles, q_minmax_by, q_scan_count, q_scan_project,
+    #    q_length_deciles, q_minmax_by, q_pivot_status, q_scalar_subquery,
+    #    q_scan_count, q_scan_project,
     #    q_set_except, q_set_intersect, q_set_union_all,
     #    q_set_union_distinct, q_sort_multi, q_source_quota,
     #    q_string_agg, q_time_rollup, q_token_count, q_topk_global, q_topk_per_group,
@@ -107,8 +110,6 @@ _DRIVER_WINDOW = [
     "q_corr_stats",
     "q_approx_quantile_check",
     "q_approx_count_distinct",
-    "q_pivot_status",
-    "q_scalar_subquery",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -162,7 +162,13 @@ _R6_COHORT = [
 
 # Queries introduced in round 7 (in the window from birth; their first
 # driver signal will be CURRENT_ROUND).
-_R7_NEW: list[str] = ["q_tokenize_bpe", "q_stream_mv_refresh", "q_cluster_prune"]
+_R7_NEW: list[str] = [
+    "q_tokenize_bpe",
+    "q_stream_mv_refresh",
+    "q_cluster_prune",
+    "q_compact_small_files",
+    "q_schema_evolution",
+]
 
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 4 for q in _R4_COHORT},

@@ -247,3 +247,80 @@ fmt_doc(
     f=_CLUSTER_MAX_OVERLAP,
     n=_CLUSTER_FILES,
 )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CASE WHEN event_id % 2 = 1 THEN user_id END) AS n_with_user,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q126: schema-evolution read DRIVER-PROVEN — the lake capability
+    every long-lived 100 TB table exercises: early ingest batches were
+    written WITHOUT a column that later batches carry (here: user_id
+    added after the first deployment), and a query over the whole table
+    must see one UNION schema with nulls filled for pre-evolution rows
+    — no rewrite of history, no reader crash. Spark's parquet source
+    does this with ``mergeSchema`` (footer union at listing time; at
+    scale you pin the merged schema in a catalog instead of re-merging
+    per query — the read path is identical).
+
+    Driver-checked raise: the merged scan must actually carry the
+    evolved column — a reader regression that silently drops it (or a
+    deployment that forgot mergeSchema and serves whichever footer won)
+    becomes a driver failure, not silently-null analytics. The oracle
+    recomputes the same aggregate from the raw table with the
+    batch-split predicate inlined (event_id parity picks which half was
+    written pre-evolution), so the hash matches only if old rows read
+    as null and new rows keep their values.
+
+    Driver-collect note (Q96/Q117 pattern): O(types) rows; scratch
+    layout removed before returning.
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="q_schema_evo_")
+    try:
+        # batch 1: the pre-evolution writer — no user_id column at all
+        ev.where(F.col("event_id") % 2 == 0).select(
+            "event_type", "value"
+        ).write.parquet(f"{tmp}/batch=1")
+        # batch 2: the evolved writer carries the new column
+        ev.where(F.col("event_id") % 2 == 1).select(
+            "event_type", "value", "user_id"
+        ).write.parquet(f"{tmp}/batch=2")
+
+        merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+        if "user_id" not in merged.columns:
+            raise RuntimeError(
+                "schema-evolution regression — merged read lost the "
+                f"evolved column; schema: {merged.schema.simpleString()}"
+            )
+        rows = (
+            merged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count("user_id").alias("n_with_user"),
+                sum6("value").alias("sum_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="event_type string, n_events bigint, n_with_user bigint, "
+        "sum_value double",
+    )

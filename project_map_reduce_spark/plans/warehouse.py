@@ -491,3 +491,89 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, day timestamp_ntz, "
         "n_events bigint, sum_value double",
     )
+
+
+_COMPACT_INGEST_FILES = 64  # simulated streaming-ingest fragmentation
+_COMPACT_TARGET_BYTES = 32 * 1024 * 1024  # target file size after compaction
+
+
+@register(
+    "q_compact_small_files",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q125: small-file compaction DRIVER-PROVEN — the daily maintenance
+    op every streaming-ingested lake needs (Delta OPTIMIZE / Iceberg
+    rewrite_data_files, rebuilt on plain parquet): per-micro-batch
+    commits leave thousands of KB-scale files per partition, and at
+    100 TB the file-open + footer-read + scheduling cost of a
+    million-file table dwarfs the data read. The op reads the
+    fragmented layout, sizes the target file count from the MEASURED
+    input bytes (ceil(bytes / {mb} MiB) — never a guessed constant),
+    and rewrites with one round-robin repartition: bounded files out,
+    one narrow exchange, no keyed shuffle.
+
+    Driver-checked raises (the Q118/Q124 pattern): the rewrite must
+    hit exactly the computed file count AND preserve the exact row
+    count — a compaction that loses or duplicates rows is a driver
+    failure. The oracle aggregates the RAW events table while the
+    query aggregates the COMPACTED copy, so the hash matches only if
+    compaction is lossless end to end.
+
+    Driver-collect note (Q96/Q117 pattern): the aggregate is O(types)
+    rows; both scratch layouts are removed before returning — at scale
+    compaction rewrites partitions in place behind a version commit
+    (the operators/mv.py versioned-directory discipline).
+    """
+    import glob as _glob
+    import math
+    import os as _os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="q_compact_")
+    frag, tidy = f"{tmp}/frag", f"{tmp}/tidy"
+    try:
+        # The fragmented state a micro-batch ingester leaves behind.
+        ev.repartition(_COMPACT_INGEST_FILES).write.parquet(frag)
+        files = _glob.glob(f"{frag}/part-*.parquet")
+        n_rows = spark.read.parquet(frag).count()
+        total_bytes = sum(_os.path.getsize(f) for f in files)
+        target = max(1, math.ceil(total_bytes / _COMPACT_TARGET_BYTES))
+
+        spark.read.parquet(frag).repartition(target).write.parquet(tidy)
+
+        out_files = _glob.glob(f"{tidy}/part-*.parquet")
+        if len(out_files) != target or len(out_files) >= len(files):
+            raise RuntimeError(
+                f"compaction regression — {len(files)} files in, "
+                f"{len(out_files)} out, computed target {target}"
+            )
+        compacted = spark.read.parquet(tidy)
+        got_rows = compacted.count()
+        if got_rows != n_rows:
+            raise RuntimeError(
+                f"compaction lost rows — {n_rows} in, {got_rows} out"
+            )
+        rows = (
+            compacted.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_events bigint, sum_value double"
+    )
+
+
+fmt_doc(q_compact_small_files, mb=_COMPACT_TARGET_BYTES // (1024 * 1024))
