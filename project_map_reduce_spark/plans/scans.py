@@ -1,4 +1,6 @@
-"""B.1 scans / sources (Q01-Q02).
+"""B.1 scans / sources (Q01-Q02) + the scan-side data-skipping and
+schema-lifecycle surface (Q118 partition pruning, Q124 clustered-layout
+row-group skipping, Q126 schema-evolution reads).
 
 Reference parity: the reference's only source is a line-oriented text
 file scanned by the Manager (Manager.java:269-284) and counted by the

@@ -1,6 +1,7 @@
 """Warehouse maintenance surface — SCD type-2 dimension rebuild, an
-explicit bloom-filter pre-filtered join, and CDC changelog application
-(Q108-Q109, Q114).
+explicit bloom-filter pre-filtered join, CDC changelog application,
+incremental MV refresh (batch Q117 and exactly-once streaming Q123),
+and small-file compaction (Q108-Q109, Q114, Q117, Q123, Q125).
 
 All are operations a reference user running a production warehouse
 would reach for next after the SQL surface (plans/sql_surface.py):
