@@ -70,6 +70,16 @@ _STEAL_POISON_FRAC = 0.10
 # Hard cap on samples per query — a persistent steal storm must not
 # spin the bench forever; the artifact flags the query instead.
 _MAX_RUNS = 5
+# Rolling fleet-relative slow-window detection (VERDICT r7 item 7): the
+# r7 driver sweep recorded 7 alphabetically-contiguous paper breaches
+# from a host-slow window whose per-run steal stayed UNDER the poison
+# threshold — invisible to per-run accounting, obvious against the grid.
+# A run of >= _SLOW_WINDOW_LEN consecutive queries each measuring over
+# _SLOW_WINDOW_RATIO × its grid reference marks the whole run suspect,
+# and every suspect gets one clean re-measure at the end of the sweep
+# (min kept), so a transient window cannot leave paper breaches behind.
+_SLOW_WINDOW_RATIO = 1.5
+_SLOW_WINDOW_LEN = 3
 # The driver keeps the last 2000 chars of output; leave headroom for
 # the trailing newline and any interleaved stderr flush.
 _LINE_BUDGET = 1900
@@ -110,6 +120,52 @@ def _measure(fn, spark, sf_dir) -> tuple[float, int, bool]:
             return min(w for w, _ in runs), len(runs), True
 
 
+def _load_grid() -> dict[str, float]:
+    """Per-query fleet-relative reference times from BASELINE_GRID.json:
+    the warm-fleet minimum where recorded (bench runs a warm fleet
+    session, so that is the like-for-like number), else the clean-host
+    grid value. Empty dict (detection off) if the file is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_GRID.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    ref = dict(d.get("queries", {}))
+    ref.update(d.get("warm_fleet", {}))
+    return {k: float(v) for k, v in ref.items() if isinstance(v, (int, float))}
+
+
+def _slow_window_suspects(
+    ordered: list[tuple[str, float]],
+    grid: dict[str, float],
+    ratio: float = _SLOW_WINDOW_RATIO,
+    run_len: int = _SLOW_WINDOW_LEN,
+) -> set[str]:
+    """Names inside any run of >= ``run_len`` consecutive measurements
+    (measurement order) each exceeding ``ratio`` × their grid reference.
+    Failed queries (sec < 0) break a run; queries without a grid entry
+    (new this round) are neutral — they neither count nor break, so a
+    slow window straddling a new query is still caught."""
+    suspects: set[str] = set()
+    run: list[str] = []
+    for name, sec in ordered:
+        if sec < 0:
+            run = []
+            continue
+        ref = grid.get(name)
+        if ref is None or ref <= 0:
+            continue
+        if sec > ratio * ref:
+            run.append(name)
+            if len(run) >= run_len:
+                suspects.update(run)
+        else:
+            run = []
+    return suspects
+
+
 def emit_line(out: dict) -> str:
     """The stdout contract line. Named-dict form while it fits the
     driver's 2000-char tail capture; above that, degrade the per-query
@@ -121,6 +177,12 @@ def emit_line(out: dict) -> str:
         compact = dict(out)
         compact["queries"] = "q_sec, aligned with sorted query names"
         compact["q_sec"] = [out["queries"][k] for k in sorted(out["queries"])]
+        # name lists can be arbitrarily long; the full record keeps the
+        # names, the capture-window line keeps the count
+        if isinstance(compact.get("slow_window_remeasured"), list):
+            compact["slow_window_remeasured"] = len(
+                compact["slow_window_remeasured"]
+            )
         line = json.dumps(compact, separators=(",", ":"))
     return line
 
@@ -159,6 +221,29 @@ def main() -> int:
             print(f"bench: {name} failed: {type(ex).__name__}: {ex}", file=sys.stderr)
             times[name] = -1.0
 
+    # Slow-window sweep: re-measure any alphabetically-contiguous run
+    # of grid breaches once, after the fleet pass, when the transient
+    # host window has typically passed. min() keeps an honest number if
+    # the slowdown is real (a regression re-measures slow twice).
+    grid = _load_grid()
+    suspects = _slow_window_suspects(
+        [(n, times[n]) for n in sorted(times)], grid
+    )
+    remeasured: list[str] = []
+    for name in sorted(suspects):
+        try:
+            sec, n_runs, _ = _measure(entries()[name].fn, spark, sf_dir)
+        except Exception as ex:  # noqa: BLE001
+            print(f"bench: {name} re-measure failed: {ex}", file=sys.stderr)
+            continue
+        remeasured.append(name)
+        if sec < times[name]:
+            print(
+                f"bench: {name} slow-window re-measure "
+                f"{times[name]:.2f}s -> {sec:.2f}s", file=sys.stderr
+            )
+            times[name] = round(sec, 3)
+
     ok = {k: v for k, v in times.items() if v >= 0}
     out = {
         "metric": "total_query_wall_sec",
@@ -170,15 +255,21 @@ def main() -> int:
         "n_failed": len(times) - len(ok),
         "steal_sec": round(_steal_sec() - steal0, 1),
         "poisoned": poisoned,
+        "slow_window_remeasured": remeasured,
     }
 
     # Durable full record, independent of the driver's capture window.
+    # Written atomically (tmp + rename) in the same run that prints the
+    # stdout line, so the committed file and the driver artifact agree
+    # by construction (VERDICT r7 item 3).
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
     try:
-        with open(full_path, "w") as f:
+        tmp_path = full_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
             f.write("\n")
+        os.replace(tmp_path, full_path)
     except OSError as ex:
         print(f"bench: could not write {full_path}: {ex}", file=sys.stderr)
 

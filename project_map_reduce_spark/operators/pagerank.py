@@ -79,6 +79,14 @@ def _no_aqe(spark):
     runtime re-planning buys nothing there and costs the one property
     that regime is built around. The small-graph broadcast regime keeps
     AQE on — it coalesces the per-round aggregate's tiny shuffle.
+
+    Concurrency note (ADVICE r7): this toggles the SESSION-global conf,
+    so any query running concurrently on the same SparkSession loses AQE
+    for the duration and a concurrent conf change is clobbered by the
+    finally-restore. ``pagerank`` assumes a single-threaded session (the
+    harness's model); callers that share a session across threads should
+    run ``fit`` on ``spark.newSession()`` (isolated conf, shared
+    SparkContext) instead.
     """
     key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(key)

@@ -680,9 +680,17 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt("nv"))
         .persist()
     )
+    # Best-effort release: if the session that owned the previous frame
+    # was stopped and recreated between calls, unpersist raises through
+    # Py4J — a stale frame from a dead session holds no executor blocks,
+    # so it is simply dropped (ADVICE r7). Single-driver harness; the
+    # attribute swap is not guarded against concurrent invocation.
     prev = getattr(q_dedup_embedding_ivf, "_cached_assignments", None)
     if prev is not None:
-        prev.unpersist(blocking=False)
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
     q_dedup_embedding_ivf._cached_assignments = n
     a = n.alias("a")
     b = n.alias("b")

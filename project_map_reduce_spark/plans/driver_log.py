@@ -19,70 +19,35 @@ Maintenance contract (enforced by ``tests/test_plan_audit.py``):
   evidence is ever more than two rounds stale.
 * Queries new this round carry ``CURRENT_ROUND`` (they are in the
   window from birth and have no earlier signal by definition).
-
-Provenance of the initial values: computed from the on-disk
-``CORRECTNESS_r0{1..6}.json`` artifacts (last round in which the query
-name appears as a key; every appearance through r6 was a full match).
+* Since round 8 the ledger can no longer drift from the evidence:
+  ``derive_driver_rounds`` recomputes every value straight from the
+  on-disk ``CORRECTNESS_r*.json`` artifacts and the plan-audit test
+  asserts ``DRIVER_ROUNDS`` equals the derivation (VERDICT r7 item 8;
+  new-this-round queries are the only entries allowed to have no
+  artifact yet).
 """
 
 from __future__ import annotations
 
-CURRENT_ROUND = 7
+import json
+import re
+from pathlib import Path
 
-# Queries whose last driver hash predates this round's window, by cohort.
-_R4_COHORT = [
-    "q_agg_rollup",
-    "q_array_ops",
-    "q_date_funcs",
-    "q_datediff",
-    "q_dedup_incremental",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_join_theta",
-    "q_map_ops",
-    "q_math_funcs",
-    "q_multimodal_dims",
-    "q_not_exists",
-    "q_pipeline_e2e",
-    "q_sample_temperature",
-    "q_split_train_val",
-    "q_string_funcs",
-    "q_udaf_weighted_mean",
-    "q_window_lag_lead",
-    "q_window_moving",
-    "q_window_range",
-    "q_window_rank",
-]
+CURRENT_ROUND = 8
 
+# Queries whose last driver hash predates this round's window, by cohort
+# (cohort = the round whose CORRECTNESS artifact last full-matched them;
+# regenerate with ``derive_driver_rounds`` — the test does).
 _R5_COHORT = [
-    "q_approx_count_distinct",
-    "q_approx_quantile_check",
     "q_case_when",
-    "q_corr_stats",
-    "q_decontaminate",
-    "q_dedup_embedding_ivf",
-    "q_dedup_lines",
-    "q_doc_logprob",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_events_session",
-    "q_events_sliding",
-    "q_events_tumbling",
     "q_filter_predicate",
     "q_grouped_count",
-    "q_grouped_map",
     "q_job_pipeline",
     "q_join_range",
     "q_json_extract",
-    "q_kmeans",
     "q_length_deciles",
     "q_minmax_by",
-    "q_percentiles",
-    "q_pii_mask",
     "q_pivot_status",
-    "q_repetition",
-    "q_salted_agg",
-    "q_sample_stratified",
     "q_scalar_subquery",
     "q_scan_count",
     "q_scan_project",
@@ -92,18 +57,13 @@ _R5_COHORT = [
     "q_set_union_distinct",
     "q_sort_multi",
     "q_source_quota",
-    "q_stream_dedup",
-    "q_stream_totals",
     "q_string_agg",
     "q_time_rollup",
     "q_token_count",
     "q_topk_global",
     "q_topk_per_group",
-    "q_udf_python",
-    "q_udtf_sentences",
     "q_unpivot",
     "q_value_histogram",
-    "q_watermark_late",
     "q_zscore_outliers",
 ]
 
@@ -160,19 +120,90 @@ _R6_COHORT = [
     "q_window_distribution",
 ]
 
-# Queries introduced in round 7 (in the window from birth; their first
-# driver signal will be CURRENT_ROUND).
-_R7_NEW: list[str] = [
-    "q_tokenize_bpe",
-    "q_stream_mv_refresh",
+_R7_COHORT = [
+    "q_agg_rollup",
+    "q_approx_count_distinct",
+    "q_approx_quantile_check",
+    "q_array_ops",
     "q_cluster_prune",
     "q_compact_small_files",
+    "q_corr_stats",
+    "q_date_funcs",
+    "q_datediff",
+    "q_decontaminate",
+    "q_dedup_embedding_ivf",
+    "q_dedup_incremental",
+    "q_dedup_lines",
+    "q_doc_logprob",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_session",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_grouped_map",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_join_theta",
+    "q_kmeans",
+    "q_map_ops",
+    "q_math_funcs",
+    "q_multimodal_dims",
+    "q_not_exists",
+    "q_percentiles",
+    "q_pii_mask",
+    "q_pipeline_e2e",
+    "q_repetition",
+    "q_salted_agg",
+    "q_sample_stratified",
+    "q_sample_temperature",
     "q_schema_evolution",
+    "q_split_train_val",
+    "q_stream_dedup",
+    "q_stream_mv_refresh",
+    "q_stream_totals",
+    "q_string_funcs",
+    "q_tokenize_bpe",
+    "q_udaf_weighted_mean",
+    "q_udf_python",
+    "q_udtf_sentences",
+    "q_watermark_late",
+    "q_window_lag_lead",
+    "q_window_moving",
+    "q_window_range",
+    "q_window_rank",
 ]
 
+# Queries introduced in round 8 (in the window from birth; their first
+# driver signal will be CURRENT_ROUND — no artifact carries them yet).
+_R8_NEW: list[str] = []
+
 DRIVER_ROUNDS: dict[str, int] = {
-    **{q: 4 for q in _R4_COHORT},
     **{q: 5 for q in _R5_COHORT},
     **{q: 6 for q in _R6_COHORT},
-    **{q: CURRENT_ROUND for q in _R7_NEW},
+    **{q: 7 for q in _R7_COHORT},
+    **{q: CURRENT_ROUND for q in _R8_NEW},
 }
+
+
+def derive_driver_rounds(repo_root: str | Path) -> dict[str, int]:
+    """Recompute the ledger straight from the driver's own artifacts:
+    for each query, the highest N such that ``CORRECTNESS_r{N}.json``
+    records a full rows+schema+hash match. Queries that never
+    full-matched (only possible for new-this-round entries) are absent
+    from the result — the test pairs that absence with membership in
+    the current new-query list."""
+    derived: dict[str, int] = {}
+    for p in sorted(Path(repo_root).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        for q, v in json.loads(p.read_text()).items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            ):
+                derived[q] = max(derived.get(q, 0), rnd)
+    return derived

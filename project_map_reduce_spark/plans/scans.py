@@ -14,8 +14,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_map_reduce_spark.functions.det import SUM6
 from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
+
+# Both sides of every hash-checked sum here accumulate in DECIMAL(27,6)
+# (Spark: functions.det.sum6; DuckDB: this template) — the cross-engine
+# contract ADVICE r7 asked to unify: a double-accumulating oracle drifts
+# ~√n·ulp and sits ~1e-6 from the rounding boundary at sf10 group sizes.
+_SUM6_VALUE = SUM6.format(expr="value")
 
 
 @register(
@@ -149,7 +156,7 @@ def _assert_ts_bounds_pushed(df: DataFrame) -> None:
     "q_cluster_prune",
     oracle=f"""
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           {_SUM6_VALUE} AS sum_value
     FROM events
     WHERE ts >= TIMESTAMP '{_CLUSTER_LO}' AND ts < TIMESTAMP '{_CLUSTER_HI}'
     GROUP BY event_type
@@ -253,11 +260,11 @@ fmt_doc(
 
 @register(
     "q_schema_evolution",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
            count(CASE WHEN event_id % 2 = 1 THEN user_id END) AS n_with_user,
-           round(sum(value), 6) AS sum_value
+           {_SUM6_VALUE} AS sum_value
     FROM events
     GROUP BY event_type
     """,

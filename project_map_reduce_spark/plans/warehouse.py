@@ -498,11 +498,22 @@ _COMPACT_INGEST_FILES = 64  # simulated streaming-ingest fragmentation
 _COMPACT_TARGET_BYTES = 32 * 1024 * 1024  # target file size after compaction
 
 
+def _compact_regressed(n_in: int, n_out: int, target: int) -> bool:
+    """True when the rewrite missed its computed file count, or — while
+    the fragmented premise still holds (target < n_in) — failed to
+    shrink the file count. Once measured input bytes reach
+    target-file-size × ingest-file-count the computed target
+    legitimately meets or exceeds the input count, and the rewrite is
+    judged on exact file count + row losslessness alone (ADVICE r7:
+    the old unconditional n_out >= n_in raise spuriously failed there)."""
+    return n_out != target or (target < n_in and n_out >= n_in)
+
+
 @register(
     "q_compact_small_files",
-    oracle="""
+    oracle=f"""
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           {SUM6.format(expr="value")} AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -551,7 +562,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(frag).repartition(target).write.parquet(tidy)
 
         out_files = _glob.glob(f"{tidy}/part-*.parquet")
-        if len(out_files) != target or len(out_files) >= len(files):
+        if _compact_regressed(len(files), len(out_files), target):
             raise RuntimeError(
                 f"compaction regression — {len(files)} files in, "
                 f"{len(out_files)} out, computed target {target}"

@@ -23,6 +23,7 @@ def test_contract_line_fits_tail_capture_at_current_inventory():
         "n_failed": 0,
         "steal_sec": 9999.9,
         "poisoned": [],
+        "slow_window_remeasured": [f"q_{i}" for i in range(20)],
     }
     line = bench.emit_line(out)
     assert len(line) <= bench._LINE_BUDGET, len(line)
@@ -37,3 +38,34 @@ def test_small_inventory_keeps_the_named_dict():
     out = {"queries": {"q_a": 1.0, "q_b": 2.0}, "n_queries": 2}
     parsed = json.loads(bench.emit_line(out))
     assert parsed["queries"] == {"q_a": 1.0, "q_b": 2.0}
+
+
+def test_slow_window_detection_flags_contiguous_breach_runs():
+    """VERDICT r7 item 7: a sub-steal-threshold host-slow window shows
+    up as >= 3 consecutive queries over 1.5x their grid reference; the
+    whole run is flagged for re-measure. Shorter runs are noise."""
+    grid = {f"q_{c}": 1.0 for c in "abcdefgh"}
+    # three contiguous breaches (c,d,e) inside an otherwise-clean sweep
+    ordered = [
+        ("q_a", 1.1), ("q_b", 1.2),
+        ("q_c", 1.9), ("q_d", 2.4), ("q_e", 1.8),
+        ("q_f", 1.0), ("q_g", 1.9), ("q_h", 2.0),  # only a 2-run: noise
+    ]
+    assert bench._slow_window_suspects(ordered, grid) == {"q_c", "q_d", "q_e"}
+
+
+def test_slow_window_neutral_and_breaking_entries():
+    """A query with no grid entry (new this round) must not break a
+    straddling slow window; a failed query must."""
+    grid = {"q_a": 1.0, "q_c": 1.0, "q_d": 1.0, "q_x": 1.0, "q_y": 1.0, "q_z": 1.0}
+    straddled = [
+        ("q_a", 2.0), ("q_b", 5.0),  # q_b has no grid entry: neutral
+        ("q_c", 2.0), ("q_d", 2.0),
+    ]
+    assert bench._slow_window_suspects(straddled, grid) == {"q_a", "q_c", "q_d"}
+    broken = [("q_x", 2.0), ("q_y", -1.0), ("q_z", 2.0)]
+    assert bench._slow_window_suspects(broken, grid) == set()
+
+
+def test_slow_window_detection_empty_without_grid():
+    assert bench._slow_window_suspects([("q_a", 99.0)] * 5, {}) == set()

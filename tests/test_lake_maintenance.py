@@ -14,6 +14,24 @@ def test_compaction_aggregate_shape(spark, sf_dir):
     assert all(r["n_events"] > 0 for r in rows)
 
 
+def test_compaction_guard_scale_premise():
+    """ADVICE r7: once measured input bytes reach target-size ×
+    ingest-file-count (~2 GiB at the 64 × 32 MiB defaults), the computed
+    target meets or exceeds the ingest file count and a lossless rewrite
+    must NOT be flagged; below that, failing to shrink the file count
+    still must be."""
+    from project_map_reduce_spark.plans.warehouse import _compact_regressed
+
+    # fragmented premise holds: must shrink and hit the target exactly
+    assert not _compact_regressed(n_in=64, n_out=4, target=4)
+    assert _compact_regressed(n_in=64, n_out=5, target=4)  # missed target
+    assert _compact_regressed(n_in=64, n_out=64, target=4)  # no shrink
+    # premise broken (big input): target == / > ingest count is legal
+    assert not _compact_regressed(n_in=64, n_out=64, target=64)
+    assert not _compact_regressed(n_in=64, n_out=80, target=80)
+    assert _compact_regressed(n_in=64, n_out=79, target=80)  # still exact
+
+
 def test_schema_evolution_nulls_are_real(spark, sf_dir):
     """Pre-evolution rows must read as NULL user_id, post-evolution rows
     must keep theirs: per type, 0 < n_with_user < n_events (both epochs

@@ -11,6 +11,7 @@ refactored, and `.explain()` is the only place they're visible.
 from __future__ import annotations
 
 import re
+from pathlib import Path
 
 import pytest
 
@@ -532,12 +533,16 @@ def test_driver_window_rotation_debt_bounded():
     outside the window may carry a driver hash older than two rounds,
     every in-window query must actually exist, the ledger must cover
     the registry exactly, and new-this-round queries must sit in the
-    window from birth."""
+    window from birth. Since round 8 (VERDICT r7 item 8) the ledger is
+    also verified against the evidence itself: every DRIVER_ROUNDS
+    value must equal the round derived from the on-disk
+    CORRECTNESS_r*.json artifacts, so the dict can never drift."""
     from project_map_reduce_spark.plans import _DRIVER_WINDOW
     from project_map_reduce_spark.plans.driver_log import (
         CURRENT_ROUND,
         DRIVER_ROUNDS,
-        _R7_NEW,
+        _R8_NEW,
+        derive_driver_rounds,
     )
 
     reg = set(entries())
@@ -554,5 +559,22 @@ def test_driver_window_rotation_debt_bounded():
         if q not in window and r < CURRENT_ROUND - 2
     }
     assert not stale, f"rotate these into the window: {stale}"
-    missing_new = [q for q in _R7_NEW if q not in window]
+    missing_new = [q for q in _R8_NEW if q not in window]
     assert not missing_new, f"new queries must be in-window from birth: {missing_new}"
+
+    # Ledger == evidence: derive every query's last full-match round
+    # straight from the driver artifacts at the repo root.
+    repo_root = Path(__file__).resolve().parents[1]
+    derived = derive_driver_rounds(repo_root)
+    drift = {
+        q: (r, derived.get(q))
+        for q, r in DRIVER_ROUNDS.items()
+        if derived.get(q) != r and not (q in _R8_NEW and q not in derived)
+    }
+    assert not drift, f"ledger drifted from CORRECTNESS artifacts (ledger, derived): {drift}"
+    # and the new-query list is exactly the set with no artifact yet
+    never_verified = reg - set(derived)
+    assert never_verified == set(_R8_NEW), (
+        sorted(never_verified),
+        sorted(_R8_NEW),
+    )
