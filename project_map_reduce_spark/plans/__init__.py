@@ -72,17 +72,19 @@ _DRIVER_WINDOW = [
     "q_unpivot",
     "q_value_histogram",
     "q_zscore_outliers",
+    # -- NEW this round (r8):
+    "q_zorder_prune",  # NEW (r8): Morton multi-column clustering + skipping
     # -- changed this round: the three lake-maintenance oracles moved
     #    from round(sum(double),6) to the exact-decimal SUM6 template
     #    (ADVICE r7) — a changed oracle needs a fresh driver hash.
     "q_cluster_prune",
     "q_compact_small_files",
     "q_schema_evolution",
-    # -- then 21 of the 50 round-6-cohort queries (the oldest remaining
+    # -- then 20 of the 50 round-6-cohort queries (the oldest remaining
     #    signal), drift-prone plan machinery first: the real streaming
     #    jobs, iterative/warehouse state machines, and the queries this
     #    round's work touches (pagerank partition tuning, profiler HLL
-    #    flip). The 29 round-6 queries left out are exactly two rounds
+    #    flip). The 30 round-6 queries left out are exactly two rounds
     #    old next round and rotate in round 9 — steady state.
     "q_stream_sessions",
     "q_stream_enrich",
@@ -104,7 +106,6 @@ _DRIVER_WINDOW = [
     "q_dedup_substring_removal",
     "q_doc_chunks",
     "q_pack_sequences",
-    "q_events_attribution",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

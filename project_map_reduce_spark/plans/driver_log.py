@@ -175,7 +175,9 @@ _R7_COHORT = [
 
 # Queries introduced in round 8 (in the window from birth; their first
 # driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R8_NEW: list[str] = []
+_R8_NEW: list[str] = [
+    "q_zorder_prune",
+]
 
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 5 for q in _R5_COHORT},

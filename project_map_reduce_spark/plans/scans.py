@@ -258,6 +258,171 @@ fmt_doc(
 )
 
 
+_Z_FILES = 16
+# Worst-dimension ceiling: the property a linear layout CANNOT deliver.
+# Measured (sf0.001/0.01/0.1, stable): zorder frac_ts 0.50, frac_user
+# 0.31-0.38, 2D 0.25; range-on-ts frac_user 1.0. Headroom for
+# repartitionByRange sample jitter.
+_Z_MAX_DIM_OVERLAP = 0.70
+_Z_MAX_2D_OVERLAP = 0.45
+
+
+def _assert_cols_pushed(df: DataFrame, cols: list[str]) -> None:
+    """Raise unless the scan under ``df`` carries a pushed RANGE filter
+    (not merely IsNotNull) on EVERY named column — the multi-column
+    form of ``_assert_ts_bounds_pushed``. The plan string elides
+    metadata lists at spark.sql.maxMetadataStringLength (default 100 —
+    a two-column pushed list is cut before its closing bracket), so the
+    limit is raised for the duration of the read."""
+    import re
+
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4096")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
+    pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    missing = [
+        c
+        for c in cols
+        if pf is None
+        or not re.search(rf"(GreaterThan|LessThan|EqualTo)\w*\({re.escape(c)},", pf.group(1))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"filter-pushdown regression — scan does not push {missing}:\n{plan}"
+        )
+
+
+@register(
+    "q_zorder_prune",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(user_id) AS ulo, max(user_id) AS uhi FROM events
+    )
+    SELECT event_type, count(*) AS n_events,
+           {_SUM6_VALUE} AS sum_value
+    FROM events, bounds
+    WHERE ts >= TIMESTAMP '{_CLUSTER_LO}' AND ts < TIMESTAMP '{_CLUSTER_HI}'
+      AND user_id >= ulo + (3 * (uhi - ulo)) // 10
+      AND user_id <= ulo + (uhi - ulo) // 2
+    GROUP BY event_type
+    """,
+)
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q127: Z-order (Morton) multi-column clustering DRIVER-PROVEN —
+    Q124's sibling for the multi-predicate case (VERDICT r7 item 4).
+    Q124's linear range layout makes exactly ONE column's row-group
+    stats tight; a second filter column is random across it and a query
+    bounding that column skips nothing. Interleaved-bit clustering on
+    (ts, user_id) — ``operators/zorder.py``, pure JVM shift/mask
+    arithmetic, one range shuffle — bounds EVERY clustered dimension:
+    each file's bounding box covers ~sqrt(1/n_files) of each domain
+    instead of all of one and none of the other.
+
+    Three driver-checked raises (the Q118/Q124 pattern): (1) the
+    executed scan must push BOTH predicates; (2) the footer audit
+    (pyarrow row-group stats) must show the {d}-day ts window AND the
+    20%-wide user_id band each overlapping ≤ {dim:.0%} of row groups —
+    the worst-dimension criterion a linear layout fails at 100% on its
+    unsorted column (asserted by the counterfactual test); (3) the
+    conjunctive 2D overlap must stay ≤ {both:.0%}. The oracle computes
+    the same aggregate from the raw table (user band derived from
+    min/max via integer arithmetic on both engines), so the hash
+    matches only if skipping changed the I/O and nothing else.
+
+    Driver-collect notes: the rank scale needs min/max per clustered
+    column — O(1) rows (at 100 TB: catalog/partition metadata); the
+    final aggregate is O(event types) = 5 rows; the scratch layout is
+    removed before returning — at scale the z-ordered table is the
+    durable asset (Delta OPTIMIZE ZORDER BY / Iceberg rewrite, written
+    once, skipped by every multi-predicate query after).
+    """
+    import datetime
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+    from project_map_reduce_spark.operators.zorder import (
+        column_bounds,
+        zorder_write,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "user_id", "value")
+    ts_lo = datetime.datetime.fromisoformat(_CLUSTER_LO)
+    ts_hi = datetime.datetime.fromisoformat(_CLUSTER_HI)
+    bounds = column_bounds(ev, ["ts", "user_id"])
+    ulo_d, uhi_d = bounds["user_id"]
+    u_lo = ulo_d + (3 * (uhi_d - ulo_d)) // 10
+    u_hi = ulo_d + (uhi_d - ulo_d) // 2
+
+    lay_dir = tempfile.mkdtemp(prefix="q_zorder_prune_")
+    try:
+        zorder_write(ev, lay_dir, "ts", "user_id", bounds, _Z_FILES)
+
+        # Footer audit: per-dimension AND conjunctive overlap.
+        import pyarrow.parquet as pq
+
+        total = o_ts = o_user = o_both = 0
+        for f in _glob.glob(f"{lay_dir}/part-*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            i_ts = meta.schema.names.index("ts")
+            i_u = meta.schema.names.index("user_id")
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(i_ts).statistics
+                su = meta.row_group(g).column(i_u).statistics
+                total += 1
+                t = st is None or (st.min < ts_hi and st.max >= ts_lo)
+                u = su is None or (su.min <= u_hi and su.max >= u_lo)
+                o_ts += t
+                o_user += u
+                o_both += t and u
+        if total == 0 or max(o_ts, o_user) / total > _Z_MAX_DIM_OVERLAP:
+            raise RuntimeError(
+                "z-order layout regression — worst-dimension overlap "
+                f"ts {o_ts}/{total}, user_id {o_user}/{total}; a clustered "
+                "dimension's stats are not tight enough to skip"
+            )
+        if o_both / total > _Z_MAX_2D_OVERLAP:
+            raise RuntimeError(
+                "z-order layout regression — conjunctive overlap "
+                f"{o_both}/{total} exceeds the 2D ceiling"
+            )
+
+        pruned = (
+            spark.read.parquet(lay_dir)
+            .filter(
+                (F.col("ts") >= F.lit(ts_lo.isoformat(sep=" ")).cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(ts_hi.isoformat(sep=" ")).cast("timestamp_ntz"))
+                & F.col("user_id").between(F.lit(u_lo), F.lit(u_hi))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+            )
+        )
+        _assert_cols_pushed(pruned, ["ts", "user_id"])
+        rows = pruned.collect()
+    finally:
+        shutil.rmtree(lay_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_events bigint, sum_value double"
+    )
+
+
+fmt_doc(
+    q_zorder_prune,
+    d=3,
+    dim=_Z_MAX_DIM_OVERLAP,
+    both=_Z_MAX_2D_OVERLAP,
+)
+
+
 @register(
     "q_schema_evolution",
     oracle=f"""
