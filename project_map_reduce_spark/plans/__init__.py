@@ -74,17 +74,18 @@ _DRIVER_WINDOW = [
     "q_zscore_outliers",
     # -- NEW this round (r8):
     "q_zorder_prune",  # NEW (r8): Morton multi-column clustering + skipping
+    "q_profile_approx",  # NEW (r8): HLL-sketch profiler (Q119's 100 TB flip)
     # -- changed this round: the three lake-maintenance oracles moved
     #    from round(sum(double),6) to the exact-decimal SUM6 template
     #    (ADVICE r7) — a changed oracle needs a fresh driver hash.
     "q_cluster_prune",
     "q_compact_small_files",
     "q_schema_evolution",
-    # -- then 20 of the 50 round-6-cohort queries (the oldest remaining
+    # -- then 19 of the 50 round-6-cohort queries (the oldest remaining
     #    signal), drift-prone plan machinery first: the real streaming
     #    jobs, iterative/warehouse state machines, and the queries this
     #    round's work touches (pagerank partition tuning, profiler HLL
-    #    flip). The 30 round-6 queries left out are exactly two rounds
+    #    flip). The 31 round-6 queries left out are exactly two rounds
     #    old next round and rotate in round 9 — steady state.
     "q_stream_sessions",
     "q_stream_enrich",
@@ -105,7 +106,6 @@ _DRIVER_WINDOW = [
     "q_dedup_fuzzy",
     "q_dedup_substring_removal",
     "q_doc_chunks",
-    "q_pack_sequences",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -177,6 +177,7 @@ _R7_COHORT = [
 # driver signal will be CURRENT_ROUND — no artifact carries them yet).
 _R8_NEW: list[str] = [
     "q_zorder_prune",
+    "q_profile_approx",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

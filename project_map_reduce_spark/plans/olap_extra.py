@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import r6d
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 _STATUSES = ("F", "O", "P")
@@ -201,6 +201,38 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _profile_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared melt/collapse plan under Q119 and Q128: lineitem is
+    MELTED (explode of an inline struct array — one (column, value)
+    pair per cell, still ONE pass over storage), then collapsed to
+    DISTINCT (column, value) rows carrying their multiplicity — a pure
+    hash aggregate, since the values are grouping keys, not buffers."""
+    li = load(spark, sf_dir, "lineitem").select(
+        *_PROFILE_NUM, *_PROFILE_STR, *_PROFILE_TS
+    )
+    cells = []
+    for c in _PROFILE_NUM:
+        cells.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("double").alias("num_val"),
+                F.lit(None).cast("string").alias("str_val"),
+            )
+        )
+    for c in _PROFILE_STR + _PROFILE_TS:
+        cells.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(None).cast("double").alias("num_val"),
+                F.col(c).cast("string").alias("str_val"),
+            )
+        )
+    melted = li.select(F.explode(F.array(*cells)).alias("p")).select("p.*")
+    return melted.groupBy("column", "num_val", "str_val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 @register("q_profile_columns", oracle=_profile_oracle())
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q119: one-pass dataset profiler — the data-quality report every
@@ -236,30 +268,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean divides an exact decimal sum by an exact count — one IEEE
     division on each engine — so it hash-matches bit-for-bit.
     """
-    li = load(spark, sf_dir, "lineitem").select(
-        *_PROFILE_NUM, *_PROFILE_STR, *_PROFILE_TS
-    )
-    cells = []
-    for c in _PROFILE_NUM:
-        cells.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col(c).cast("double").alias("num_val"),
-                F.lit(None).cast("string").alias("str_val"),
-            )
-        )
-    for c in _PROFILE_STR + _PROFILE_TS:
-        cells.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.lit(None).cast("double").alias("num_val"),
-                F.col(c).cast("string").alias("str_val"),
-            )
-        )
-    melted = li.select(F.explode(F.array(*cells)).alias("p")).select("p.*")
-    collapsed = melted.groupBy("column", "num_val", "str_val").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    collapsed = _profile_collapsed(spark, sf_dir)
     present = F.col("num_val").isNotNull() | F.col("str_val").isNotNull()
     num_cnt = F.sum(F.when(F.col("num_val").isNotNull(), F.col("cnt")))
     return collapsed.groupBy("column").agg(
@@ -279,3 +288,70 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("str_val").alias("min_str"),
         F.max("str_val").alias("max_str"),
     )
+
+
+_PROFILE_LGK = 12
+_PROFILE_RSD3 = 3 * 1.04 / (2**_PROFILE_LGK) ** 0.5  # ≈ 4.9%
+
+
+def _profile_approx_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
+        parts.append(f"""
+        SELECT '{c}' AS column, count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               TRUE AS within_3rsd
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register("q_profile_approx", oracle=_profile_approx_oracle())
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q128: Q119's declared 100 TB flip, made real (VERDICT r7 item 5)
+    — the profiler with the exact distinct count replaced by the HLL
+    sketch (Datasketches, lgConfigK={k}), sharing Q119's melt/collapse
+    plan verbatim (``_profile_collapsed``): ONE scan, no Expand
+    (plan-asserted). The sketch aggregates the COLLAPSED relation —
+    legal because HLL is duplicate-insensitive, so sketching the
+    distinct (column, value) rows gives the same registers as sketching
+    every cell — which is what lets both variants ride one plan. At
+    100 TB the collapse level itself is dropped and ``hll_sketch_agg``
+    runs straight over the melted cells: fixed 2^{k}-byte buffers per
+    column, the exchange carries O(columns × sketch) instead of
+    O(Σ distinct values).
+
+    Hash contract (the Q75/Q116 pattern — sketch estimates legitimately
+    differ across engines): the exact distinct count rides along as an
+    oracle-checkable column, and ``within_3rsd`` asserts the estimate
+    lands within 3·rsd (≈{t:.1%}) of it — both engines emit TRUE
+    deterministically, so an estimator regression flips the hash. The
+    exact branch exists only to judge the sketch at test scale; the
+    production profile keeps the estimate alone.
+    """
+    collapsed = _profile_collapsed(spark, sf_dir)
+    present = F.col("num_val").isNotNull() | F.col("str_val").isNotNull()
+    value_key = F.coalesce(F.col("num_val").cast("string"), F.col("str_val"))
+    prof = collapsed.groupBy("column").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(~present, F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count(F.when(present, 1)).alias("n_distinct"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(value_key, F.lit(_PROFILE_LGK))
+        ).alias("_approx"),
+    )
+    tol = F.lit(_PROFILE_RSD3) * F.col("n_distinct")
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        (F.abs(F.col("_approx") - F.col("n_distinct")) <= tol).alias(
+            "within_3rsd"
+        ),
+    )
+
+
+fmt_doc(q_profile_approx, k=_PROFILE_LGK, t=_PROFILE_RSD3)

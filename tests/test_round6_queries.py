@@ -142,6 +142,44 @@ def test_profile_columns_is_single_scan(spark, sf_dir):
     assert rows["l_returnflag"].max_str == "R"
 
 
+def test_profile_approx_single_scan_no_expand_and_3rsd(spark, sf_dir):
+    """Q128 (VERDICT r7 item 5): the sketch profiler shares Q119's
+    melt/collapse plan — exactly one scan, and NO Expand anywhere (the
+    multi-distinct rewrite it exists to avoid) — and its HLL estimate
+    agrees with the exact distinct count within 3·rsd per column (the
+    within_3rsd invariant the driver hash-checks as TRUE)."""
+    from project_map_reduce_spark.plans.olap_extra import q_profile_approx
+
+    df = q_profile_approx(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    rows = {r.column: r for r in df.collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.within_3rsd, tuple(r)
+        assert 0 < r.n_distinct <= r.n_rows
+
+
+def test_profile_variants_agree_on_exact_columns(spark, sf_dir):
+    """Both profiler variants ride _profile_collapsed; their shared
+    exact measures (n_rows, n_nulls, n_distinct) must be identical."""
+    from project_map_reduce_spark.plans.olap_extra import (
+        q_profile_approx,
+        q_profile_columns,
+    )
+
+    exact = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in q_profile_columns(spark, sf_dir).collect()
+    }
+    approx = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in q_profile_approx(spark, sf_dir).collect()
+    }
+    assert exact == approx
+
+
 def test_doc_chunks_offsets_index_into_text(spark, sf_dir):
     """Q120's char offsets are only useful if they index straight into
     the ORIGINAL text: substr(text, char_start+1, char_len) must
