@@ -67,6 +67,22 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
+def _session_confs(spark, confs):
+    """Pin session confs for the jobs launched inside the block,
+    restoring prior values on exit. Same concurrency caveat as
+    ``_no_aqe`` (which this generalizes): the confs are SESSION-global
+    for the duration."""
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+@contextmanager
 def _no_aqe(spark):
     """Disable AQE for the jobs launched inside the block.
 
@@ -88,13 +104,8 @@ def _no_aqe(spark):
     run ``fit`` on ``spark.newSession()`` (isolated conf, shared
     SparkContext) instead.
     """
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
+    with _session_confs(spark, {"spark.sql.adaptive.enabled": "false"}):
         yield
-    finally:
-        spark.conf.set(key, old)
 
 
 def _step(e_deg: DataFrame, ranks: DataFrame, teleport: float,
@@ -124,6 +135,7 @@ def pagerank(
     round_dp: int = 9,
     require_symmetric: bool = True,
     broadcast_nodes: int = 400_000,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges``. Returns
     (node, rank) with one row per node. ``edges`` should be
@@ -132,9 +144,26 @@ def pagerank(
     time unless ``require_symmetric=False`` (see module docstring).
     ``broadcast_nodes`` is the rank-relation size below which rounds
     replicate ranks instead of co-partitioning edges (module docstring).
+    ``shuffle_partitions`` overrides the large-regime partition count
+    (edge layout AND every per-round join/aggregate exchange; the
+    9-dp per-round rounding keeps ranks partition-count-invariant —
+    A/B'd identical at every count tried). Default None = max(session
+    spark.sql.shuffle.partitions, 4 × defaultParallelism): the r8 sf10
+    A/B (2.1M nodes, 24M directed edges, interleaved min-of-clean runs)
+    measured a monotone win up to 4×cores — 8→164 s, 32→154 s,
+    64→89 s, 128→52 s — then regression at 8×cores (256→209 s):
+    smaller per-round SHJ build sides cost less GC/spill per task and
+    smooth stragglers, until task-scheduling overhead of 5 rounds × 2
+    exchanges takes over. See BASELINE.md round-8 row.
     """
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if shuffle_partitions is not None:
+        n_part = int(shuffle_partitions)
+    else:
+        n_part = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            4 * spark.sparkContext.defaultParallelism,
+        )
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
 
     # One degree pass doubles as the symmetry guard: a union of the two
@@ -194,7 +223,13 @@ def pagerank(
     # shuffled-hash join streams both sides in place (rank side: each
     # round's output inherits hashpartitioning(node) from its own
     # final aggregate).
-    with _no_aqe(spark):
+    with _session_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(n_part),
+        },
+    ):
         e_deg = (
             e.join(deg, "s")
             .select("s", "d", "outdeg")
