@@ -120,17 +120,24 @@ def _measure(fn, spark, sf_dir) -> tuple[float, int, bool]:
             return min(w for w, _ in runs), len(runs), True
 
 
-def _load_grid() -> dict[str, float]:
+def _load_grid(sf: float | None) -> dict[str, float]:
     """Per-query fleet-relative reference times from BASELINE_GRID.json:
     the warm-fleet minimum where recorded (bench runs a warm fleet
     session, so that is the like-for-like number), else the clean-host
-    grid value. Empty dict (detection off) if the file is absent."""
+    grid value. Empty dict (detection off) if the file is absent OR the
+    bench is running at a different scale factor than the grid measured
+    — at 10× the grid's data everything legitimately exceeds 1.5× and
+    the detector would degenerate into re-run-everything-once (the r8
+    sf1 sweep measured exactly that: 84 pointless re-measures; off-grid
+    SFs keep the per-run steal accounting as their only retry logic)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_GRID.json")
     try:
         with open(path) as f:
             d = json.load(f)
     except (OSError, ValueError):
+        return {}
+    if sf is None or d.get("sf") != sf:
         return {}
     ref = dict(d.get("queries", {}))
     ref.update(d.get("warm_fleet", {}))
@@ -225,7 +232,7 @@ def main() -> int:
     # of grid breaches once, after the fleet pass, when the transient
     # host window has typically passed. min() keeps an honest number if
     # the slowdown is real (a regression re-measures slow twice).
-    grid = _load_grid()
+    grid = _load_grid(sf)
     suspects = _slow_window_suspects(
         [(n, times[n]) for n in sorted(times)], grid
     )

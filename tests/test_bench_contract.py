@@ -69,3 +69,15 @@ def test_slow_window_neutral_and_breaking_entries():
 
 def test_slow_window_detection_empty_without_grid():
     assert bench._slow_window_suspects([("q_a", 99.0)] * 5, {}) == set()
+
+
+def test_grid_loads_only_at_its_own_scale_factor():
+    """The detector must arm only when the bench sf matches the grid's
+    (at 10x the grid's data everything exceeds 1.5x legitimately —
+    the r8 sf1 sweep's 84 pointless re-measures)."""
+    import json
+
+    grid_sf = json.load(open("BASELINE_GRID.json"))["sf"]
+    assert bench._load_grid(grid_sf)  # non-empty at the grid's sf
+    assert bench._load_grid(grid_sf * 10) == {}
+    assert bench._load_grid(None) == {}
