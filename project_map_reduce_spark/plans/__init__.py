@@ -75,17 +75,20 @@ _DRIVER_WINDOW = [
     # -- NEW this round (r8):
     "q_zorder_prune",  # NEW (r8): Morton multi-column clustering + skipping
     "q_profile_approx",  # NEW (r8): HLL-sketch profiler (Q119's 100 TB flip)
+    "q_typo_join",  # NEW (r8): lossless deletion-neighborhood fuzzy join
+    "q_kll_rollup",  # NEW (r8): mergeable KLL quantile cube
+    "q_heavy_hitters",  # NEW (r8): frequent-items sketch top-k
     # -- changed this round: the three lake-maintenance oracles moved
     #    from round(sum(double),6) to the exact-decimal SUM6 template
     #    (ADVICE r7) — a changed oracle needs a fresh driver hash.
     "q_cluster_prune",
     "q_compact_small_files",
     "q_schema_evolution",
-    # -- then 19 of the 50 round-6-cohort queries (the oldest remaining
+    # -- then 16 of the 50 round-6-cohort queries (the oldest remaining
     #    signal), drift-prone plan machinery first: the real streaming
     #    jobs, iterative/warehouse state machines, and the queries this
     #    round's work touches (pagerank partition tuning, profiler HLL
-    #    flip). The 31 round-6 queries left out are exactly two rounds
+    #    flip). The 34 round-6 queries left out are exactly two rounds
     #    old next round and rotate in round 9 — steady state.
     "q_stream_sessions",
     "q_stream_enrich",
@@ -102,10 +105,7 @@ _DRIVER_WINDOW = [
     "q_profile_columns",
     "q_embedding_quantize",
     "q_quality_classifier_trained",
-    "q_quality_classifier",
-    "q_dedup_fuzzy",
     "q_dedup_substring_removal",
-    "q_doc_chunks",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import r6d, sum6
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load, register_views
 
 
@@ -278,3 +278,166 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_consistent"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q130 — mergeable quantile cube (KLL), Q116's quantile sibling
+
+_KLL_K = 200  # ~1.65% two-sided normalized rank error at 99% confidence
+
+
+@register(
+    "q_kll_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT date_trunc('day', ts)) AS n_days,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS exact_p50,
+           TRUE AS merged_within_tol,
+           TRUE AS direct_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q130: mergeable-sketch QUANTILE re-aggregation — Q116's sibling
+    for distributions: a 100 TB metrics store cannot keep raw values to
+    answer "p50 latency per type over an arbitrary date range", so it
+    sketches ONCE per (event_type, day) cell (Datasketches KLL, k={k})
+    and answers the coarser question by MERGING the daily sketches —
+    O(days × types × k) bytes of state, never a rescan. Spark 4.1
+    exposes the full surface (`kll_sketch_agg_double` /
+    `kll_sketch_merge_double` / `kll_sketch_get_quantile_double`);
+    the merge is a two-sketch scalar, so the per-type union is a
+    `collect_list` fold (O(days) blobs per type — the collect is
+    per-group and bounded, not corpus-sized).
+
+    Hash contract (the Q75/Q116 pattern — sketch medians legitimately
+    differ across engines AND KLL compaction is randomized): the exact
+    p50 rides along oracle-checked, and two engine-internal invariants
+    are emitted as deterministic-within-guarantee TRUE: the MERGED
+    sketch's median and the DIRECT (raw-stream) sketch's median must
+    both land inside the exact [p45, p55] band — a ±5% rank margin,
+    ≥3× the k={k} rank error, so a failed boolean means a broken merge
+    or estimator, not sketch luck. The exact branch exists only to
+    judge the sketches at test scale; production keeps the daily cube
+    alone.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr(f"kll_sketch_agg_double(value, {_KLL_K})").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.collect_list("sk").alias("sks"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[1],"
+            " (acc, s) -> kll_sketch_merge_double(acc, s))"
+        ).alias("msk"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr(f"kll_sketch_agg_double(value, {_KLL_K})").alias("dsk"),
+        F.expr("percentile(value, array(0.45D, 0.50D, 0.55D))").alias("ex"),
+    )
+    j = merged.join(direct, "event_type")
+    m_est = F.expr("kll_sketch_get_quantile_double(msk, 0.5)")
+    d_est = F.expr("kll_sketch_get_quantile_double(dsk, 0.5)")
+    return j.select(
+        "event_type",
+        "n_days",
+        r6d(F.col("ex")[1], "exact_p50"),
+        m_est.between(F.col("ex")[0], F.col("ex")[2]).alias(
+            "merged_within_tol"
+        ),
+        d_est.between(F.col("ex")[0], F.col("ex")[2]).alias(
+            "direct_within_tol"
+        ),
+    )
+
+
+fmt_doc(q_kll_rollup, k=_KLL_K)
+
+
+# ---------------------------------------------------------------------------
+# Q131 — heavy hitters via the frequent-items sketch
+
+_HH_TOPK = 10
+_HH_TRACKED = 50  # sketch top-k asked for (>> the 10 judged)
+_HH_EPS = 3.5 / 10_000  # DataSketches LongsSketch error bound at the
+# default 10k map size: per-item count error ≤ eps × stream length
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH bucketed AS (
+        SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS bucket FROM events
+    ),
+    exact AS (SELECT bucket, count(*) AS n_events FROM bucketed GROUP BY bucket)
+    SELECT bucket, n_events,
+           TRUE AS in_sketch_topk,
+           TRUE AS count_within_tol
+    FROM exact
+    ORDER BY n_events DESC, bucket
+    LIMIT 10
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q131: heavy hitters by the frequent-items sketch — the third
+    classic mergeable sketch beside HLL (Q116) and KLL (Q130), and the
+    one that answers "which keys dominate the stream" in FIXED memory:
+    `approx_top_k` (Datasketches frequent-items) tracks ≤10k candidate
+    items with a per-item count error ≤ {e:.2%} of the stream length
+    regardless of key cardinality — at 100 TB the exact form's
+    group-by shuffles every distinct key, the sketch ships one bounded
+    blob per partition. The skewed key is derived (floor(sqrt(user_id))
+    — bucket b holds ~2b+1 users, a deterministic linear-skew
+    population with unambiguous heavy hitters at every SF; IEEE sqrt is
+    correctly rounded, so the bucketing is bit-identical across
+    engines).
+
+    Hash contract (Q75/Q116/Q130 pattern): the exact top-{n} (count
+    desc, bucket tie-break) rides along oracle-checked; two invariants
+    emit deterministic TRUE — every exact heavy hitter appears in the
+    sketch's top-{t}, and its sketch count is within eps×N of the exact
+    count. At test SFs the distinct-bucket count (≤ ~400) fits the
+    sketch map so both hold exactly; past 10k distinct keys the eps
+    bound takes over (the sketch's published guarantee).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.sqrt("user_id")).cast("bigint").alias("bucket")
+    )
+    total = ev.count()
+    tol = int(_HH_EPS * total) + 1
+    exact = (
+        ev.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "bucket")
+        .limit(_HH_TOPK)
+    )
+    sk = ev.agg(
+        F.expr(f"approx_top_k(bucket, {_HH_TRACKED})").alias("top")
+    ).select(
+        F.map_from_arrays(
+            F.expr("transform(top, t -> t.item)"),
+            F.expr("transform(top, t -> t.count)"),
+        ).alias("est")
+    )
+    j = exact.crossJoin(F.broadcast(sk))
+    est_n = F.col("est")[F.col("bucket")]
+    return j.select(
+        "bucket",
+        "n_events",
+        est_n.isNotNull().alias("in_sketch_topk"),
+        (
+            est_n.isNotNull()
+            & (F.abs(est_n - F.col("n_events")) <= F.lit(tol))
+        ).alias("count_within_tol"),
+    )
+
+
+fmt_doc(q_heavy_hitters, e=_HH_EPS, n=_HH_TOPK, t=_HH_TRACKED)

@@ -178,6 +178,9 @@ _R7_COHORT = [
 _R8_NEW: list[str] = [
     "q_zorder_prune",
     "q_profile_approx",
+    "q_typo_join",
+    "q_kll_rollup",
+    "q_heavy_hitters",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

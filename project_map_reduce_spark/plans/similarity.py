@@ -459,3 +459,92 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q129 — typo-class entity resolution (lossless deletion-neighborhood join)
+
+_TYPO_K = 1  # edit-distance threshold the blocking is lossless for
+
+
+@register(
+    "q_typo_join",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def q_typo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q129: string-similarity join (entity resolution) with LOSSLESS
+    deletion-neighborhood blocking — the typo-class record-linkage op
+    every catalog/reference-data pipeline needs, and the classic query
+    written quadratic at scale: the naive form compares every name pair
+    (the ORACLE is that naive form, legal at oracle scale). The engine
+    plan never goes all-pairs:
+
+    1. collapse the corpus to its DISTINCT name dictionary with counts
+       — one map-side-combined hash aggregate; entity resolution runs
+       over O(vocab), not O(rows) (vocab ≪ rows on any real catalog);
+    2. explode each name's deletion neighborhood K(s) = {s} ∪ {s
+       minus one char} (≤ len+1 keys, pure JVM `transform`/`explode`);
+    3. equi-join on the key. The blocking is PROVABLY lossless for
+       edit distance ≤ 1: a substitution at i leaves both i-deletions
+       equal; a deletion/insertion makes one string equal to the
+       other's deletion key; identical strings cannot pair (dictionary
+       is distinct + a<b). Property-tested against random within-1
+       pairs, and the fixture result equals the in-test naive
+       quadratic.
+    4. verify candidates with exact `levenshtein` and keep ≤ 1 —
+       false candidates (different strings sharing a key) drop here.
+
+    Scale shape: the only corpus-size work is the dictionary aggregate;
+    the join is an equi-join over O(vocab × avg_len) fixed-width keys —
+    hash-partitionable, no cartesian, no BroadcastNestedLoopJoin
+    (plan-asserted). For distance k the same scheme uses k-deletion
+    neighborhoods (SymSpell); k=1 is the catalog-typo class.
+    """
+    parts = load(spark, sf_dir, "part")
+    names = parts.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    keys = names.select(
+        "p_name",
+        "n_parts",
+        F.explode(
+            F.array_union(
+                F.array(F.col("p_name")),
+                F.expr(
+                    "transform(sequence(1, length(p_name)), i ->"
+                    " concat(substring(p_name, 1, i - 1),"
+                    " substring(p_name, i + 1, length(p_name))))"
+                ),
+            )
+        ).alias("k"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= _TYPO_K)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
