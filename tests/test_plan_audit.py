@@ -89,6 +89,7 @@ _BNLJ_ALLOWED = {
     "q_similarity_topk",
     "q_text_tfidf",
     "q_sample_temperature",  # 1-row n_min scalar broadcast into rates
+    "q_heavy_hitters",  # 1-row sketch map broadcast into the top-10 judge
 }
 
 
