@@ -7,17 +7,18 @@ BroadcastNestedLoopJoin. tests/test_plan_audit.py pins the per-query
 properties; this tool is the sweep that finds NEW smells after a
 refactor, across the whole inventory at once.
 
-Known/adjudicated sites (see VERDICT r3/r4): the four BNLJ hits are
+Known/adjudicated sites (see VERDICT r3/r4): the five BNLJ hits are
 broadcast-tiny crossJoins (O(1)-row or 16-row frames — similarity
-centroids/queries, tfidf totals, Q97's 1-row n_min scalar); the five
-SortAggregate hits are deliberate: single-shuffle mergeable argmax/
-survivor picks over struct or string buffers (q_minmax_by,
-q_cdc_apply's struct-max MERGE, the min(string) survivor picks
-documented in q_pipeline_e2e's docstring), and q_profile_columns'
-level-2 measures agg, which by design runs AFTER the hash-agg
-collapse so its sort input is the O(Σ distinct values) relation, not
-the corpus (see its docstring's measured A/B). Current expected
-total: 9 flagged, all documented.
+centroids/queries, tfidf totals, Q97's 1-row n_min scalar, Q131's
+1-row sketch map into the 10-row judge); the five SortAggregate hits
+are deliberate: single-shuffle mergeable argmax/survivor picks over
+struct or string buffers (q_minmax_by, q_cdc_apply's struct-max MERGE,
+the min(string) survivor picks documented in q_pipeline_e2e's
+docstring), and q_profile_columns' level-2 measures agg, which by
+design runs AFTER the hash-agg collapse so its sort input is the
+O(Σ distinct values) relation, not the corpus (see its docstring's
+measured A/B). Current expected total: 10 flagged, all documented
+(mirrors tests/test_plan_audit.py::_BNLJ_ALLOWED).
 
 Usage:
     python tools/planscan.py [--sf-dir /root/testdata/sf0.01]
