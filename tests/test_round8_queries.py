@@ -51,9 +51,10 @@ def test_deletion_neighborhood_blocking_is_lossless():
     for a, b in itertools.combinations(pool, 2):
         if _lev(a, b) <= 1:
             assert _keys(a) & _keys(b), (a, b)
-    # false candidates exist (blocking alone is not the predicate):
-    assert _keys("ab") & _keys("cb") and _lev("ab", "cb") == 1
-    assert _keys("aab") & _keys("ccb") == set() or True  # doc: verify prunes
+    # false candidates exist (blocking alone is not the predicate — the
+    # exact-levenshtein verify step must prune them): "xa" and "ay"
+    # share deletion key "a" but sit at distance 2.
+    assert _keys("xa") & _keys("ay") and _lev("xa", "ay") == 2
 
 
 def test_typo_join_equals_naive_quadratic(spark, sf_dir):
