@@ -239,7 +239,7 @@ def main() -> int:
     remeasured: list[str] = []
     for name in sorted(suspects):
         try:
-            sec, n_runs, _ = _measure(entries()[name].fn, spark, sf_dir)
+            sec, n_runs, re_poisoned = _measure(entries()[name].fn, spark, sf_dir)
         except Exception as ex:  # noqa: BLE001
             print(f"bench: {name} re-measure failed: {ex}", file=sys.stderr)
             continue
@@ -250,6 +250,14 @@ def main() -> int:
                 f"{times[name]:.2f}s -> {sec:.2f}s", file=sys.stderr
             )
             times[name] = round(sec, 3)
+            # Reconcile the poisoned flag with the measurement that now
+            # backs the recorded number (ADVICE r8): a clean re-measure
+            # replacing a steal-poisoned sweep time clears the flag; a
+            # poisoned re-measure that still wins keeps/sets it.
+            if re_poisoned and name not in poisoned:
+                poisoned.append(name)
+            elif not re_poisoned and name in poisoned:
+                poisoned.remove(name)
 
     ok = {k: v for k, v in times.items() if v >= 0}
     out = {

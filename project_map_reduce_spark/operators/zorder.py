@@ -68,9 +68,15 @@ def z_value(rank_a: Column, rank_b: Column) -> Column:
 
 def rank16(col: Column, lo: int, hi: int) -> Column:
     """Map an integer-valued column with known domain [lo, hi] onto the
-    16-bit rank space, clamped. Long arithmetic throughout: the worst
-    intermediate is (hi - lo) * 65535, safe for any domain narrower
-    than 2^47."""
+    16-bit rank space, clamped. The product (col - lo) * 65535 stays in
+    long (exact below 2^47), but Spark evaluates `scaled / span` as
+    double division (long/long -> double), which is exact only while
+    (hi - lo) * 65535 stays under 2^53 — i.e. domains narrower than
+    ~2^37 (ADVICE r8). Beyond that, floor(double-div) can differ from
+    integer division by ±1 rank; MONOTONICITY — the only property the
+    clustering layout needs — is still guaranteed, because IEEE
+    division by a positive constant is monotone and floor preserves
+    order."""
     span = max(1, int(hi) - int(lo))
     scaled = (col.cast("long") - F.lit(int(lo))) * F.lit(RANK_MAX)
     r = F.floor(scaled / F.lit(span)).cast("long")

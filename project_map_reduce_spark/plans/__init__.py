@@ -41,71 +41,68 @@ from project_map_reduce_spark.plans import (  # noqa: F401
 )
 
 _DRIVER_WINDOW = [
-    # -- round-8 rotation (VERDICT r7 item 1 — the last scheduled debt
-    #    rotation): the 26 round-5-cohort queries hit the ledger's
-    #    two-round staleness ceiling this round and rotate in first
-    #    (plans/driver_log.py::_R5_COHORT, machine-derived from the
-    #    CORRECTNESS artifacts by tests/test_plan_audit.py).
-    "q_case_when",
-    "q_filter_predicate",
-    "q_grouped_count",
-    "q_job_pipeline",
-    "q_join_range",
-    "q_json_extract",
-    "q_length_deciles",
-    "q_minmax_by",
-    "q_pivot_status",
-    "q_scalar_subquery",
-    "q_scan_count",
-    "q_scan_project",
-    "q_set_except",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_sort_multi",
-    "q_source_quota",
-    "q_string_agg",
-    "q_time_rollup",
-    "q_token_count",
-    "q_topk_global",
-    "q_topk_per_group",
-    "q_unpivot",
-    "q_value_histogram",
-    "q_zscore_outliers",
-    # -- NEW this round (r8):
-    "q_zorder_prune",  # NEW (r8): Morton multi-column clustering + skipping
-    "q_profile_approx",  # NEW (r8): HLL-sketch profiler (Q119's 100 TB flip)
-    "q_typo_join",  # NEW (r8): lossless deletion-neighborhood fuzzy join
-    "q_kll_rollup",  # NEW (r8): mergeable KLL quantile cube
-    "q_heavy_hitters",  # NEW (r8): frequent-items sketch top-k
-    # -- changed this round: the three lake-maintenance oracles moved
-    #    from round(sum(double),6) to the exact-decimal SUM6 template
-    #    (ADVICE r7) — a changed oracle needs a fresh driver hash.
-    "q_cluster_prune",
-    "q_compact_small_files",
-    "q_schema_evolution",
-    # -- then 16 of the 50 round-6-cohort queries (the oldest remaining
-    #    signal), drift-prone plan machinery first: the real streaming
-    #    jobs, iterative/warehouse state machines, and the queries this
-    #    round's work touches (pagerank partition tuning, profiler HLL
-    #    flip). The 34 round-6 queries left out are exactly two rounds
-    #    old next round and rotate in round 9 — steady state.
-    "q_stream_sessions",
-    "q_stream_enrich",
-    "q_stream_dedup_watermark",
-    "q_join_interval_stream",
-    "q_pagerank",
-    "q_mv_incremental",
-    "q_scd2_merge",
-    "q_cdc_apply",
-    "q_join_bloom",
-    "q_partition_prune",
-    "q_timeseries_fill",
-    "q_hll_rollup",
-    "q_profile_columns",
-    "q_embedding_quantize",
-    "q_quality_classifier_trained",
-    "q_dedup_substring_removal",
+    # -- round-9 rotation (VERDICT r8 item 1): the 34 round-6-cohort
+    #    queries hit the ledger's two-round staleness ceiling this round
+    #    and rotate in first (plans/driver_log.py::_R6_COHORT,
+    #    machine-derived from the CORRECTNESS artifacts by
+    #    tests/test_plan_audit.py).
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_audio_features",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_substring",
+    "q_doc_chunks",
+    "q_doc_fingerprint",
+    "q_events_attribution",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_left_outer",
+    "q_join_multi",
+    "q_join_semi",
+    "q_lang_id",
+    "q_not_in",
+    "q_pack_sequences",
+    "q_pandas_udf_scalar",
+    "q_pricing_summary",
+    "q_quality_classifier",
+    "q_similarity_ann",
+    "q_similarity_topk",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_window_distribution",
+    # -- then 16 flexible slots from the round-7 cohort (the oldest
+    #    remaining signal; they reach the ceiling in r10 otherwise),
+    #    drift-prone plan machinery first: the real streaming jobs,
+    #    iterative model-fit plans, and the Arrow-crossing surfaces.
+    #    New round-9 queries displace entries from the TAIL of this
+    #    block as they land (new queries are in-window from birth; the
+    #    displaced r7 queries rotate in next round at the ceiling).
+    "q_stream_totals",
+    "q_stream_dedup",
+    "q_stream_mv_refresh",
+    "q_watermark_late",
+    "q_dedup_embedding_ivf",
+    "q_dedup_incremental",
+    "q_kmeans",
+    "q_tokenize_bpe",
+    "q_grouped_map",
+    "q_join_salted",
+    "q_join_bucketed",
+    "q_pipeline_e2e",
+    "q_multimodal_dims",
+    "q_udtf_sentences",
+    "q_salted_agg",
+    "q_events_funnel",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

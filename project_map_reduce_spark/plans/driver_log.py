@@ -25,6 +25,12 @@ Maintenance contract (enforced by ``tests/test_plan_audit.py``):
   asserts ``DRIVER_ROUNDS`` equals the derivation (VERDICT r7 item 8;
   new-this-round queries are the only entries allowed to have no
   artifact yet).
+* LOCKSTEP RULE (ADVICE r8): committing a new ``CORRECTNESS_r{N}.json``
+  artifact and rotating this ledger MUST happen in the same commit —
+  the artifact advances the derivation, so a stale ledger fails CI the
+  moment the artifact lands. Round N's first commit therefore bumps
+  ``CURRENT_ROUND``, regenerates the cohorts below with
+  ``derive_driver_rounds``, and rotates ``_DRIVER_WINDOW`` together.
 """
 
 from __future__ import annotations
@@ -33,46 +39,16 @@ import json
 import re
 from pathlib import Path
 
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 # Queries whose last driver hash predates this round's window, by cohort
 # (cohort = the round whose CORRECTNESS artifact last full-matched them;
 # regenerate with ``derive_driver_rounds`` — the test does).
-_R5_COHORT = [
-    "q_case_when",
-    "q_filter_predicate",
-    "q_grouped_count",
-    "q_job_pipeline",
-    "q_join_range",
-    "q_json_extract",
-    "q_length_deciles",
-    "q_minmax_by",
-    "q_pivot_status",
-    "q_scalar_subquery",
-    "q_scan_count",
-    "q_scan_project",
-    "q_set_except",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_sort_multi",
-    "q_source_quota",
-    "q_string_agg",
-    "q_time_rollup",
-    "q_token_count",
-    "q_topk_global",
-    "q_topk_per_group",
-    "q_unpivot",
-    "q_value_histogram",
-    "q_zscore_outliers",
-]
-
 _R6_COHORT = [
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_grouping_sets",
     "q_audio_features",
-    "q_cdc_apply",
     "q_dedup_clusters",
     "q_dedup_embedding",
     "q_dedup_exact",
@@ -80,43 +56,28 @@ _R6_COHORT = [
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_dedup_substring",
-    "q_dedup_substring_removal",
     "q_doc_chunks",
     "q_doc_fingerprint",
-    "q_embedding_quantize",
     "q_events_attribution",
-    "q_hll_rollup",
     "q_join_anti",
     "q_join_asof",
-    "q_join_bloom",
     "q_join_broadcast",
     "q_join_full_outer",
     "q_join_inner",
-    "q_join_interval_stream",
     "q_join_left_outer",
     "q_join_multi",
     "q_join_semi",
     "q_lang_id",
-    "q_mv_incremental",
     "q_not_in",
     "q_pack_sequences",
-    "q_pagerank",
     "q_pandas_udf_scalar",
-    "q_partition_prune",
     "q_pricing_summary",
-    "q_profile_columns",
     "q_quality_classifier",
-    "q_quality_classifier_trained",
-    "q_scd2_merge",
     "q_similarity_ann",
     "q_similarity_topk",
-    "q_stream_dedup_watermark",
-    "q_stream_enrich",
-    "q_stream_sessions",
     "q_text_quality",
     "q_text_stats",
     "q_text_tfidf",
-    "q_timeseries_fill",
     "q_window_distribution",
 ]
 
@@ -125,8 +86,6 @@ _R7_COHORT = [
     "q_approx_count_distinct",
     "q_approx_quantile_check",
     "q_array_ops",
-    "q_cluster_prune",
-    "q_compact_small_files",
     "q_corr_stats",
     "q_date_funcs",
     "q_datediff",
@@ -156,7 +115,6 @@ _R7_COHORT = [
     "q_salted_agg",
     "q_sample_stratified",
     "q_sample_temperature",
-    "q_schema_evolution",
     "q_split_train_val",
     "q_stream_dedup",
     "q_stream_mv_refresh",
@@ -173,21 +131,68 @@ _R7_COHORT = [
     "q_window_rank",
 ]
 
-# Queries introduced in round 8 (in the window from birth; their first
-# driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R8_NEW: list[str] = [
-    "q_zorder_prune",
-    "q_profile_approx",
-    "q_typo_join",
-    "q_kll_rollup",
+_R8_COHORT = [
+    "q_case_when",
+    "q_cdc_apply",
+    "q_cluster_prune",
+    "q_compact_small_files",
+    "q_dedup_substring_removal",
+    "q_embedding_quantize",
+    "q_filter_predicate",
+    "q_grouped_count",
     "q_heavy_hitters",
+    "q_hll_rollup",
+    "q_job_pipeline",
+    "q_join_bloom",
+    "q_join_interval_stream",
+    "q_join_range",
+    "q_json_extract",
+    "q_kll_rollup",
+    "q_length_deciles",
+    "q_minmax_by",
+    "q_mv_incremental",
+    "q_pagerank",
+    "q_partition_prune",
+    "q_pivot_status",
+    "q_profile_approx",
+    "q_profile_columns",
+    "q_quality_classifier_trained",
+    "q_scalar_subquery",
+    "q_scan_count",
+    "q_scan_project",
+    "q_scd2_merge",
+    "q_schema_evolution",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_sort_multi",
+    "q_source_quota",
+    "q_stream_dedup_watermark",
+    "q_stream_enrich",
+    "q_stream_sessions",
+    "q_string_agg",
+    "q_time_rollup",
+    "q_timeseries_fill",
+    "q_token_count",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_typo_join",
+    "q_unpivot",
+    "q_value_histogram",
+    "q_zorder_prune",
+    "q_zscore_outliers",
 ]
 
+# Queries introduced in round 9 (in the window from birth; their first
+# driver signal will be CURRENT_ROUND — no artifact carries them yet).
+_R9_NEW: list[str] = []
+
 DRIVER_ROUNDS: dict[str, int] = {
-    **{q: 5 for q in _R5_COHORT},
     **{q: 6 for q in _R6_COHORT},
     **{q: 7 for q in _R7_COHORT},
-    **{q: CURRENT_ROUND for q in _R8_NEW},
+    **{q: 8 for q in _R8_COHORT},
+    **{q: CURRENT_ROUND for q in _R9_NEW},
 }
 
 
