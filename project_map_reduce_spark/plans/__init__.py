@@ -101,8 +101,9 @@ _DRIVER_WINDOW = [
     "q_pipeline_e2e",
     "q_multimodal_dims",
     "q_udtf_sentences",
-    "q_salted_agg",
-    "q_events_funnel",
+    # -- NEW this round (r9):
+    "q_source_roundtrip",  # NEW (r9): text/CSV/JSON source round-trip
+    "q_bloom_prune",  # NEW (r9): parquet row-group bloom-filter skipping
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

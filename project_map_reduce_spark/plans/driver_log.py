@@ -186,7 +186,10 @@ _R8_COHORT = [
 
 # Queries introduced in round 9 (in the window from birth; their first
 # driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R9_NEW: list[str] = []
+_R9_NEW: list[str] = [
+    "q_source_roundtrip",
+    "q_bloom_prune",
+]
 
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 6 for q in _R6_COHORT},

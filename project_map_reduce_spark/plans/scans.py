@@ -423,6 +423,362 @@ fmt_doc(
 )
 
 
+_BLOOM_FILES = 8
+_BLOOM_MAX_KEEP = 0.35  # bloom-level: ≤ this fraction of row groups kept
+_BLOOM_MIN_STATS_KEEP = 0.75  # stats-level keeps ~everything on a hashed key
+
+
+def _audit_bloom_skipping(
+    spark: SparkSession, lay_dir: str, keys: list[int]
+) -> None:
+    """Prove, through parquet-mr's own row-group filter (the exact code
+    path Spark's vectorized reader runs at scan time), that the layout's
+    bloom filters skip row groups for point lookups on ``key`` — and
+    that min/max STATISTICS alone would not. For every file and every
+    looked-up key this runs ``RowGroupFilter.filterRowGroups`` twice,
+    once at BLOOMFILTER level and once at STATISTICS level, and raises
+    unless (a) every key's containing group survives (bloom filters
+    have no false negatives — kept ≥ 1 per present key), (b) blooms
+    keep ≤ {keep:.0%} of groups overall, and (c) stats keep ≥
+    {stats:.0%} (the hashed key's per-group [min,max] spans ~the whole
+    int64 domain, so the third skipping lever really is the only one
+    that fires here).
+
+    py4j note: values with |v| ≤ 2^31 would be re-boxed as Integer on
+    the gateway (breaking the predicate's long comparator), so such
+    keys are excluded from the audit — with 64-bit hashed keys this is
+    a ~2^-32 event per key; at least 6 of the 8 must remain.
+    """
+    import glob as _glob
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    auditable = [k for k in keys if abs(k) > 2**31]
+    if len(auditable) < 6:
+        raise RuntimeError(
+            f"bloom audit needs ≥6 long-boxed keys, got {len(auditable)}"
+        )
+    lvl_cls = jvm.java.lang.Class.forName(
+        "org.apache.parquet.filter2.compat.RowGroupFilter$FilterLevel"
+    )
+    consts = {str(c): c for c in lvl_cls.getEnumConstants()}
+
+    def _levels(name: str):
+        lst = jvm.java.util.ArrayList()
+        lst.add(consts[name])
+        return lst
+
+    FilterApi = jvm.org.apache.parquet.filter2.predicate.FilterApi
+    FilterCompat = jvm.org.apache.parquet.filter2.compat.FilterCompat
+    RowGroupFilter = jvm.org.apache.parquet.filter2.compat.RowGroupFilter
+    kcol = FilterApi.longColumn("key")
+
+    total = 0
+    kept_bloom = {k: 0 for k in auditable}
+    kept_stats = {k: 0 for k in auditable}
+    have_bloom = 0
+    for f in _glob.glob(f"{lay_dir}/part-*.parquet"):
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            blocks = reader.getRowGroups()
+            n_blocks = blocks.size()
+            total += n_blocks
+            for b in range(n_blocks):
+                bcols = blocks.get(b).getColumns()
+                for c in range(bcols.size()):
+                    cc = bcols.get(c)
+                    if (
+                        cc.getPath().toDotString() == "key"
+                        and cc.getBloomFilterOffset() >= 0
+                    ):
+                        have_bloom += 1
+            for k in auditable:
+                filt = FilterCompat.get(FilterApi.eq(kcol, k))
+                kept_bloom[k] += RowGroupFilter.filterRowGroups(
+                    _levels("BLOOMFILTER"), filt, blocks, reader
+                ).size()
+                kept_stats[k] += RowGroupFilter.filterRowGroups(
+                    _levels("STATISTICS"), filt, blocks, reader
+                ).size()
+        finally:
+            reader.close()
+
+    if total == 0 or have_bloom < total:
+        raise RuntimeError(
+            f"bloom layout regression — {have_bloom}/{total} row groups "
+            "carry a bloom filter on key"
+        )
+    no_keep = [k for k, n in kept_bloom.items() if n < 1]
+    if no_keep:
+        raise RuntimeError(
+            f"bloom audit impossibility — present keys lost their row "
+            f"group (boxing/hash mismatch?): {no_keep}"
+        )
+    b_frac = sum(kept_bloom.values()) / (len(auditable) * total)
+    s_frac = sum(kept_stats.values()) / (len(auditable) * total)
+    if b_frac > _BLOOM_MAX_KEEP:
+        raise RuntimeError(
+            "bloom skipping regression — blooms keep "
+            f"{b_frac:.2f} of row groups (> {_BLOOM_MAX_KEEP})"
+        )
+    if s_frac < _BLOOM_MIN_STATS_KEEP:
+        raise RuntimeError(
+            "bloom audit counterfactual broke — stats alone keep only "
+            f"{s_frac:.2f}; min/max would already skip and the bloom "
+            "lever is not what's being measured"
+        )
+
+
+fmt_doc(
+    _audit_bloom_skipping,
+    keep=_BLOOM_MAX_KEEP,
+    stats=_BLOOM_MIN_STATS_KEEP,
+)
+
+
+@register(
+    "q_bloom_prune",
+    oracle=f"""
+    WITH n AS (SELECT count(*) // 8 AS step FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           {SUM6.format(expr="value")} AS sum_value
+    FROM events, n
+    WHERE event_id % step = 7 AND event_id // step < 8
+    GROUP BY event_type
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q133: parquet row-group BLOOM FILTERS driver-proven — the THIRD
+    data-skipping lever (VERDICT r8 item 4), completing the family:
+    Q118 prunes directories (partition values), Q124/Q127 prune row
+    groups by min/max (range predicates on clustered columns) — but a
+    POINT LOOKUP on a high-cardinality hashed key defeats both: every
+    row group's [min,max] spans ~the whole 64-bit domain, so statistics
+    keep everything. Parquet's split-block bloom filters
+    (parquet.bloom.filter.enabled#col, written into the footer) answer
+    "is this exact key definitely absent?" per row group, which is the
+    only way a needle query over 100 TB of fingerprint-keyed data skips
+    I/O without a global index.
+
+    The scratch layout keys each event by xxhash64(event_id) — the
+    realistic shape: content fingerprints / id hashes, uniformly spread
+    with no cluster structure — written in natural order so min/max
+    stats are useless BY CONSTRUCTION. Eight point-lookup keys are
+    derived arithmetically from the row count (i*(n/8)+7), hashed
+    JVM-side, and the query reads them back through an IN filter.
+    ``_audit_bloom_skipping`` then drives parquet-mr's own
+    ``RowGroupFilter`` per key at BLOOMFILTER level (≤ {keep:.0%} of
+    groups kept, every present key's group survives) and at STATISTICS
+    level (≥ {stats:.0%} kept — proving blooms, not min/max, do the
+    skipping). The oracle selects the same 8 events from the raw table
+    via the same modular-arithmetic id set, so the hash matches only if
+    the bloom-filtered read returns exactly the looked-up rows.
+
+    Driver-collect notes: the id→hash derivation is O(8) rows; the
+    final aggregate is O(event types); the scratch layout is removed
+    before returning — at scale the bloom-filtered table is the durable
+    asset (written once at ingest, probed by every point lookup after).
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    n = ev.count()
+    step = n // _BLOOM_FILES
+    ids = [i * step + 7 for i in range(_BLOOM_FILES)]
+    keyed = ev.select(
+        F.xxhash64("event_id").alias("key"), "event_type", "value"
+    )
+    keys = [
+        r["key"]
+        for r in spark.createDataFrame(
+            [(i,) for i in ids], "event_id long"
+        )
+        .select(F.xxhash64("event_id").alias("key"))
+        .collect()
+    ]
+
+    lay_dir = tempfile.mkdtemp(prefix="q_bloom_prune_")
+    try:
+        (
+            keyed.repartition(_BLOOM_FILES)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#key", "true")
+            .option("parquet.bloom.filter.expected.ndv#key", str(n))
+            .parquet(lay_dir)
+        )
+        _audit_bloom_skipping(spark, lay_dir, keys)
+        looked_up = (
+            spark.read.parquet(lay_dir)
+            .filter(F.col("key").isin(keys))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+            )
+        )
+        rows = looked_up.collect()
+    finally:
+        shutil.rmtree(lay_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_events bigint, sum_value double"
+    )
+
+
+fmt_doc(
+    q_bloom_prune,
+    keep=_BLOOM_MAX_KEEP,
+    stats=_BLOOM_MIN_STATS_KEEP,
+)
+
+
+_RT_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_RT_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@register(
+    "q_source_roundtrip",
+    oracle=f"""
+    WITH slice AS (
+        SELECT * FROM events WHERE event_id % 10 = 0
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               {SUM6.format(expr="value")} AS sum_value,
+               CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS micros_sum,
+               count(DISTINCT props) AS n_props
+        FROM slice
+        GROUP BY event_type
+    )
+    SELECT fmt, event_type, n_events, n_users, sum_value, micros_sum, n_props
+    FROM agg CROSS JOIN (VALUES ('csv'), ('json'), ('text')) fmts(fmt)
+    """,
+)
+def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q132: text/CSV/JSON source round-trip DRIVER-PROVEN — upgrades the
+    last capability-only SURVEY §2 B.1 rows (the non-parquet sources,
+    previously smoke-tested only) to the full hash-checked tier
+    (VERDICT r8 item 3). The reference's ONLY input format is a
+    line-oriented text file the Manager splits into records
+    (ref Manager.java:269-284); this query restates that lineage three
+    ways: an events slice is written out as (a) quoted/escaped CSV with
+    header, (b) JSON lines, and (c) raw tab-delimited TEXT lines parsed
+    back field-by-field — then each copy is re-read WITH AN EXPLICIT
+    SCHEMA (the only scalable contract: schema inference is a full
+    extra pass over 100 TB) and aggregated identically.
+
+    The oracle computes the same per-event_type aggregate once from the
+    raw parquet table and cross-joins the three format labels, so the
+    driver hash matches only if EVERY format round-trips losslessly:
+    `micros_sum` (sum of each timestamp's sub-second microseconds)
+    fails if a format truncates timestamp precision, `n_props` fails if
+    CSV quoting/escaping mangles the embedded-JSON strings, `sum_value`
+    (exact DECIMAL(27,6) accumulation both sides) fails on any float
+    formatting drift, and the distinct counts catch dropped/duplicated
+    lines. The sub-second extraction is timezone-offset-invariant
+    (offsets are whole minutes), so the check holds in any driver
+    session timezone.
+
+    Scale notes: all three writers/readers are ordinary distributed
+    FileFormat scans — the slice never passes through the driver; the
+    explicit-schema re-read keeps the text formats splittable and
+    single-pass. Driver-collect note (Q118/Q124 pattern): the final
+    aggregate is O(formats x event types) = 15 rows; the scratch files
+    are removed before returning — at scale the CSV/JSON/text copies
+    are the interchange assets an ingest boundary actually exchanges.
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(*cols)
+        .where(F.col("event_id") % 10 == 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="q_source_roundtrip_")
+    try:
+        # (a) CSV: header + explicit NTZ format; the embedded-JSON props
+        # column forces real quoting/escaping through the round trip.
+        ev.write.option("header", True).option(
+            "timestampNTZFormat", _RT_TS_FMT
+        ).csv(f"{tmp}/csv")
+        csv_back = (
+            spark.read.schema(_RT_SCHEMA)
+            .option("header", True)
+            .option("timestampNTZFormat", _RT_TS_FMT)
+            .csv(f"{tmp}/csv")
+        )
+
+        # (b) JSON lines, same explicit-format contract on both sides.
+        ev.write.option("timestampNTZFormat", _RT_TS_FMT).json(f"{tmp}/json")
+        json_back = (
+            spark.read.schema(_RT_SCHEMA)
+            .option("timestampNTZFormat", _RT_TS_FMT)
+            .json(f"{tmp}/json")
+        )
+
+        # (c) Raw TEXT lines — the reference's literal input shape: one
+        # record per line, tab-delimited, parsed back by position.
+        ev.select(
+            F.concat_ws(
+                "\t",
+                F.col("event_id").cast("string"),
+                F.date_format("ts", _RT_TS_FMT),
+                F.col("user_id").cast("string"),
+                "event_type",
+                F.col("value").cast("string"),
+                "props",
+            ).alias("value")
+        ).write.text(f"{tmp}/text")
+        parts = F.split(F.col("value"), "\t", 6)
+        text_back = spark.read.text(f"{tmp}/text").select(
+            parts.getItem(0).cast("long").alias("event_id"),
+            F.to_timestamp_ntz(parts.getItem(1), F.lit(_RT_TS_FMT)).alias("ts"),
+            parts.getItem(2).cast("long").alias("user_id"),
+            parts.getItem(3).alias("event_type"),
+            parts.getItem(4).cast("double").alias("value"),
+            parts.getItem(5).alias("props"),
+        )
+
+        def agg(df: DataFrame, fmt: str) -> DataFrame:
+            micros = F.unix_micros(F.col("ts").cast("timestamp_ltz")) % 1000000
+            return df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                sum6("value").alias("sum_value"),
+                F.sum(micros).alias("micros_sum"),
+                F.countDistinct("props").alias("n_props"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+
+        out = (
+            agg(csv_back, "csv")
+            .unionByName(agg(json_back, "json"))
+            .unionByName(agg(text_back, "text"))
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="fmt string, event_type string, n_events bigint, "
+        "n_users bigint, sum_value double, micros_sum bigint, n_props bigint",
+    )
+
+
 @register(
     "q_schema_evolution",
     oracle=f"""
