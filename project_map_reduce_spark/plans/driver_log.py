@@ -189,6 +189,7 @@ _R8_COHORT = [
 _R9_NEW: list[str] = [
     "q_source_roundtrip",
     "q_bloom_prune",
+    "q_stream_state_sessions",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

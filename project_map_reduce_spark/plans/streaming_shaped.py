@@ -911,3 +911,148 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_stream_sessions, gap=_SS_GAP_MIN, flush_days=_SS_FLUSH_DAYS)
+
+
+@register(
+    "q_stream_state_sessions",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_SS_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                                  AS session_start,
+           max(ts) + INTERVAL {_SS_GAP_MIN} MINUTE  AS session_end,
+           CAST(session_id AS BIGINT)               AS session_seq,
+           count(*)                                 AS n_events,
+           round(sum(value), 6)                     AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q134: ``transformWithStateInPandas`` — Spark 4.1's arbitrary-state
+    streaming API driver-hash-checked (VERDICT r8 item 5), the
+    forward-looking successor to Q90's ``applyInPandasWithState``:
+    a ``StatefulProcessor`` with MULTIPLE named state variables and
+    EVENT-TIME TIMERS (``streaming/transform_state.py``) re-implements
+    Q112's gap sessionization as a custom operator — sessions split
+    eagerly on in-order input and the final open session per user is
+    finalized by a registered timer once the watermark passes
+    ``last_ts + gap``, with stale timers disarmed/ignored so the two
+    legal input-vs-timer orderings inside a micro-batch emit identical
+    rows. The second state variable (per-user finalized-session
+    counter) rides into the output as ``session_seq`` and must equal
+    the oracle's gaps-and-islands session ordinal — a crash that
+    recovered one state variable but not the other would renumber
+    sessions and fail the hash (crash-replay pinned in
+    tests/test_transform_state.py).
+
+    Same staging/flush discipline as Q112 (cut inside a session so at
+    least one session must merge out of recovered state; sentinel
+    flush row + spacers advance the watermark past every real session
+    end; the sentinel's own session never finalizes and is filtered).
+    Engine notes: transformWithState requires the RocksDB state-store
+    provider (set for this query, restored after); on hosts without a
+    pip protobuf the state-protocol import is repaired via
+    ``ensure_protobuf_env`` (sc.environment PYTHONPATH → pbshim
+    sitecustomize — see module docstrings for the jar-namespace-
+    shadowing and version-gate details).
+
+    Scale shape: state is O(open sessions) × 4 scalars + one timer per
+    key — finalized sessions are emitted and cleared; the per-batch
+    Python work is vectorized over segments (numpy diff/cumsum +
+    pandas groupby), never a per-event loop; 8 state partitions (the
+    evict-on-finalize class, Q112's A/B). The returned DataFrame is a
+    lazy read over the session-persistent append sink (SURVEY §4.2 —
+    no driver gather).
+    """
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+    from project_map_reduce_spark.streaming.transform_state import (
+        ensure_protobuf_env,
+        restore_env,
+        timer_sessions,
+    )
+
+    ev0 = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    if ev0.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev0 = ev0.withColumn("ts", F.to_timestamp_ltz("ts"))
+    hi = ev0.agg(F.max("ts")).first()[0]
+    if hi is None:
+        raise ValueError("q_stream_state_sessions: events table is empty")
+    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cut = (
+        ev0.withColumn("nts", F.lead("ts").over(wse))
+        .where(
+            (F.col("nts") > F.col("ts"))
+            & (
+                F.col("nts")
+                <= F.col("ts") + F.expr(f"INTERVAL {_SS_GAP_MIN} MINUTE")
+            )
+        )
+        .agg(F.min("ts"))
+        .first()[0]
+    )
+    if cut is None:
+        cut = hi
+    ev = ev0.select("user_id", "ts", "value")
+    sentinel_ts = hi + datetime.timedelta(days=_SS_FLUSH_DAYS)
+
+    tmp = tempfile.mkdtemp(prefix="pmrs_q134_")
+    sink = _session_output_dir("pmrs_q134_sink_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    prev_env = ensure_protobuf_env(spark)
+    try:
+        flush = spark.createDataFrame(
+            [(-1, sentinel_ts, 0.0)], "user_id bigint, ts timestamp, value double"
+        )
+        src = _stage_batches(tmp, (
+            ("early", ev.where(F.col("ts") <= F.lit(cut))),
+            ("spacer", ev.where(F.lit(False))),
+            ("late", ev.where(F.col("ts") > F.lit(cut))),
+            ("flush", flush),
+            ("spacer2", ev.where(F.lit(False))),
+        ))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = write_stream_idempotent(
+            timer_sessions(stream), sink, f"{tmp}/ckpt", output_mode="append"
+        )
+        _await_finite_stream(q, "q_stream_state_sessions")
+        snap = spark.read.option("basePath", sink).parquet(sink)
+        return snap.where(F.col("user_id") != -1).select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "session_seq",
+            "n_events",
+            "sum_value",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
+        restore_env(spark, prev_env)
+        shutil.rmtree(tmp, ignore_errors=True)

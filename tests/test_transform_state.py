@@ -1,0 +1,210 @@
+"""Q134 q_stream_state_sessions — transformWithStateInPandas (Spark 4.1
+arbitrary-state API): timer semantics, multi-variable crash recovery,
+and the protobuf shim that makes the state protocol importable here.
+
+The full-query oracle check runs in tests/test_oracle_parity.py's sweep;
+these pin what the sweep can't see: that BOTH state variables and the
+registered timers survive a kill-and-replay (a recovery that dropped the
+seq counter would renumber sessions; one that dropped timers would never
+finalize the last session), and that the stale-timer guard really
+ignores a superseded deadline.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture()
+def tws_env(spark):
+    from project_map_reduce_spark.streaming.transform_state import (
+        ensure_protobuf_env,
+        restore_env,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    prev_env = ensure_protobuf_env(spark)
+    spark.conf.set(prov_key, ROCKSDB)
+    yield
+    if prev_prov is None:
+        spark.conf.unset(prov_key)
+    else:
+        spark.conf.set(prov_key, prev_prov)
+    restore_env(spark, prev_env)
+
+
+def _ts(minutes):
+    import datetime
+
+    return datetime.datetime(2024, 3, 1, 10, 0, 0) + datetime.timedelta(
+        minutes=minutes
+    )
+
+
+_SCHEMA = "user_id bigint, ts timestamp, value double"
+
+
+def _stage(spark, base, src, i, name, data):
+    df = spark.createDataFrame(data, _SCHEMA)
+    df.coalesce(1).write.parquet(str(base / name))
+    (part,) = glob.glob(str(base / name / "part-*.parquet"))
+    shutil.move(part, f"{src}/b{i}_{name}.parquet")
+
+
+def _run(spark, src, sink, ckpt):
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _await_finite_stream,
+    )
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+    from project_map_reduce_spark.streaming.transform_state import (
+        timer_sessions,
+    )
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream_idempotent(
+        timer_sessions(stream), sink, ckpt, output_mode="append"
+    )
+    _await_finite_stream(q, "tws test")
+    return q
+
+
+def _result(spark, sink):
+    return sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", sink)
+        .parquet(sink)
+        .where(F.col("user_id") != -1)
+        .select(
+            "user_id", "session_start", "session_end", "session_seq",
+            "n_events", "sum_value",
+        )
+        .collect()
+    )
+
+
+# user 1: one session straddling the cut (merge-out-of-state) then a
+# second session (seq must read 2 — numbering crosses the crash);
+# user 2: one session per side of the cut.
+_ROWS = [
+    (1, _ts(0), 1.0),
+    (1, _ts(20), 2.0),
+    (1, _ts(45), 4.0),
+    (1, _ts(120), 32.0),
+    (2, _ts(5), 8.0),
+    (2, _ts(90), 16.0),
+]
+_WANT = [
+    (1, _ts(0), _ts(45 + 30), 1, 3, 7.0),
+    (1, _ts(120), _ts(120 + 30), 2, 1, 32.0),
+    (2, _ts(5), _ts(5 + 30), 1, 1, 8.0),
+    (2, _ts(90), _ts(90 + 30), 2, 1, 16.0),
+]
+
+
+def test_timer_sessions_finalize_and_number(spark, tws_env, tmp_path):
+    """End-to-end on the two-user fixture: splits emit eagerly, each
+    user's last session finalizes by TIMER after the flush batch, and
+    session_seq numbers chronologically per user."""
+    base = tmp_path / "tws"
+    src, sink, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    cut = _ts(30)
+    _stage(spark, base, src, 0, "early", [r for r in _ROWS if r[1] <= cut])
+    _stage(spark, base, src, 1, "late", [r for r in _ROWS if r[1] > cut])
+    _stage(spark, base, src, 2, "flush", [(-1, _ts(60 * 24 * 30), 0.0)])
+    _stage(spark, base, src, 3, "spacer", [])
+    _run(spark, src, sink, ckpt)
+    assert _result(spark, sink) == sorted(_WANT)
+
+
+def test_state_vars_and_timers_recover_after_crash(spark, tws_env, tmp_path):
+    """Kill the stream in the authentic crash window (batch 1's offsets
+    durable, its commit gone), restart, and require the exact full
+    result: the open-session ValueState must rehydrate and merge the
+    replayed batch, the seq-counter ValueState must keep numbering
+    from 1 (not restart at 0 or double-count the replay), and the
+    re-registered timers must still finalize every session."""
+    base = tmp_path / "twscrash"
+    src, sink, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    cut = _ts(30)
+    _stage(spark, base, src, 0, "early", [r for r in _ROWS if r[1] <= cut])
+    _stage(spark, base, src, 1, "late", [r for r in _ROWS if r[1] > cut])
+    q = _run(spark, src, sink, ckpt)
+    commits = sorted(c for c in os.listdir(f"{ckpt}/commits") if c.isdigit())
+    assert commits == ["0", "1", "2"], commits  # 2 = availableNow flush
+
+    # Crash injection (the pinned recipe): drop batch 1's commit and
+    # every later offset/commit so restart replays batch 1 into the
+    # post-batch-0 state snapshot.
+    os.remove(f"{ckpt}/commits/1")
+    os.remove(f"{ckpt}/commits/2")
+    os.remove(f"{ckpt}/offsets/2")
+    for stale in (f"{ckpt}/commits/.1.crc", f"{ckpt}/commits/.2.crc",
+                  f"{ckpt}/offsets/.2.crc"):
+        if os.path.exists(stale):
+            os.remove(stale)
+
+    _stage(spark, base, src, 2, "flush", [(-1, _ts(60 * 24 * 30), 0.0)])
+    _stage(spark, base, src, 3, "spacer", [])
+    q = _run(spark, src, sink, ckpt)
+    replayed = [p["batchId"] for p in q.recentProgress]
+    assert replayed[0] == 1, f"restart did not replay batch 1: {replayed}"
+    assert _result(spark, sink) == sorted(_WANT)
+
+
+def test_stale_timer_is_ignored(spark, tws_env, tmp_path):
+    """A session EXTENDED in a later batch moves its deadline; the
+    guard must not finalize at the superseded one. User 3's session is
+    extended by batch 1 within the gap, so only the extended session
+    (3 events, through ts 40) may ever be emitted."""
+    base = tmp_path / "twsstale"
+    src, sink, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    rows = [(3, _ts(0), 1.0), (3, _ts(15), 2.0), (3, _ts(40), 4.0)]
+    _stage(spark, base, src, 0, "early", rows[:2])
+    _stage(spark, base, src, 1, "late", rows[2:])
+    _stage(spark, base, src, 2, "flush", [(-1, _ts(60 * 24 * 30), 0.0)])
+    _stage(spark, base, src, 3, "spacer", [])
+    _run(spark, src, sink, ckpt)
+    assert _result(spark, sink) == [(3, _ts(0), _ts(40 + 30), 1, 3, 7.0)]
+
+
+def test_pbshim_sitecustomize_is_defensive(tmp_path):
+    """The shim must be a no-op in a process whose protobuf world is
+    healthy or absent — it only acts when google.protobuf.descriptor
+    is unimportable, and never raises."""
+    import subprocess
+    import sys
+
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "project_map_reduce_spark", "streaming", "pbshim",
+    )
+    # Imports cleanly and repairs the import (this container has no
+    # pip protobuf, so success proves the fallback path).
+    code = (
+        "import sitecustomize\n"
+        "from google.protobuf import descriptor\n"
+        "import pyspark.sql.streaming.proto.StateMessage_pb2 as m\n"
+        "print('PBSHIM_OK', m.DESCRIPTOR.name != '')\n"
+    )
+    env = dict(os.environ, PYTHONPATH=shim)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert "PBSHIM_OK True" in out.stdout, (out.stdout, out.stderr)
