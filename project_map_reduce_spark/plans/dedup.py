@@ -716,6 +716,157 @@ fmt_doc(q_dedup_embedding_ivf, k=_IVF_K, i=_IVF_ITERS)
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup-style removal accounting (Q84 ∘ Q99 made actionable)
+
+
+def _semdedup_oracle() -> str:
+    from project_map_reduce_spark.plans.similarity import kmeans_ctes
+
+    i = _IVF_ITERS
+    return (
+        kmeans_ctes(_IVF_K, i)
+        + f""",
+    cen AS (
+        SELECT cell, list(x ORDER BY dim) AS cv FROM m{i} GROUP BY cell
+    ),
+    nn AS (
+        SELECT a.vec_id, a.v, a.cell,
+               sqrt(list_dot_product(a.v, a.v)) AS nrm,
+               round(list_dot_product(a.v, c.cv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cen_cos
+        FROM a{i} a JOIN cen c USING (cell)
+    ),
+    removed AS (
+        SELECT DISTINCT a.vec_id
+        FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+              >= {_COS_THRESHOLD}
+          AND (b.cen_cos < a.cen_cos
+               OR (b.cen_cos = a.cen_cos AND b.vec_id < a.vec_id))
+    )
+    SELECT e.label, n.vec_id, CAST(n.cell AS INT) AS cell_id, n.cen_cos,
+           (r.vec_id IS NOT NULL) AS removed
+    FROM nn n
+    JOIN embeddings e USING (vec_id)
+    LEFT JOIN removed r ON n.vec_id = r.vec_id"""
+    )
+
+
+@register("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q135: SemDeDup-style semantic-dedup REMOVAL LEDGER (VERDICT r8
+    item 6) — completes the embedding ladder the way Q105 completed
+    Q104: Q99 *finds* embedding-near pairs inside trained k-means
+    cells; this query decides, per vector, KEEP or REMOVE, which is
+    the artifact a training-data pipeline actually consumes. Rule
+    (Abbas et al. 2023, SemDeDup): within each IVF cell, for every
+    semantic-duplicate pair (cos ≥ {t}), keep the member with the
+    LOWEST cosine to its cell centroid (ties to the smaller vec_id) —
+    retaining the cluster's least-prototypical example preserves
+    diversity. A vector is removed iff SOME better-ranked in-cell
+    partner duplicates it (a pure EXISTS — no recursion, unlike Q67's
+    connected components, and every dup pair loses at least one side).
+
+    The centroid is the 6-dp-quantized mean of the FINAL assignment's
+    members — exactly the oracle's m{i} CTE (shared kmeans_ctes chain,
+    plans/similarity.py), so training, assignment, centroid-ranking
+    and the removal decision are hash-checked as ONE pipeline; output
+    is the per-vector ledger (label, vec_id, cell_id, cen_cos,
+    removed) from which per-source survivor stats are one groupBy.
+
+    Scale shape: {i} broadcast-model assignment passes (no vector
+    shuffle), centroid derivation is the O(k·d·partitions) map-side-
+    combined aggregate, ranking joins an 8-row broadcast, and the dup
+    probe is ONE equi-join on the computed cell id (Q99's blocked
+    shape — never a crossJoin; k grows with the corpus so per-cell
+    pair work stays flat). The assignment frame is persisted across
+    its two consumers with Q99's swap-release discipline (one pinned
+    frame per session, spill-capable storage level).
+    """
+    from project_map_reduce_spark.operators.kmeans import lloyd_assignments
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+    )
+    assigned = lloyd_assignments(
+        e.select("vec_id", "v"), k=_IVF_K, iters=_IVF_ITERS
+    )
+    cen = (
+        assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("x"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "x"))),
+                lambda s: s.getField("x"),
+            ).alias("cv")
+        )
+        .withColumn(
+            "cnrm", F.expr("sqrt(" + _DOT_SPARK.format(a="cv", b="cv") + ")")
+        )
+    )
+    cen_dot = _DOT_SPARK.format(a="v", b="cv")
+    base = (
+        assigned.withColumn("nrm", F.sqrt("nv"))
+        .join(F.broadcast(cen), "cell")
+        .withColumn(
+            "cen_cos",
+            F.round(F.expr(cen_dot) / (F.col("nrm") * F.col("cnrm")), 6),
+        )
+        .select("vec_id", "v", "cell", "nrm", "cen_cos")
+        .persist()
+    )
+    prev = getattr(q_semdedup, "_cached_base", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    q_semdedup._cached_base = base
+
+    a, b = base.alias("a"), base.alias("b")
+    pair_dot = _DOT_SPARK.format(a="a.v", b="b.v")
+    pair_cos = F.round(F.expr(pair_dot) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    better = (F.col("b.cen_cos") < F.col("a.cen_cos")) | (
+        (F.col("b.cen_cos") == F.col("a.cen_cos"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .where((pair_cos >= _COS_THRESHOLD) & better)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__removed", F.lit(True))
+    )
+    return (
+        base.join(e.select("vec_id", "label"), "vec_id")
+        .join(removed, "vec_id", "left")
+        .select(
+            "label",
+            "vec_id",
+            F.col("cell").cast("int").alias("cell_id"),
+            "cen_cos",
+            F.coalesce("__removed", F.lit(False)).alias("removed"),
+        )
+    )
+
+
+fmt_doc(q_semdedup, t=_COS_THRESHOLD, i=_IVF_ITERS)
+
+
+# ---------------------------------------------------------------------------
 # Q67 — near-dup clusters (pairs → connected components)
 
 

@@ -190,6 +190,7 @@ _R9_NEW: list[str] = [
     "q_source_roundtrip",
     "q_bloom_prune",
     "q_stream_state_sessions",
+    "q_semdedup",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -197,3 +197,45 @@ def test_substring_removal_spans_merge_and_offsets(spark, tmp_path):
     for doc_id in (1, 2):
         r = out[doc_id]
         assert texts[doc_id][r["char_start"] : r["char_end"]] == " ".join(shared)
+
+
+def test_semdedup_removal_rule(spark, sf_dir):
+    """Q135's SemDeDup contract, checked against Q99's own pair output:
+    (a) for every semantic-duplicate pair at least one side is removed,
+    (b) the kept side of every pair is the one with the lower
+    (cen_cos, vec_id) rank — retaining the least-prototypical member,
+    (c) a vector with no dup partner is never removed."""
+    from project_map_reduce_spark.plans.dedup import (
+        q_dedup_embedding_ivf,
+        q_semdedup,
+    )
+
+    ledger = {
+        r["vec_id"]: (r["cen_cos"], r["removed"])
+        for r in q_semdedup(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in q_dedup_embedding_ivf(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture premise: at least one semantic-dup pair"
+    paired = set()
+    for va, vb in pairs:
+        paired |= {va, vb}
+        ca, ra = ledger[va]
+        cb, rb = ledger[vb]
+        assert ra or rb, f"pair ({va},{vb}): neither side removed"
+        # the better-ranked (lower cen_cos, then lower id) side survives
+        best = min((ca, va), (cb, vb))
+        best_removed = ra if best[1] == va else rb
+        assert not best_removed or (
+            # ...unless an even better partner elsewhere removed it too
+            any(
+                min((ledger[x][0], x), (ledger[y][0], y))[1] != best[1]
+                for x, y in pairs
+                if best[1] in (x, y)
+            )
+        ), f"pair ({va},{vb}): best-ranked member removed with no cause"
+    for vid, (_, removed) in ledger.items():
+        if vid not in paired:
+            assert not removed, f"unpaired vector {vid} was removed"
