@@ -662,7 +662,7 @@ _RT_SCHEMA = (
         GROUP BY event_type
     )
     SELECT fmt, event_type, n_events, n_users, sum_value, micros_sum, n_props
-    FROM agg CROSS JOIN (VALUES ('csv'), ('json'), ('text')) fmts(fmt)
+    FROM agg CROSS JOIN (VALUES ('csv'), ('json'), ('text'), ('orc')) fmts(fmt)
     """,
 )
 def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,12 +674,14 @@ def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref Manager.java:269-284); this query restates that lineage three
     ways: an events slice is written out as (a) quoted/escaped CSV with
     header, (b) JSON lines, and (c) raw tab-delimited TEXT lines parsed
-    back field-by-field — then each copy is re-read WITH AN EXPLICIT
-    SCHEMA (the only scalable contract: schema inference is a full
-    extra pass over 100 TB) and aggregated identically.
+    back field-by-field — plus (d) ORC, the columnar interchange
+    sibling (upgrading the read_orc/write_orc capability row to the
+    same tier) — then each copy is re-read WITH AN EXPLICIT SCHEMA
+    (the only scalable contract: schema inference is a full extra pass
+    over 100 TB) and aggregated identically.
 
     The oracle computes the same per-event_type aggregate once from the
-    raw parquet table and cross-joins the three format labels, so the
+    raw parquet table and cross-joins the four format labels, so the
     driver hash matches only if EVERY format round-trips losslessly:
     `micros_sum` (sum of each timestamp's sub-second microseconds)
     fails if a format truncates timestamp precision, `n_props` fails if
@@ -690,13 +692,13 @@ def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (offsets are whole minutes), so the check holds in any driver
     session timezone.
 
-    Scale notes: all three writers/readers are ordinary distributed
+    Scale notes: all four writers/readers are ordinary distributed
     FileFormat scans — the slice never passes through the driver; the
     explicit-schema re-read keeps the text formats splittable and
     single-pass. Driver-collect note (Q118/Q124 pattern): the final
-    aggregate is O(formats x event types) = 15 rows; the scratch files
-    are removed before returning — at scale the CSV/JSON/text copies
-    are the interchange assets an ingest boundary actually exchanges.
+    aggregate is O(formats x event types) = 20 rows; the scratch files
+    are removed before returning — at scale the CSV/JSON/text/ORC
+    copies are the interchange assets an ingest boundary exchanges.
     """
     import shutil
     import tempfile
@@ -754,6 +756,12 @@ def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             parts.getItem(5).alias("props"),
         )
 
+        # (d) ORC: the columnar interchange sibling (sources/readers.py's
+        # read_orc/write_orc capability row, now hash-checked) — native
+        # vectorized reader, schema embedded, TIMESTAMP_NTZ preserved.
+        ev.write.orc(f"{tmp}/orc")
+        orc_back = spark.read.schema(_RT_SCHEMA).orc(f"{tmp}/orc")
+
         def agg(df: DataFrame, fmt: str) -> DataFrame:
             micros = F.unix_micros(F.col("ts").cast("timestamp_ltz")) % 1000000
             return df.groupBy("event_type").agg(
@@ -768,6 +776,7 @@ def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg(csv_back, "csv")
             .unionByName(agg(json_back, "json"))
             .unionByName(agg(text_back, "text"))
+            .unionByName(agg(orc_back, "orc"))
         )
         rows = out.collect()
     finally:

@@ -26,8 +26,8 @@ def test_source_roundtrip_shape(spark, sf_dir):
     by_fmt = {}
     for r in rows:
         by_fmt.setdefault(r["fmt"], []).append(r)
-    assert set(by_fmt) == {"csv", "json", "text"}
-    # The three format legs aggregate the SAME slice — their per-type
+    assert set(by_fmt) == {"csv", "json", "text", "orc"}
+    # The four format legs aggregate the SAME slice — their per-type
     # rows must be identical (the oracle checks each against parquet;
     # this checks them against each other without DuckDB in the loop).
     def key(recs):
@@ -37,7 +37,12 @@ def test_source_roundtrip_shape(spark, sf_dir):
             for r in recs
         )
 
-    assert key(by_fmt["csv"]) == key(by_fmt["json"]) == key(by_fmt["text"])
+    assert (
+        key(by_fmt["csv"])
+        == key(by_fmt["json"])
+        == key(by_fmt["text"])
+        == key(by_fmt["orc"])
+    )
 
 
 def test_micros_canary_detects_truncating_format(spark, sf_dir, tmp_path):

@@ -208,3 +208,97 @@ def test_pbshim_sitecustomize_is_defensive(tmp_path):
         [sys.executable, "-c", code], env=env, capture_output=True, text=True
     )
     assert "PBSHIM_OK True" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_map_and_list_state_roundtrip(spark, tws_env, tmp_path):
+    """API-coverage twin for the remaining state classes: a processor
+    holding a MapState (per-event-type counts) and a ListState (batch
+    sizes seen), exercising containsKey/updateValue/iterator, appendValue
+    /get, and deleteIfExists — the state variables Q134's ValueState
+    pair doesn't touch. Emits each key's converged per-type counts on
+    the final batch; must equal the batch groupBy."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _await_finite_stream,
+    )
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "t string", "n bigint")
+            self._batches = handle.getListState("batches", "sz bigint")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            total = 0
+            for pdf in rows:
+                total += len(pdf)
+                for t, n in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._counts.getValue((t,))[0]
+                        if self._counts.containsKey((t,))
+                        else 0
+                    )
+                    self._counts.updateValue((t,), (prev + int(n),))
+            self._batches.appendValue((total,))
+            out = [
+                (key[0], k[0], v[0])
+                for k, v in self._counts.iterator()
+            ]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n_events"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    rows = [
+        (1, "click"), (1, "view"), (1, "click"),
+        (2, "view"), (2, "view"),
+    ]
+    base = tmp_path / "maplist"
+    src, sink, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    schema = "user_id bigint, event_type string"
+    for i, chunk in enumerate((rows[:3], rows[3:])):
+        df = spark.createDataFrame(chunk, schema)
+        df.coalesce(1).write.parquet(str(base / f"c{i}"))
+        (part,) = glob.glob(str(base / f"c{i}" / "part-*.parquet"))
+        shutil.move(part, f"{src}/b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n_events bigint",
+        outputMode="update",
+        timeMode="none",
+    )
+    q = write_stream_idempotent(out, sink, ckpt, output_mode="update")
+    _await_finite_stream(q, "map/list state test")
+
+    from pyspark.sql import Window
+
+    snap = spark.read.option("basePath", sink).parquet(sink)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("batch_id")
+    )
+    final = (
+        snap.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "n_events")
+    )
+    got = sorted(tuple(r) for r in final.collect())
+    assert got == [
+        (1, "click", 2), (1, "view", 1), (2, "view", 2),
+    ], got
