@@ -191,6 +191,7 @@ _R9_NEW: list[str] = [
     "q_bloom_prune",
     "q_stream_state_sessions",
     "q_semdedup",
+    "q_dpp_prune",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -126,6 +126,109 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assert_dynamic_pruning(df: DataFrame) -> None:
+    """Raise unless the executed plan's partitioned scan carries a
+    ``dynamicpruningexpression`` PartitionFilter — the runtime-pruning
+    guard q_dpp_prune runs on every execution (the Q118 pattern: an
+    optimizer regression that silently reverts to scanning every
+    partition becomes a driver failure, not a quiet full-corpus read)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruningexpression" not in plan:
+        raise RuntimeError(
+            "dynamic partition pruning regression — no "
+            f"dynamicpruningexpression in any PartitionFilter:\n{plan}"
+        )
+
+
+@register(
+    "q_dpp_prune",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {{sum6}} AS sum_value
+    FROM events
+    WHERE isodow(CAST(ts AS DATE)) >= 6
+    GROUP BY event_type
+    """.format(sum6=SUM6.format(expr="value")),
+)
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q136: DYNAMIC partition pruning DRIVER-PROVEN — the runtime
+    sibling of Q118 and the classic star-schema lever at 100 TB:
+    Q118's static pruning needs the partition predicate IN THE QUERY;
+    here the selective predicate lives on a DIMENSION (a date dim
+    flagged by weekday), and only the JOIN knows which fact partitions
+    matter. Without DPP the fact scan reads all 30 day-directories and
+    the join discards ~5/7 of the I/O; with it, Catalyst reuses the
+    broadcast dim to synthesize a runtime IN-filter on the fact's
+    partition column (``dynamicpruningexpression`` in the scan's
+    PartitionFilters), so only weekend directories are ever listed and
+    read. This is the optimization every fact-join-dim query on a
+    date-partitioned lake depends on.
+
+    Driver-checked raise: the executed plan must carry the dynamic-
+    pruning PartitionFilter (``_assert_dynamic_pruning``); the pytest
+    counterfactual proves guard liveness by force-disabling the
+    optimizer rule (the same plan then carries NO dynamic filter and
+    the guard must raise) while both plans return identical rows —
+    the filter's presence is what gates the partition listing, the
+    same trust basis as Q118's static PartitionFilters. The oracle
+    computes the same aggregate by
+    filtering the raw table on the identical weekday rule (Spark
+    ``weekday() >= 5`` ≡ DuckDB ``isodow() >= 6``, both Mon-based), so
+    the hash matches only if runtime pruning changed the I/O and
+    nothing else.
+
+    Driver-collect note (Q118 pattern): the aggregate is O(event
+    types); the scratch star layout is removed before returning — at
+    scale the partitioned fact + date dim are the durable warehouse
+    assets, and every dim-filtered join after ingest prunes this way.
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.to_date("ts").alias("event_date")
+    )
+    star_dir = tempfile.mkdtemp(prefix="q_dpp_prune_")
+    dpp_key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    prev_dpp = spark.conf.get(dpp_key)
+    try:
+        spark.conf.set(dpp_key, "true")
+        ev.repartition("event_date").write.partitionBy("event_date").parquet(
+            f"{star_dir}/fact"
+        )
+        # The date dimension a warehouse would maintain: one row per
+        # calendar day with derived attributes.
+        ev.select("event_date").distinct().withColumn(
+            "weekday", F.weekday("event_date")
+        ).write.parquet(f"{star_dir}/dim")
+
+        fact = spark.read.parquet(f"{star_dir}/fact")
+        weekend = (
+            spark.read.parquet(f"{star_dir}/dim")
+            .where(F.col("weekday") >= 5)
+            .select("event_date")
+        )
+        agg = (
+            fact.join(weekend, "event_date")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+            )
+        )
+        _assert_dynamic_pruning(agg)
+        rows = agg.collect()
+    finally:
+        spark.conf.set(dpp_key, prev_dpp)
+        shutil.rmtree(star_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_events bigint, sum_value double"
+    )
+
+
 _CLUSTER_LO = "2024-01-10 00:00:00"
 _CLUSTER_HI = "2024-01-13 00:00:00"
 _CLUSTER_FILES = 10  # range partitions = sorted files in the layout

@@ -151,3 +151,54 @@ def test_bloom_query_returns_the_eight_needles(spark, sf_dir):
     assert {r["event_type"] for r in rows} <= {
         "click", "view", "purchase", "signup", "error"
     }
+
+
+# ---------------------------------------------------------------- Q136
+
+
+def test_dpp_guard_liveness_and_equivalence(spark, sf_dir, tmp_path):
+    """The counterfactual that makes Q136's raise meaningful: the SAME
+    star join with the DPP optimizer rule force-disabled must carry no
+    dynamicpruningexpression (the guard raises), while returning the
+    identical rows — proving the guard detects exactly the optimization,
+    not some side effect of the data."""
+    from project_map_reduce_spark.plans.scans import _assert_dynamic_pruning
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.to_date("ts").alias("event_date")
+    )
+    ev.repartition("event_date").write.partitionBy("event_date").parquet(
+        str(tmp_path / "fact")
+    )
+    ev.select("event_date").distinct().withColumn(
+        "weekday", F.weekday("event_date")
+    ).write.parquet(str(tmp_path / "dim"))
+
+    def star_agg():
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        weekend = (
+            spark.read.parquet(str(tmp_path / "dim"))
+            .where(F.col("weekday") >= 5)
+            .select("event_date")
+        )
+        return (
+            fact.join(weekend, "event_date")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")
+        pruned = star_agg()
+        _assert_dynamic_pruning(pruned)  # must not raise
+        want = sorted(tuple(r) for r in pruned.collect())
+
+        spark.conf.set(key, "false")
+        unpruned = star_agg()
+        with pytest.raises(RuntimeError, match="dynamic partition pruning"):
+            _assert_dynamic_pruning(unpruned)
+        assert sorted(tuple(r) for r in unpruned.collect()) == want
+    finally:
+        spark.conf.set(key, prev)
