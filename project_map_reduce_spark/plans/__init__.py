@@ -97,13 +97,13 @@ _DRIVER_WINDOW = [
     "q_tokenize_bpe",
     "q_grouped_map",
     "q_join_salted",
-    "q_join_bucketed",
     # -- NEW this round (r9):
     "q_source_roundtrip",  # NEW (r9): text/CSV/JSON source round-trip
     "q_bloom_prune",  # NEW (r9): parquet row-group bloom-filter skipping
     "q_stream_state_sessions",  # NEW (r9): transformWithStateInPandas
     "q_semdedup",  # NEW (r9): SemDeDup removal ledger
     "q_dpp_prune",  # NEW (r9): dynamic partition pruning
+    "q_hierarchy_rollup",  # NEW (r9): native WITH RECURSIVE rollup
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

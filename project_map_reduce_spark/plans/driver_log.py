@@ -192,6 +192,7 @@ _R9_NEW: list[str] = [
     "q_stream_state_sessions",
     "q_semdedup",
     "q_dpp_prune",
+    "q_hierarchy_rollup",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

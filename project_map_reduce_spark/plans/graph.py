@@ -95,3 +95,101 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_pagerank, n=_TOPN, iters=_ITERS, d=_DAMPING)
+
+
+# ---------------------------------------------------------------------------
+# Q137 — native recursive CTE: hierarchy rollup (WITH RECURSIVE)
+
+_HIER_SQL = """
+    WITH RECURSIVE per_user AS (
+        SELECT user_id, count(*) AS n,
+               sum(CAST(value AS DECIMAL({prec},6))) AS s
+        FROM {events} GROUP BY user_id
+    ),
+    chain(node, anc) AS (
+        SELECT user_id, user_id FROM per_user
+        UNION ALL
+        SELECT node, anc {div} 2 FROM chain WHERE anc >= 2
+    )
+    SELECT c.anc                  AS manager_id,
+           count(*)               AS n_desc,
+           CAST(sum(p.n) AS BIGINT) AS n_events,
+           CAST(sum(p.s) AS DOUBLE) AS sum_value
+    FROM chain c JOIN per_user p ON p.user_id = c.node
+    GROUP BY c.anc
+"""
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle=_HIER_SQL.format(events="events", div="//", prec=27),
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q137: NATIVE recursive CTE (``WITH RECURSIVE`` — new SQL surface
+    in Spark 4.x) driving a hierarchy rollup: every user reports to
+    manager ``user_id div 2`` (a deterministic org tree derived from
+    the fixture's dense ids), and the query answers the classic
+    org/BOM question — per manager, the TRANSITIVE subtree's
+    headcount, event count and exact-decimal value total. The
+    recursive member enumerates each user's ancestor chain (anchor =
+    self; step = halve, guard ``anc >= 2`` so the walk is strictly
+    decreasing and terminates at the root without a cycle check);
+    the outer join+group then rolls events up every ancestor at once.
+
+    This is the ENGINE-NATIVE twin of the repo's hand-built iterative
+    recursions (Q67's connected components, Q110's PageRank): here
+    Catalyst's UnionLoop executes the iteration inside ONE SQL
+    statement, and DuckDB runs the structurally identical recursion —
+    so Spark's brand-new recursive-CTE execution path itself is what
+    gets hash-checked. (Scope note, pinned by test: Spark 4.1 rejects
+    UNION-distinct recursion — UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE —
+    so cyclic reachability like Q67's min-label walk still needs the
+    custom operator; DAG-shaped recursion belongs in SQL.)
+
+    Scale shape: events PRE-AGGREGATE per user (exact DECIMAL partials)
+    BEFORE touching the recursion, so the fact table is scanned exactly
+    once and the rollup join is hierarchy-sized — chain (users x depth)
+    against per_user (users), never events x depth (the naive form
+    joins every event to all ~18 of its user's ancestors: measured 113 s
+    at sf10 vs {t10} s pre-aggregated). depth = floor(log2(max id)) + 1
+    is bounded by the id domain, not the event count; each recursion
+    level is one narrow projection+filter over the previous. Hierarchy
+    dims at 100 TB are exactly this shape: tiny against the fact table,
+    depth-bounded recursion, one keyed join over pre-combined partials.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    # Size the engine's recursion-row safety valve from the data
+    # (O(1)-row catalog-style agg): the chain relation holds exactly
+    # users x depth rows, depth = floor(log2(max id)) + 1 — 2x headroom.
+    # Default 1,000,000 trips at sf10 (150k users x 18 levels); leaving
+    # the valve data-sized rather than unbounded keeps the runaway-
+    # recursion protection meaningful.
+    n_users, max_id = ev.agg(
+        F.countDistinct("user_id"), F.max("user_id")
+    ).first()
+    depth = max(1, int(max_id).bit_length())
+    limit_key = "spark.sql.cteRecursionRowLimit"
+    prev_limit = spark.conf.get(limit_key)
+    spark.conf.set(limit_key, str(2 * n_users * (depth + 1)))
+    view = "q137_events"
+    ev.createOrReplaceTempView(view)
+    try:
+        out = spark.sql(_HIER_SQL.format(events=view, div="DIV", prec=18))
+        # The returned plan is lazy but the row-limit conf is read at
+        # EXECUTION — materialize executor-side while it holds (the Q90
+        # snapshot pattern: distributed write + lazy read; O(users)
+        # rows, a hierarchy dim, never through the driver) so the
+        # restored conf cannot race a caller's later action.
+        import atexit
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        snap = _tempfile.mkdtemp(prefix="pmrs_q137_")
+        atexit.register(_shutil.rmtree, snap, ignore_errors=True)
+        out.write.mode("overwrite").parquet(snap)
+        return spark.read.parquet(snap)
+    finally:
+        spark.conf.set(limit_key, prev_limit)
+
+
+fmt_doc(q_hierarchy_rollup, t10="8.3")

@@ -329,3 +329,58 @@ def test_timeseries_fill_grid_is_dense(spark, sf_dir):
         )
     finally:
         out.unpersist()
+
+
+def test_hierarchy_rollup_invariants(spark, sf_dir):
+    """Q137's recursive rollup: the root (manager 1) must account for
+    every event of every user >= 1; each manager's subtree totals must
+    equal the sum of its two children's subtrees plus its own events
+    (the defining recurrence of the halving tree)."""
+    from project_map_reduce_spark.plans.graph import q_hierarchy_rollup
+    from project_map_reduce_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r["manager_id"]: r for r in q_hierarchy_rollup(spark, sf_dir).collect()}
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    own = {r["user_id"]: r["n"] for r in ev}
+    total_ge1 = sum(n for u, n in own.items() if u >= 1)
+    assert rows[1]["n_events"] == total_ge1
+    # spot-check the recurrence at a mid-level manager
+    for m in (2, 3, 5, 10):
+        if m not in rows:
+            continue
+        expect = own.get(m, 0)
+        for child in (2 * m, 2 * m + 1):
+            if child in rows:
+                expect += rows[child]["n_events"]
+        assert rows[m]["n_events"] == expect, m
+
+
+def test_recursive_union_distinct_still_unsupported(spark):
+    """Q137's scope note is a pinned engine fact: Spark 4.1 rejects
+    UNION-distinct recursion (so cyclic reachability still needs the
+    custom components operator). If this ever starts passing, Q67's
+    min-label walk can move into native SQL — update the docstring."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW t_rcte_edges AS "
+        "SELECT * FROM VALUES (1, 2), (2, 1) AS t(s, d)"
+    )
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            """
+            WITH RECURSIVE walk(node, lab) AS (
+                SELECT s, s FROM t_rcte_edges
+                UNION
+                SELECT e.d, w.lab FROM walk w JOIN t_rcte_edges e ON w.node = e.s
+            )
+            SELECT * FROM walk
+            """
+        ).collect()
