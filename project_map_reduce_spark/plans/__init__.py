@@ -41,69 +41,68 @@ from project_map_reduce_spark.plans import (  # noqa: F401
 )
 
 _DRIVER_WINDOW = [
-    # -- round-9 rotation (VERDICT r8 item 1): the 34 round-6-cohort
+    # -- round-10 rotation (VERDICT r9 item 1): the 37 round-7-cohort
     #    queries hit the ledger's two-round staleness ceiling this round
-    #    and rotate in first (plans/driver_log.py::_R6_COHORT,
+    #    and rotate in first (plans/driver_log.py::_R7_COHORT,
     #    machine-derived from the CORRECTNESS artifacts by
     #    tests/test_plan_audit.py).
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_audio_features",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_fuzzy",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_dedup_substring",
-    "q_doc_chunks",
-    "q_doc_fingerprint",
-    "q_events_attribution",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_full_outer",
-    "q_join_inner",
-    "q_join_left_outer",
-    "q_join_multi",
-    "q_join_semi",
-    "q_lang_id",
-    "q_not_in",
-    "q_pack_sequences",
-    "q_pandas_udf_scalar",
-    "q_pricing_summary",
-    "q_quality_classifier",
-    "q_similarity_ann",
-    "q_similarity_topk",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_window_distribution",
-    # -- then 16 flexible slots from the round-7 cohort (the oldest
-    #    remaining signal; they reach the ceiling in r10 otherwise),
-    #    drift-prone plan machinery first: the real streaming jobs,
-    #    iterative model-fit plans, and the Arrow-crossing surfaces.
-    #    New round-9 queries displace entries from the TAIL of this
+    "q_agg_rollup",
+    "q_approx_count_distinct",
+    "q_approx_quantile_check",
+    "q_array_ops",
+    "q_corr_stats",
+    "q_date_funcs",
+    "q_datediff",
+    "q_decontaminate",
+    "q_dedup_lines",
+    "q_doc_logprob",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_session",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_join_bucketed",
+    "q_join_theta",
+    "q_map_ops",
+    "q_math_funcs",
+    "q_multimodal_dims",
+    "q_not_exists",
+    "q_percentiles",
+    "q_pii_mask",
+    "q_pipeline_e2e",
+    "q_repetition",
+    "q_salted_agg",
+    "q_sample_stratified",
+    "q_sample_temperature",
+    "q_split_train_val",
+    "q_string_funcs",
+    "q_udaf_weighted_mean",
+    "q_udf_python",
+    "q_udtf_sentences",
+    "q_window_lag_lead",
+    "q_window_moving",
+    "q_window_range",
+    "q_window_rank",
+    # -- then 13 flexible slots from the round-8 cohort (the oldest
+    #    remaining signal; they reach the ceiling in r11 otherwise),
+    #    drift-prone plan machinery first: real streaming jobs,
+    #    iterative model fits, merge machinery, mergeable sketches.
+    #    New round-10 queries displace entries from the TAIL of this
     #    block as they land (new queries are in-window from birth; the
-    #    displaced r7 queries rotate in next round at the ceiling).
-    "q_stream_totals",
-    "q_stream_dedup",
-    "q_stream_mv_refresh",
-    "q_watermark_late",
-    "q_dedup_embedding_ivf",
-    "q_dedup_incremental",
-    "q_kmeans",
-    "q_tokenize_bpe",
-    "q_grouped_map",
-    "q_join_salted",
-    # -- NEW this round (r9):
-    "q_source_roundtrip",  # NEW (r9): text/CSV/JSON source round-trip
-    "q_bloom_prune",  # NEW (r9): parquet row-group bloom-filter skipping
-    "q_stream_state_sessions",  # NEW (r9): transformWithStateInPandas
-    "q_semdedup",  # NEW (r9): SemDeDup removal ledger
-    "q_dpp_prune",  # NEW (r9): dynamic partition pruning
-    "q_hierarchy_rollup",  # NEW (r9): native WITH RECURSIVE rollup
+    #    displaced r8 queries rotate in next round at the ceiling).
+    "q_stream_dedup_watermark",
+    "q_stream_enrich",
+    "q_stream_sessions",
+    "q_join_interval_stream",
+    "q_pagerank",
+    "q_quality_classifier_trained",
+    "q_scd2_merge",
+    "q_cdc_apply",
+    "q_mv_incremental",
+    "q_heavy_hitters",
+    "q_kll_rollup",
+    "q_hll_rollup",
+    "q_zorder_prune",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -39,48 +39,11 @@ import json
 import re
 from pathlib import Path
 
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 # Queries whose last driver hash predates this round's window, by cohort
 # (cohort = the round whose CORRECTNESS artifact last full-matched them;
 # regenerate with ``derive_driver_rounds`` — the test does).
-_R6_COHORT = [
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_audio_features",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_fuzzy",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_dedup_substring",
-    "q_doc_chunks",
-    "q_doc_fingerprint",
-    "q_events_attribution",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_full_outer",
-    "q_join_inner",
-    "q_join_left_outer",
-    "q_join_multi",
-    "q_join_semi",
-    "q_lang_id",
-    "q_not_in",
-    "q_pack_sequences",
-    "q_pandas_udf_scalar",
-    "q_pricing_summary",
-    "q_quality_classifier",
-    "q_similarity_ann",
-    "q_similarity_topk",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_window_distribution",
-]
-
 _R7_COHORT = [
     "q_agg_rollup",
     "q_approx_count_distinct",
@@ -90,8 +53,6 @@ _R7_COHORT = [
     "q_date_funcs",
     "q_datediff",
     "q_decontaminate",
-    "q_dedup_embedding_ivf",
-    "q_dedup_incremental",
     "q_dedup_lines",
     "q_doc_logprob",
     "q_events_funnel",
@@ -99,11 +60,8 @@ _R7_COHORT = [
     "q_events_session",
     "q_events_sliding",
     "q_events_tumbling",
-    "q_grouped_map",
     "q_join_bucketed",
-    "q_join_salted",
     "q_join_theta",
-    "q_kmeans",
     "q_map_ops",
     "q_math_funcs",
     "q_multimodal_dims",
@@ -116,15 +74,10 @@ _R7_COHORT = [
     "q_sample_stratified",
     "q_sample_temperature",
     "q_split_train_val",
-    "q_stream_dedup",
-    "q_stream_mv_refresh",
-    "q_stream_totals",
     "q_string_funcs",
-    "q_tokenize_bpe",
     "q_udaf_weighted_mean",
     "q_udf_python",
     "q_udtf_sentences",
-    "q_watermark_late",
     "q_window_lag_lead",
     "q_window_moving",
     "q_window_range",
@@ -184,22 +137,68 @@ _R8_COHORT = [
     "q_zscore_outliers",
 ]
 
-# Queries introduced in round 9 (in the window from birth; their first
-# driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R9_NEW: list[str] = [
-    "q_source_roundtrip",
+_R9_COHORT = [
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_audio_features",
     "q_bloom_prune",
-    "q_stream_state_sessions",
-    "q_semdedup",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_embedding_ivf",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_incremental",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_substring",
+    "q_doc_chunks",
+    "q_doc_fingerprint",
     "q_dpp_prune",
+    "q_events_attribution",
+    "q_grouped_map",
     "q_hierarchy_rollup",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_left_outer",
+    "q_join_multi",
+    "q_join_salted",
+    "q_join_semi",
+    "q_kmeans",
+    "q_lang_id",
+    "q_not_in",
+    "q_pack_sequences",
+    "q_pandas_udf_scalar",
+    "q_pricing_summary",
+    "q_quality_classifier",
+    "q_semdedup",
+    "q_similarity_ann",
+    "q_similarity_topk",
+    "q_source_roundtrip",
+    "q_stream_dedup",
+    "q_stream_mv_refresh",
+    "q_stream_state_sessions",
+    "q_stream_totals",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_tokenize_bpe",
+    "q_watermark_late",
+    "q_window_distribution",
 ]
 
+# Queries introduced in round 10 (in the window from birth; their first
+# driver signal will be CURRENT_ROUND — no artifact carries them yet).
+_R10_NEW: list[str] = []
+
 DRIVER_ROUNDS: dict[str, int] = {
-    **{q: 6 for q in _R6_COHORT},
     **{q: 7 for q in _R7_COHORT},
     **{q: 8 for q in _R8_COHORT},
-    **{q: CURRENT_ROUND for q in _R9_NEW},
+    **{q: 9 for q in _R9_COHORT},
+    **{q: CURRENT_ROUND for q in _R10_NEW},
 }
 
 

@@ -542,7 +542,7 @@ def test_driver_window_rotation_debt_bounded():
     from project_map_reduce_spark.plans.driver_log import (
         CURRENT_ROUND,
         DRIVER_ROUNDS,
-        _R9_NEW,
+        _R10_NEW,
         derive_driver_rounds,
     )
 
@@ -560,7 +560,7 @@ def test_driver_window_rotation_debt_bounded():
         if q not in window and r < CURRENT_ROUND - 2
     }
     assert not stale, f"rotate these into the window: {stale}"
-    missing_new = [q for q in _R9_NEW if q not in window]
+    missing_new = [q for q in _R10_NEW if q not in window]
     assert not missing_new, f"new queries must be in-window from birth: {missing_new}"
 
     # Ledger == evidence: derive every query's last full-match round
@@ -570,12 +570,12 @@ def test_driver_window_rotation_debt_bounded():
     drift = {
         q: (r, derived.get(q))
         for q, r in DRIVER_ROUNDS.items()
-        if derived.get(q) != r and not (q in _R9_NEW and q not in derived)
+        if derived.get(q) != r and not (q in _R10_NEW and q not in derived)
     }
     assert not drift, f"ledger drifted from CORRECTNESS artifacts (ledger, derived): {drift}"
     # and the new-query list is exactly the set with no artifact yet
     never_verified = reg - set(derived)
-    assert never_verified == set(_R9_NEW), (
+    assert never_verified == set(_R10_NEW), (
         sorted(never_verified),
-        sorted(_R9_NEW),
+        sorted(_R10_NEW),
     )
