@@ -100,10 +100,18 @@ fmt_doc(q_pagerank, n=_TOPN, iters=_ITERS, d=_DAMPING)
 # ---------------------------------------------------------------------------
 # Q137 — native recursive CTE: hierarchy rollup (WITH RECURSIVE)
 
+# Two-level exact sum following the repo's SUM6 contract
+# (functions/det.py::sum6, ADVICE r9 — no hand-rolled precision split):
+# the per-user partial casts INPUTS to DECIMAL(18,6) — 6-dp quantization
+# identical on both engines, compact-long representation on Spark — the
+# rollup sums the exact partials (engines widen the accumulator
+# themselves), and ONE final CAST AS DOUBLE lands the oracle-matching
+# schema. DECIMAL(18,6) caps |value| at ~1e12 per row; a fixture
+# violating that fails loudly on the cast, never silently.
 _HIER_SQL = """
     WITH RECURSIVE per_user AS (
         SELECT user_id, count(*) AS n,
-               sum(CAST(value AS DECIMAL({prec},6))) AS s
+               sum(CAST(value AS DECIMAL(18,6))) AS s
         FROM {events} GROUP BY user_id
     ),
     chain(node, anc) AS (
@@ -122,7 +130,7 @@ _HIER_SQL = """
 
 @register(
     "q_hierarchy_rollup",
-    oracle=_HIER_SQL.format(events="events", div="//", prec=27),
+    oracle=_HIER_SQL.format(events="events", div="//"),
 )
 def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q137: NATIVE recursive CTE (``WITH RECURSIVE`` — new SQL surface
@@ -174,7 +182,7 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "q137_events"
     ev.createOrReplaceTempView(view)
     try:
-        out = spark.sql(_HIER_SQL.format(events=view, div="DIV", prec=18))
+        out = spark.sql(_HIER_SQL.format(events=view, div="DIV"))
         # The returned plan is lazy but the row-limit conf is read at
         # EXECUTION — materialize executor-side while it holds (the Q90
         # snapshot pattern: distributed write + lazy read; O(users)
@@ -190,6 +198,9 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(snap)
     finally:
         spark.conf.set(limit_key, prev_limit)
+        # Session-global name: leave nothing registered behind (a later
+        # caller colliding with a stale q137_events would read old data).
+        spark.catalog.dropTempView(view)
 
 
 fmt_doc(q_hierarchy_rollup, t10="8.3")

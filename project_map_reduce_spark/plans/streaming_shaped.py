@@ -1046,7 +1046,11 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_end").cast("timestamp_ntz").alias("session_end"),
             "session_seq",
             "n_events",
-            "sum_value",
+            # Round ONCE on the read-back (Spark round = HALF_UP, away
+            # from zero — same as the oracle's DuckDB round); the
+            # processor emits full precision so no banker's-rounding
+            # Python round() sits inside the state layer (ADVICE r9).
+            F.round(F.col("sum_value"), 6).alias("sum_value"),
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

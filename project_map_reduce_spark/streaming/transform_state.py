@@ -89,7 +89,12 @@ class SessionTimerProcessor(StatefulProcessor):
                 ),
                 "session_seq": range(base + 1, base + k + 1),
                 "n_events": counts,
-                "sum_value": [round(x, 6) for x in sums],
+                # Full precision out; display rounding is the READER's
+                # job (plans apply one F.round on the sink read-back) —
+                # Python round() here would be banker's rounding, which
+                # disagrees with SQL half-away-from-zero on exact 6dp
+                # halves (ADVICE r9).
+                "sum_value": sums,
             }
         )
 
@@ -121,24 +126,40 @@ class SessionTimerProcessor(StatefulProcessor):
                 cnt=("__us", "size"),
                 tot=("value", "sum"),
             )
-            los = [int(x) for x in agg["lo"]]
-            his = [int(x) for x in agg["hi"]]
-            cnts = [int(x) for x in agg["cnt"]]
-            tots = [float(x) for x in agg["tot"]]
-            if last_us >= 0 and los[0] - last_us <= _GAP_US:
-                # Carry-in merges with the first batch segment.
-                his[0], cnts[0], tots[0] = (
-                    max(his[0], last_us),
-                    cnts[0] + n,
-                    tots[0] + s,
+            segs = [
+                (int(lo), int(hi), int(c), float(t))
+                for lo, hi, c, t in zip(
+                    agg["lo"], agg["hi"], agg["cnt"], agg["tot"]
                 )
-                los[0] = start_us
-            elif last_us >= 0:
-                # Carry-in closes as its own completed session.
-                los.insert(0, start_us)
-                his.insert(0, last_us)
-                cnts.insert(0, n)
-                tots.insert(0, s)
+            ]
+            if last_us >= 0:
+                # Carry-in joins the merge as a pseudo-segment rather
+                # than special-casing "batch starts after the carry"
+                # (ADVICE r9): watermark-legal out-of-order rows may
+                # land BEFORE the carried session (extending it
+                # backward, lo = min of the two) or inside its span
+                # split into several batch segments — a sort by lo plus
+                # one gap-merge pass handles every interleaving exactly,
+                # because adding late rows to gap sessions only ever
+                # MERGES sessions, never splits them. Residual contract
+                # (documented, not recoverable from O(1) state): a row
+                # older than ``carried.start - gap`` that survives the
+                # watermark filter forms a chronologically EARLIER
+                # session finalized after the carried one, so
+                # session_seq is finalization-ordered in that case.
+                segs.append((start_us, last_us, n, s))
+                segs.sort(key=lambda t4: (t4[0], t4[1]))
+            merged = [segs[0]]
+            for lo, hi, c, t in segs[1:]:
+                mlo, mhi, mc, mt = merged[-1]
+                if lo - mhi <= _GAP_US:
+                    merged[-1] = (mlo, max(mhi, hi), mc + c, mt + t)
+                else:
+                    merged.append((lo, hi, c, t))
+            los = [t4[0] for t4 in merged]
+            his = [t4[1] for t4 in merged]
+            cnts = [t4[2] for t4 in merged]
+            tots = [t4[3] for t4 in merged]
             # All segments but the last are complete; the last stays
             # open in state with a timer at its deadline.
             if len(los) > 1:
