@@ -100,9 +100,10 @@ _DRIVER_WINDOW = [
     "q_cdc_apply",
     "q_mv_incremental",
     "q_heavy_hitters",
-    "q_kll_rollup",
-    "q_hll_rollup",
-    "q_zorder_prune",
+    # -- NEW this round (r10):
+    "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
+    "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
+    "q_state_reader_audit",  # NEW (r10): statestore reader vs sink reconciliation
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -192,7 +192,11 @@ _R9_COHORT = [
 
 # Queries introduced in round 10 (in the window from birth; their first
 # driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R10_NEW: list[str] = []
+_R10_NEW: list[str] = [
+    "q_variant_json",
+    "q_pyds_source",
+    "q_state_reader_audit",
+]
 
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 7 for q in _R7_COHORT},

@@ -155,6 +155,61 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NOT NULL)
+               AS n_missing,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q138: the VARIANT semi-structured path (Spark 4.x,
+    ``spark-variant`` in the distro) — Q36's props extraction restated
+    the modern way (VERDICT r9 item 4): ``parse_json`` decodes each
+    props string ONCE into the binary VARIANT encoding, and every
+    access after that is ``variant_get`` navigating the encoded value
+    (here through a nested wrapper object, so a multi-step ``$.a.b``
+    path traversal is what gets hash-checked) — no re-parse per field,
+    which is the 100 TB difference vs ``get_json_object``: k accesses
+    of a document cost one parse + k binary probes instead of k full
+    Jackson passes. ``try_variant_get`` covers the absent-path contract
+    (returns NULL, never throws — counted as ``n_missing = 0`` so the
+    oracle cross-checks the same absent access via JSON NULL
+    semantics).
+
+    All expressions are codegen'd JVM variant primitives (no UDF, no
+    Python); the aggregate is one hash agg over 5 groups. At 100 TB,
+    VARIANT columns additionally shred into parquet struct columns on
+    write (the storage-side win); here the source is a JSON string
+    column so the decode happens in the projection.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(
+        F.concat(F.lit('{"payload":'), F.col("props"), F.lit("}"))
+    )
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(v, "$.payload.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.payload.missing", "string").alias("absent"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("absent").alias("n_missing"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        r6d(F.avg("k"), "avg_k"),
+    )
+
+
+@register(
     "q_array_ops",
     oracle="""
     SELECT word,

@@ -966,3 +966,62 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, n_events bigint, n_with_user bigint, "
         "sum_value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q139 — Python DataSource API source (Spark 4), driver-hash-checked
+
+
+@register(
+    "q_pyds_source",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text)                                  AS payload_md5
+    FROM documents
+    """,
+)
+def q_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q139: a CUSTOM BATCH SOURCE on Spark 4's Python DataSource API
+    (VERDICT r9 item 5) — ``sources/pyds.py`` registers
+    ``format("pmrs_docpayload")``, whose tasks independently read their
+    row-range slice of the corpus and emit Arrow RecordBatches of a
+    deterministic derived payload (UTF-8 byte length + MD5). The
+    DataFrame returned IS the source's output: what the driver
+    hash-checks is the API plumbing itself — schema declaration,
+    ``partitions()`` planning, per-task ``read()``, Arrow transfer —
+    against DuckDB recomputing the same payload from the same parquet.
+    The reference lineage is its download-then-process worker loop
+    (``Workers.java:127-129``); the ``url`` fetch mode of the same
+    source (one partition per remote object, fetch-then-decode) is
+    exercised hermetically in tests/test_pyds.py over file://.
+
+    Scale shape: ``partitions()`` reads footer metadata only; each of
+    the {k} planned tasks streams just its slice — no driver data path,
+    no single-task collapse (the plan assertion below pins the task
+    count, and the plan-audit test pins it again with the math). At
+    100 TB the partition unit becomes one per file/row-group over the
+    object listing (module docstring); the API surface is identical.
+    """
+    from project_map_reduce_spark.sources.pyds import DocPayloadDataSource
+    from project_map_reduce_spark.tables import table_path
+
+    spark.dataSource.register(DocPayloadDataSource)
+    out = (
+        spark.read.format("pmrs_docpayload")
+        .option("path", table_path(sf_dir, "documents"))
+        .option("npartitions", _PYDS_PARTS)
+        .load()
+    )
+    nparts = out.rdd.getNumPartitions()
+    if nparts != _PYDS_PARTS:
+        raise RuntimeError(
+            f"pmrs_docpayload planned {nparts} tasks, expected {_PYDS_PARTS} "
+            "— the Python DataSource partition planning regressed"
+        )
+    return out
+
+
+_PYDS_PARTS = 8
+
+fmt_doc(q_pyds_source, k=_PYDS_PARTS)

@@ -1060,3 +1060,155 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(prov_key, prev_prov)
         restore_env(spark, prev_env)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Q140 — state-store READER audit: sink ∪ checkpointed state == batch truth
+
+
+@register(
+    "q_state_reader_audit",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_SS_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                                  AS session_start,
+           max(ts) + INTERVAL {_SS_GAP_MIN} MINUTE  AS session_end,
+           count(*)                                 AS n_events,
+           round(sum(value), 6)                     AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_state_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q140: the STATE-STORE READER (``spark.read.format("statestore")``,
+    Spark's checkpoint-forensics source — VERDICT r9 item 8) audited
+    against the sink it belongs to. Q112's session run is repeated
+    WITHOUT the flush sentinel, so the stream ends with real sessions
+    still OPEN in the session-merging state store (every user's last
+    session within 2·gap of stream end cannot finalize — at least the
+    max-ts session, guarded below). The result is the union
+
+        finalized sessions (append sink)  ∪  open sessions (state read)
+
+    and the oracle is FULL batch gaps-and-islands sessionization: the
+    union hash-matches only if append-mode eviction and the state
+    snapshot partition the session inventory EXACTLY — a session
+    emitted-but-not-evicted appears twice (dupe row fails the hash), an
+    evicted-but-unemitted one vanishes (missing row fails it), and any
+    drift in the reader's decode of the internal key/value layout
+    (``value.session_window/count/sum``) corrupts values. That closes
+    the last unexercised streaming surface: the checkpoint itself is
+    now driver-hash-checked, not just the query output.
+
+    Scale shape: identical to Q112 (state O(open sessions), 8 state
+    partitions, lazy sink read); the state read streams one snapshot
+    file per state partition — at 100 TB it is the standard offline
+    audit of a live pipeline's checkpoint, never touching the stream.
+    """
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev0 = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    if ev0.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev0 = ev0.withColumn("ts", F.to_timestamp_ltz("ts"))
+    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cut = (
+        ev0.withColumn("nts", F.lead("ts").over(wse))
+        .where(
+            (F.col("nts") > F.col("ts"))
+            & (
+                F.col("nts")
+                <= F.col("ts") + F.expr(f"INTERVAL {_SS_GAP_MIN} MINUTE")
+            )
+        )
+        .agg(F.min("ts"))
+        .first()[0]
+    )
+    if cut is None:
+        cut = ev0.agg(F.max("ts")).first()[0]
+        if cut is None:
+            raise ValueError("q_state_reader_audit: events table is empty")
+    ev = ev0.select("user_id", "ts", "value")
+
+    tmp = tempfile.mkdtemp(prefix="pmrs_q140_")
+    sink = _session_output_dir("pmrs_q140_sink_")
+    # The checkpoint must OUTLIVE this call: the returned plan reads it
+    # lazily (statestore source), so it gets the session-persistent
+    # lifecycle, not the tmp/finally one.
+    ckpt = _session_output_dir("pmrs_q140_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src = _stage_batches(tmp, (
+            ("early", ev.where(F.col("ts") <= F.lit(cut))),
+            ("spacer", ev.where(F.lit(False))),
+            ("late", ev.where(F.col("ts") > F.lit(cut))),
+        ))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{_SS_GAP_MIN} minutes")
+            .groupBy(
+                F.session_window("ts", f"{_SS_GAP_MIN} minutes"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                r6d(F.sum("value"), "sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = write_stream_idempotent(agg, sink, ckpt, output_mode="append")
+        _await_finite_stream(q, "q_state_reader_audit")
+
+        finalized = spark.read.option("basePath", sink).parquet(sink).select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+        open_state = spark.read.format("statestore").load(ckpt).select(
+            F.col("value.user_id").alias("user_id"),
+            F.col("value.session_window.start").alias("session_start"),
+            F.col("value.session_window.end").alias("session_end"),
+            F.col("value.count").alias("n_events"),
+            F.round(F.col("value.sum"), 6).alias("sum_value"),
+        )
+        # Premise guards, loud: an empty side means the audit exercised
+        # nothing (no flush ⇒ the max-ts session MUST still be open).
+        if open_state.limit(1).count() == 0:
+            raise RuntimeError(
+                "q_state_reader_audit: state store is empty — no open "
+                "sessions survived; the no-flush premise broke"
+            )
+        if finalized.limit(1).count() == 0:
+            raise RuntimeError(
+                "q_state_reader_audit: append sink is empty — nothing "
+                "finalized; the staging premise broke"
+            )
+        return finalized.unionByName(open_state).select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)

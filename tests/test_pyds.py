@@ -1,0 +1,96 @@
+"""Python DataSource API source (Q139, sources/pyds.py): url fetch
+mode, partition planning math, and Arrow-batch row fidelity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+
+from project_map_reduce_spark.sources.pyds import (
+    DocPayloadDataSource,
+    _DocPayloadReader,
+)
+from project_map_reduce_spark.tables import table_path
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(DocPayloadDataSource)
+    return spark
+
+
+def test_path_mode_matches_recompute(registered, sf_dir):
+    """Row-range mode: every (doc_id, byte_len, md5) equals a direct
+    pyarrow recompute — the full fetch→decode→derive path is exact."""
+    path = table_path(sf_dir, "documents")
+    got = {
+        r.doc_id: (r.byte_len, r.payload_md5)
+        for r in registered.read.format("pmrs_docpayload")
+        .option("path", path)
+        .option("npartitions", 4)
+        .load()
+        .collect()
+    }
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    want = {
+        i: (len(t.encode()), hashlib.md5(t.encode()).hexdigest())
+        for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    }
+    assert got == want
+
+
+def test_url_mode_fetch_then_decode(registered, sf_dir):
+    """url mode is the reference's blob shape (Workers.java:127-129):
+    one partition per object, fetched over urllib (file:// hermetic),
+    decoded from the in-memory buffer — same rows as path mode."""
+    path = table_path(sf_dir, "documents")
+    df = (
+        registered.read.format("pmrs_docpayload")
+        .option("url", f"file://{path}")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1  # the blob is the unit
+    via_url = sorted(map(tuple, df.collect()))
+    via_path = sorted(
+        map(
+            tuple,
+            registered.read.format("pmrs_docpayload")
+            .option("path", path)
+            .load()
+            .collect(),
+        )
+    )
+    assert via_url == via_path
+
+
+def test_partition_planning_math(sf_dir):
+    """partitions() covers [0, n) exactly: contiguous, non-overlapping,
+    never more ranges than rows, and footer-only (no data read)."""
+    path = table_path(sf_dir, "documents")
+    n = pq.ParquetFile(path).metadata.num_rows
+    for k in (1, 3, 8, n + 17):
+        reader = _DocPayloadReader({"path": path, "npartitions": str(k)})
+        parts = reader.partitions()
+        assert len(parts) == min(k, n)
+        assert parts[0].start == 0 and parts[-1].end == n
+        for a, b in zip(parts, parts[1:]):
+            assert a.end == b.start and a.start < a.end
+
+
+def test_task_count_is_planned_partitions(registered, sf_dir):
+    """The plan fans out to exactly npartitions tasks — the VERDICT r9
+    item 5 partition-count assertion, from the DataFrame side."""
+    df = (
+        registered.read.format("pmrs_docpayload")
+        .option("path", table_path(sf_dir, "documents"))
+        .option("npartitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_missing_option_is_loud():
+    with pytest.raises(ValueError, match="path.*or.*url"):
+        _DocPayloadReader({})

@@ -302,3 +302,133 @@ def test_map_and_list_state_roundtrip(spark, tws_env, tmp_path):
     assert got == [
         (1, "click", 2), (1, "view", 1), (2, "view", 2),
     ], got
+
+
+# ---------------------------------------------------------------------------
+# Protocol-cost contract (VERDICT r9 item 3): the state-server round
+# trips per key per batch are O(1) — NEVER O(sessions) — because that
+# is the only lever that amortizes transformWithState's per-key socket
+# protocol at production batch shapes. These tests drive the processor
+# directly with counting fakes, so the contract is pinned at the unit
+# level (no Spark, no sockets).
+
+
+class _CountingValueState:
+    def __init__(self):
+        self.v = None
+        self.gets = 0
+        self.updates = 0
+        self.clears = 0
+
+    def get(self):
+        self.gets += 1
+        return self.v
+
+    def update(self, t):
+        self.updates += 1
+        self.v = tuple(t)
+
+    def clear(self):
+        self.clears += 1
+        self.v = None
+
+
+class _CountingHandle:
+    def __init__(self):
+        self.states = {}
+        self.n_register = 0
+        self.n_delete = 0
+
+    def getValueState(self, name, schema):
+        st = _CountingValueState()
+        self.states[name] = st
+        return st
+
+    def registerTimer(self, ms):
+        self.n_register += 1
+
+    def deleteTimer(self, ms):
+        self.n_delete += 1
+
+
+def _proc():
+    from project_map_reduce_spark.streaming.transform_state import (
+        SessionTimerProcessor,
+    )
+
+    h = _CountingHandle()
+    p = SessionTimerProcessor()
+    p.init(h)
+    return p, h
+
+
+def _batch(us_list, values=None):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime(us_list, unit="us"),
+            "value": values or [1.0] * len(us_list),
+        }
+    )
+
+
+_MIN_US = 60 * 1_000_000
+
+
+def test_state_round_trips_are_o1_per_key_batch():
+    """12 sessions in one batch slice: ONE frame out, ONE seq get+update,
+    ONE sess update, ≤1 timer registration — independent of session
+    count. This is the amortization contract: protocol cost scales with
+    keys-per-batch, never rows or sessions (BASELINE.md Q134 guidance)."""
+    p, h = _proc()
+    out = list(
+        p.handleInputRows((7,), iter([_batch([i * 40 * _MIN_US for i in range(12)])]), None)
+    )
+    assert len(out) == 1 and len(out[0]) == 11  # 11 closed, 1 open
+    assert h.states["seq"].gets == 1 and h.states["seq"].updates == 1
+    assert h.states["sess"].gets == 1 and h.states["sess"].updates == 1
+    assert h.n_register == 1 and h.n_delete == 0  # nothing was armed before
+    assert list(out[0]["session_seq"]) == list(range(1, 12))
+
+
+def test_carry_in_extends_backward_within_gap():
+    """Watermark-legal out-of-order: a batch row EARLIER than the
+    carried session start but within the gap extends the session
+    backward (lo = batch min) instead of corrupting it (ADVICE r9)."""
+    p, h = _proc()
+    h.states["sess"].v = (100 * _MIN_US, 110 * _MIN_US, 2, 5.0)
+    out = list(p.handleInputRows((1,), iter([_batch([80 * _MIN_US])]), None))
+    assert out == []  # still one open session — nothing finalized
+    assert h.states["sess"].v == (80 * _MIN_US, 110 * _MIN_US, 3, 6.0)
+    assert h.n_delete == 1 and h.n_register == 1  # re-armed at same deadline
+
+
+def test_carry_in_absorbs_multi_segment_batch_inside_span():
+    """Rows landing INSIDE the carried span that split into several
+    batch segments (intra-batch gaps > gap) must all merge into the
+    carried session — adding late rows to gap sessions only ever
+    merges, never splits."""
+    p, h = _proc()
+    h.states["sess"].v = (0, 60 * _MIN_US, 4, 4.0)
+    out = list(
+        p.handleInputRows(
+            (1,), iter([_batch([10 * _MIN_US, 55 * _MIN_US])]), None
+        )
+    )
+    assert out == []
+    assert h.states["sess"].v == (0, 60 * _MIN_US, 6, 6.0)
+
+
+def test_row_older_than_gap_before_carry_finalizes_separately():
+    """A row more than one gap OLDER than the carried start forms a
+    chronologically earlier session; it finalizes now (documented
+    residual: session_seq is finalization-ordered for sub-gap-late
+    rows) and the carried session stays open untouched."""
+    p, h = _proc()
+    h.states["sess"].v = (100 * _MIN_US, 110 * _MIN_US, 2, 5.0)
+    out = list(p.handleInputRows((1,), iter([_batch([30 * _MIN_US])]), None))
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert row["n_events"] == 1 and row["session_seq"] == 1
+    assert h.states["sess"].v == (100 * _MIN_US, 110 * _MIN_US, 2, 5.0)
