@@ -975,6 +975,18 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     evict-on-finalize class, Q112's A/B). The returned DataFrame is a
     lazy read over the session-persistent append sink (SURVEY §4.2 —
     no driver gather).
+
+    SELECTION GUIDANCE (measured, BASELINE.md r9/r10, contract-tested):
+    the state-server protocol costs a fixed number of socket round
+    trips PER KEY PER DATA BATCH (O(1) by the unit-pinned contract),
+    so total protocol cost ∝ batches × keys and amortizes over
+    rows/key/batch — sf10 (150k keys) DNF'd at 6 micro-batches but
+    completes in 327 s at the production-like single-batch shape
+    (tools/probe_tws.py). The ~2 ms/key/batch floor remains ~an order
+    above Q112's in-JVM session_window store, so: logic expressible as
+    a built-in session_window aggregation belongs in Q112; use
+    transformWithState when the logic genuinely needs timers or
+    multiple state variables, and stage it as FEW LARGE batches.
     """
     from project_map_reduce_spark.sources.sinks import write_stream_idempotent
     from project_map_reduce_spark.streaming.transform_state import (

@@ -432,3 +432,29 @@ def test_row_older_than_gap_before_carry_finalizes_separately():
     row = out[0].iloc[0]
     assert row["n_events"] == 1 and row["session_seq"] == 1
     assert h.states["sess"].v == (100 * _MIN_US, 110 * _MIN_US, 2, 5.0)
+
+
+def test_selection_guidance_is_pinned():
+    """The Q112-vs-Q134 selection guidance (VERDICT r9 item 3) is a
+    shipped contract, not lore: Q134's registered docstring must carry
+    it (names Q112, states the batches×keys cost law and the
+    few-large-batches discipline) and BASELINE.md must carry the
+    measured amortization row it cites."""
+    import os
+
+    from project_map_reduce_spark.registry import entries
+
+    doc = entries()["q_stream_state_sessions"].fn.__doc__
+    assert "SELECTION GUIDANCE" in doc
+    assert "Q112" in doc and "session_window" in doc
+    assert "batches × keys" in doc
+    assert "FEW LARGE batches" in doc
+
+    baseline = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE.md",
+    )
+    with open(baseline) as f:
+        text = f.read()
+    assert "Q134 amortization curve" in text
+    assert "tools/probe_tws.py" in text
