@@ -99,11 +99,11 @@ _DRIVER_WINDOW = [
     "q_scd2_merge",
     "q_cdc_apply",
     "q_mv_incremental",
-    "q_heavy_hitters",
     # -- NEW this round (r10):
     "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
     "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
     "q_state_reader_audit",  # NEW (r10): statestore reader vs sink reconciliation
+    "q_pyds_stream",  # NEW (r10): Python DataSource API stream source
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

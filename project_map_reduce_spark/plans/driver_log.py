@@ -196,6 +196,7 @@ _R10_NEW: list[str] = [
     "q_variant_json",
     "q_pyds_source",
     "q_state_reader_audit",
+    "q_pyds_stream",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

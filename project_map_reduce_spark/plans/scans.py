@@ -1025,3 +1025,100 @@ def q_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PYDS_PARTS = 8
 
 fmt_doc(q_pyds_source, k=_PYDS_PARTS)
+
+
+# ---------------------------------------------------------------------------
+# Q141 — Python DataSource API STREAM source (Spark 4), driver-hash-checked
+
+
+@register(
+    "q_pyds_stream",
+    oracle="""
+    WITH n AS (SELECT count(*) AS c FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)       AS byte_len,
+           md5(text)                                        AS payload_md5,
+           CAST(floor(doc_id / ceil(c / 4.0)) AS BIGINT)    AS chunk_id
+    FROM documents, n
+    """,
+)
+def q_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q141: the STREAMING half of the Python DataSource API (Q139's
+    batch twin — completes the Spark 4 custom-source surface): the
+    same ``pmrs_docpayload`` source read via ``spark.readStream``,
+    where offsets are row positions, ``latestOffset`` releases one
+    chunk (¼ of the corpus) per trigger to simulate arrival, and each
+    micro-batch's rows are read ON EXECUTORS through the full
+    partition-planned ``DataSourceStreamReader`` API
+    (``partitions(start, end) → read(partition)`` — NOT the
+    driver-prefetching Simple variant; data never crosses the driver,
+    SURVEY §4.2). Batches land append-mode in the idempotent
+    per-batchId sink; the result is the union of all micro-batches.
+
+    The hash check is the exactly-once ledger: every document must
+    appear EXACTLY once with its deterministic derived payload AND the
+    chunk ordinal its offset range implies (``chunk_id = doc_id div
+    ceil(n/4)`` — valid because doc_id equals file row position in the
+    fixture, asserted cheaply below). A duplicated or dropped offset
+    range, a drifting chunk boundary, or a driver-side re-read would
+    all corrupt rows and fail the driver hash.
+
+    Scale shape: ``latestOffset``/``initialOffset`` are footer-only
+    driver calls; per-batch work is one executor task per offset range
+    (a production source returns many partitions per range); the sink
+    read stays lazy and distributed.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from project_map_reduce_spark.sources.pyds import DocPayloadDataSource
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+    from project_map_reduce_spark.tables import table_path
+
+    spark.dataSource.register(DocPayloadDataSource)
+    path = table_path(sf_dir, "documents")
+    n = pq.ParquetFile(path).metadata.num_rows
+    chunk = max(1, math.ceil(n / 4))
+
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _session_output_dir,
+    )
+
+    sink = _session_output_dir("pmrs_q141_sink_")
+    tmp = tempfile.mkdtemp(prefix="pmrs_q141_")
+    try:
+        stream = (
+            spark.readStream.format("pmrs_docpayload")
+            .option("path", path)
+            .option("chunk_rows", chunk)
+            .load()
+        )
+        q = write_stream_idempotent(
+            stream,
+            sink,
+            f"{tmp}/ckpt",
+            output_mode="append",
+            trigger_available_now=False,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+        out = spark.read.option("basePath", sink).parquet(sink).select(
+            "doc_id", "byte_len", "payload_md5", "chunk_id"
+        )
+        # Premise guard for the oracle's chunk arithmetic: doc_id must
+        # be the file row position (dense 0..n-1) — footer+agg only.
+        lo_hi = out.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if lo_hi[0] != 0 or lo_hi[1] != n - 1:
+            raise RuntimeError(
+                f"q_pyds_stream: doc_id not dense 0..{n - 1} "
+                f"(got {lo_hi}) — chunk_id oracle premise broke"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

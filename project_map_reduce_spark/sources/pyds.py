@@ -31,9 +31,15 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 PAYLOAD_SCHEMA = "doc_id bigint, byte_len bigint, payload_md5 string"
+STREAM_SCHEMA = PAYLOAD_SCHEMA + ", chunk_id bigint"
 
 
 class _RangePartition(InputPartition):
@@ -87,6 +93,70 @@ class _DocPayloadReader(DataSourceReader):
         )
 
 
+def _derive_batch(path: str, lo: int, hi: int, chunk_rows: int):
+    """One pyarrow RecordBatch of derived payloads for rows [lo, hi) —
+    shared by the batch reader's range mode and the stream reader, so
+    replayed offsets are bit-identical by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"]).slice(lo, hi - lo)
+    texts = [t.encode("utf-8") for t in tbl.column("text").to_pylist()]
+    return pa.RecordBatch.from_arrays(
+        [
+            tbl.column("doc_id").combine_chunks(),
+            pa.array([len(b) for b in texts], pa.int64()),
+            pa.array([hashlib.md5(b).hexdigest() for b in texts]),
+            pa.array([lo // chunk_rows] * len(texts), pa.int64()),
+        ],
+        names=["doc_id", "byte_len", "payload_md5", "chunk_id"],
+    )
+
+
+class _DocPayloadStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAM over the same corpus: offsets are row
+    positions, ``latestOffset`` advances one chunk per trigger
+    (simulated arrival), and each batch's rows are read ON EXECUTORS
+    via ``partitions(start, end) → read(partition)`` — the full
+    partition-planned stream API, not the driver-prefetching
+    ``SimpleDataSourceStreamReader`` (data must never flow through the
+    driver, SURVEY §4.2). Offset-range replay after a restart re-reads
+    the exact rows (deterministic slice), which is what makes the
+    exactly-once sink reconciliation in Q141 hash-checkable."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pmrs_docpayload stream requires a 'path' option")
+        self.chunk = int(options.get("chunk_rows", "1000"))
+        import pyarrow.parquet as pq
+
+        self._n = pq.ParquetFile(self.path).metadata.num_rows  # footer only
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def latestOffset(self):
+        # Serve one more chunk per trigger until the corpus is drained.
+        cur = getattr(self, "_served", 0)
+        nxt = min(cur + self.chunk, self._n)
+        self._served = nxt
+        return {"row": nxt}
+
+    def partitions(self, start, end):
+        return [_RangePartition(start["row"], end["row"])]
+
+    def read(self, partition):
+        if partition.end <= partition.start:
+            return iter([])
+        yield _derive_batch(
+            self.path, partition.start, partition.end, self.chunk
+        )
+
+    def commit(self, end):
+        pass
+
+
 class DocPayloadDataSource(DataSource):
     """format("pmrs_docpayload") — see module docstring."""
 
@@ -95,7 +165,12 @@ class DocPayloadDataSource(DataSource):
         return "pmrs_docpayload"
 
     def schema(self) -> str:
+        if "chunk_rows" in self.options:
+            return STREAM_SCHEMA
         return PAYLOAD_SCHEMA
 
     def reader(self, schema) -> DataSourceReader:
         return _DocPayloadReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _DocPayloadStreamReader(self.options)

@@ -94,3 +94,53 @@ def test_task_count_is_planned_partitions(registered, sf_dir):
 def test_missing_option_is_loud():
     with pytest.raises(ValueError, match="path.*or.*url"):
         _DocPayloadReader({})
+
+
+def test_stream_reader_offset_and_replay_math(sf_dir):
+    """DataSourceStreamReader contract: latestOffset drains the corpus
+    one chunk per call then pins at n; partitions(start, end) is the
+    exact offset range; replaying a committed range re-derives
+    bit-identical rows (the exactly-once premise of Q141)."""
+    from project_map_reduce_spark.sources.pyds import (
+        _derive_batch,
+        _DocPayloadStreamReader,
+    )
+
+    path = table_path(sf_dir, "documents")
+    n = pq.ParquetFile(path).metadata.num_rows
+    chunk = max(1, n // 3)
+    r = _DocPayloadStreamReader({"path": path, "chunk_rows": str(chunk)})
+    assert r.initialOffset() == {"row": 0}
+    seen, prev = [], 0
+    for _ in range(10):
+        off = r.latestOffset()["row"]
+        if off == prev:
+            break
+        seen.append((prev, off))
+        prev = off
+    assert prev == n and seen[0][0] == 0
+    assert all(b - a <= chunk for a, b in seen)
+    (part,) = r.partitions({"row": seen[1][0]}, {"row": seen[1][1]})
+    assert (part.start, part.end) == seen[1]
+    b1 = next(iter(r.read(part)))
+    b2 = _derive_batch(path, part.start, part.end, chunk)
+    assert b1.equals(b2)  # replay determinism
+    assert list(r.read(_RangePartitionLike(5, 5))) == []  # empty range
+
+
+class _RangePartitionLike:
+    def __init__(self, start, end):
+        self.start = start
+        self.end = end
+
+
+def test_stream_schema_has_chunk_column():
+    from project_map_reduce_spark.sources.pyds import (
+        DocPayloadDataSource,
+        PAYLOAD_SCHEMA,
+        STREAM_SCHEMA,
+    )
+
+    assert DocPayloadDataSource({"path": "x", "chunk_rows": "10"}).schema() == STREAM_SCHEMA
+    assert DocPayloadDataSource({"path": "x"}).schema() == PAYLOAD_SCHEMA
+    assert STREAM_SCHEMA.startswith(PAYLOAD_SCHEMA)
