@@ -197,6 +197,7 @@ _R10_NEW: list[str] = [
     "q_pyds_source",
     "q_state_reader_audit",
     "q_pyds_stream",
+    "q_variant_storage",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1122,3 +1122,101 @@ def q_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Q142 — VARIANT parquet STORAGE round-trip (Q138's storage leg)
+
+
+@register(
+    "q_variant_storage",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(count(DISTINCT CAST(json_extract_string(props, '$.k')
+                    AS BIGINT)) AS BIGINT) AS n_distinct_k,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT l.leg, a.event_type, a.n_events, a.sum_k, a.n_distinct_k,
+           a.min_k, a.max_k
+    FROM agg a, (VALUES ('direct'), ('parquet')) l(leg)
+    """,
+)
+def q_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q142: the VARIANT STORAGE leg (Q132's discipline applied to
+    Q138's type): each props string is decoded ONCE to the binary
+    VARIANT encoding, a (event_type, v) projection is WRITTEN TO
+    PARQUET (the variant physically lands as the
+    struct<metadata binary, value binary> pair — probed r10), read
+    back, and the identical extraction+aggregate runs on the 'direct'
+    (never-stored) and 'parquet' (round-tripped) legs; the oracle
+    computes the aggregate once from the raw table and cross-joins
+    both leg labels, so the driver hash passes only if VARIANT's
+    binary encoding survives the columnar write/read byte-exactly
+    (a corrupted metadata dictionary or value offset would shift
+    every extraction). This is the modern semi-structured STORAGE
+    path at 100 TB: decode once at ingest, store binary, probe
+    cheaply forever — never re-parse JSON strings per query.
+
+    Scale shape: the write is distributed (no driver data path); both
+    legs are one projection + one 5-group hash agg; the tiny per-leg
+    aggregates (O(types) rows) are collected and re-lifted so the
+    scratch dir can be removed eagerly (the Q126 pattern).
+    """
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pmrs_q142_")
+
+    def _extract_agg(df: DataFrame) -> list:
+        k = F.variant_get(F.col("v"), "$.k", "bigint").alias("k")
+        return (
+            df.select("event_type", k)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("k").alias("sum_k"),
+                F.countDistinct("k").alias("n_distinct_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+            .collect()
+        )
+
+    try:
+        varframe = ev.select(
+            "event_type", F.parse_json(F.col("props")).alias("v")
+        )
+        direct_rows = _extract_agg(varframe)
+        varframe.write.mode("overwrite").parquet(f"{tmp}/var")
+        stored = spark.read.parquet(f"{tmp}/var")
+        if stored.schema["v"].dataType.simpleString() != "variant":
+            raise RuntimeError(
+                "q_variant_storage: VARIANT column did not survive the "
+                f"parquet round-trip as variant (got "
+                f"{stored.schema['v'].dataType.simpleString()})"
+            )
+        parquet_rows = _extract_agg(stored)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = (
+        "event_type string, n_events bigint, sum_k bigint, "
+        "n_distinct_k bigint, min_k bigint, max_k bigint"
+    )
+    return spark.createDataFrame(direct_rows, schema).select(
+        F.lit("direct").alias("leg"), "*"
+    ).unionByName(
+        spark.createDataFrame(parquet_rows, schema).select(
+            F.lit("parquet").alias("leg"), "*"
+        )
+    )

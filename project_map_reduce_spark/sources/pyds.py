@@ -16,6 +16,11 @@ never cross the driver, and never materialize as Python objects):
   whole object over ``urllib`` (file:// in tests — hermetic), then
   decodes from the in-memory buffer. One partition per remote object,
   the natural unit when the payload is only reachable as a blob.
+* STREAM mode (``spark.readStream`` + ``chunk_rows`` option, Q141) —
+  the same source as a micro-batch stream: offsets are row positions,
+  ``latestOffset`` releases one chunk per trigger, and batch rows are
+  read on executors through the partition-planned
+  ``DataSourceStreamReader`` API (``_DocPayloadStreamReader``).
 
 Scale notes (100 TB): the partition unit is what scales — a production
 deployment lists many objects and emits one ``InputPartition`` per

@@ -1,0 +1,198 @@
+"""Round-10 queries: Q138 q_variant_json / Q142 q_variant_storage
+(VARIANT path + storage), Q140 q_state_reader_audit (statestore reader),
+Q141 q_pyds_stream (Python DataSource stream).
+
+Beyond the oracle sweep, these pin the engine-side properties the
+oracles can't see: the variant path must stay JVM-only (no Python in
+the plan), the storage legs must agree with each other without DuckDB
+in the loop, the state audit's two sides must be disjoint AND
+batch-complete at EVERY committed batch (time travel via the
+statestore source's batchId option), and the stream source must have
+delivered the corpus in its declared chunk cadence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_map_reduce_spark.registry import entries
+from project_map_reduce_spark.tables import load
+
+
+# ---------------------------------------------------------------- Q138
+
+
+def test_variant_plan_is_jvm_only(spark, sf_dir):
+    """The VARIANT path's whole point is staying inside codegen: no
+    Python eval node may appear, and the variant primitives must."""
+    df = entries()["q_variant_json"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "variant_get" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_variant_absent_path_is_null_not_error(spark, sf_dir):
+    rows = entries()["q_variant_json"].fn(spark, sf_dir).collect()
+    assert rows and all(r["n_missing"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------- Q142
+
+
+def test_variant_storage_legs_agree(spark, sf_dir):
+    """'direct' and 'parquet' legs must carry identical aggregates —
+    the engine-side half of the round-trip check (no DuckDB)."""
+    rows = entries()["q_variant_storage"].fn(spark, sf_dir).collect()
+    legs = {}
+    for r in rows:
+        legs.setdefault(r["leg"], set()).add(
+            (r["event_type"], r["n_events"], r["sum_k"], r["n_distinct_k"],
+             r["min_k"], r["max_k"])
+        )
+    assert set(legs) == {"direct", "parquet"}
+    assert legs["direct"] == legs["parquet"]
+
+
+# ---------------------------------------------------------------- Q140
+
+
+def _batch_sessions(spark, ev):
+    """Reference gaps-and-islands sessionization (Q41 family), engine-
+    side: (user_id, session_start, session_end, n_events)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") <= 1800,
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    sess = ev.withColumn("new_s", gap).withColumn(
+        "sid", F.sum("new_s").over(w)
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("sid")
+
+
+def test_state_audit_sides_disjoint_and_complete(spark, sf_dir):
+    """Append-mode eviction and the state snapshot must PARTITION the
+    session inventory: no session on both sides, none missing, and
+    the union equals batch sessionization (engine-side, no DuckDB)."""
+    out = entries()["q_state_reader_audit"].fn(spark, sf_dir)
+    got = out.groupBy(
+        "user_id", "session_start", "session_end"
+    ).count().collect()
+    assert got and all(r["count"] == 1 for r in got)  # disjoint sides
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _batch_sessions(spark, ev.withColumn("value", F.lit(0.0))).collect()
+    }
+    have = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.withColumn(
+            "session_start", F.col("session_start").cast("timestamp")
+        ).withColumn(
+            "session_end", F.col("session_end").cast("timestamp")
+        ).collect()
+    }
+    assert have == want
+
+
+def test_statestore_time_travel_invariant(spark, sf_dir, tmp_path):
+    """The statestore source's batchId option is a real audit lever:
+    at EVERY committed batch b, finalized-through-b (sink dirs
+    batch_id ≤ b) ∪ open-state-AT-b must equal batch sessionization
+    of the data staged through b — pinned here for the first and the
+    last committed batch of a 2-data-batch staged run."""
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _SS_GAP_MIN,
+        _await_finite_stream,
+        _stage_batches,
+    )
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    early = ev.where(F.col("ts") <= F.lit(mid))
+
+    tmp = str(tmp_path)
+    src = _stage_batches(tmp, (
+        ("early", early),
+        ("late", ev.where(F.col("ts") > F.lit(mid))),
+    ))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_SS_GAP_MIN} minutes")
+        .groupBy(F.session_window("ts", f"{_SS_GAP_MIN} minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = write_stream_idempotent(
+        agg, f"{tmp}/sink", f"{tmp}/ckpt", output_mode="append"
+    )
+    _await_finite_stream(q, "statestore_time_travel")
+
+    def key_set(df):
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in df.collect()
+        }
+
+    sink = spark.read.option("basePath", f"{tmp}/sink").parquet(f"{tmp}/sink")
+    last = sink.agg(F.max("batch_id")).first()[0]
+    for b, data in ((0, early), (last, ev)):
+        state_b = (
+            spark.read.format("statestore")
+            .option("batchId", b)
+            .load(f"{tmp}/ckpt")
+            .select(
+                F.col("value.user_id").alias("user_id"),
+                F.col("value.session_window.start").alias("session_start"),
+                F.col("value.session_window.end").alias("session_end"),
+                F.col("value.count").alias("n_events"),
+            )
+        )
+        finalized_b = sink.where(F.col("batch_id") <= b).select(
+            "user_id", "session_start", "session_end", "n_events"
+        )
+        want = key_set(_batch_sessions(spark, data))
+        have = key_set(finalized_b) | key_set(state_b)
+        assert have == want, f"audit identity broke at batch {b}"
+
+
+# ---------------------------------------------------------------- Q141
+
+
+def test_pyds_stream_chunk_cadence(spark, sf_dir):
+    """The stream must have delivered exactly the declared ¼-corpus
+    chunk cadence: 4 chunk ordinals, each ≤ ceil(n/4) rows, totals n."""
+    import math
+
+    out = entries()["q_pyds_stream"].fn(spark, sf_dir)
+    per_chunk = {
+        r["chunk_id"]: r["n"]
+        for r in out.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(per_chunk.values())
+    chunk = math.ceil(n / 4)
+    assert set(per_chunk) == {0, 1, 2, 3}
+    assert all(v <= chunk for v in per_chunk.values())
