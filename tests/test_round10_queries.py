@@ -196,3 +196,78 @@ def test_pyds_stream_chunk_cadence(spark, sf_dir):
     chunk = math.ceil(n / 4)
     assert set(per_chunk) == {0, 1, 2, 3}
     assert all(v <= chunk for v in per_chunk.values())
+
+
+def test_statestore_join_sides_readable_and_subset(spark, sf_dir, tmp_path):
+    """The statestore source's OTHER state class: a stream-stream
+    interval join keeps one buffer per side; ``joinSide`` must expose
+    both, every buffered row must be a genuine input row of that side
+    (subset — a corrupted decode would fabricate keys/timestamps), and
+    the side schemas must mirror the two inputs."""
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _await_finite_stream,
+        _stage_batches,
+    )
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    tmp = str(tmp_path)
+    left_rows = ev.select("user_id", "ts")
+    right_rows = ev.select(
+        "user_id", F.col("ts").alias("rts"), "value"
+    )
+    src_l = _stage_batches(f"{tmp}/l", (
+        ("a", left_rows.where(F.col("ts") <= F.lit(mid))),
+        ("b", left_rows.where(F.col("ts") > F.lit(mid))),
+    ))
+    src_r = _stage_batches(f"{tmp}/r", (
+        ("a", right_rows.where(F.col("rts") <= F.lit(mid))),
+        ("b", right_rows.where(F.col("rts") > F.lit(mid))),
+    ))
+    sl = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src_l)
+        .withWatermark("ts", "30 minutes")
+    )
+    sr = (
+        spark.readStream.schema("user_id bigint, rts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src_r)
+        .withWatermark("rts", "30 minutes")
+    )
+    joined = sl.join(
+        sr,
+        (sl["user_id"] == sr["user_id"])
+        & (sr["rts"] >= sl["ts"])
+        & (sr["rts"] <= sl["ts"] + F.expr("INTERVAL 10 MINUTE")),
+    )
+    q = write_stream_idempotent(
+        joined.select(sl["user_id"], "ts", "rts", "value"),
+        f"{tmp}/sink", f"{tmp}/ckpt", output_mode="append",
+    )
+    _await_finite_stream(q, "join_state_audit")
+
+    for side, src_df, ts_col in (
+        ("left", left_rows, "ts"),
+        ("right", right_rows, "rts"),
+    ):
+        st = (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .load(f"{tmp}/ckpt")
+        )
+        vals = st.select("value.*")
+        have_cols = set(vals.columns) & {"user_id", "ts", "rts", "value"}
+        assert "user_id" in have_cols and ts_col in vals.columns, vals.columns
+        buffered = vals.select("user_id", ts_col).distinct()
+        extra = buffered.join(
+            src_df.select("user_id", ts_col).distinct(),
+            ["user_id", ts_col],
+            "left_anti",
+        ).count()
+        assert extra == 0, f"{side} state held rows not in the input"
+        assert st.limit(1).count() == 1, f"{side} state unexpectedly empty"
