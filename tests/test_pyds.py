@@ -144,3 +144,27 @@ def test_stream_schema_has_chunk_column():
     assert DocPayloadDataSource({"path": "x", "chunk_rows": "10"}).schema() == STREAM_SCHEMA
     assert DocPayloadDataSource({"path": "x"}).schema() == PAYLOAD_SCHEMA
     assert STREAM_SCHEMA.startswith(PAYLOAD_SCHEMA)
+
+
+def test_read_row_range_spans_row_groups(tmp_path):
+    """_read_row_range must stitch ranges that straddle row-group
+    boundaries and read ONLY overlapping groups (the sf10 14.5x lesson:
+    whole-file-then-slice is 8x read amplification at scale)."""
+    import pyarrow as pa
+
+    from project_map_reduce_spark.sources.pyds import _read_row_range
+
+    path = str(tmp_path / "multi.parquet")
+    n = 100
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(n)]),
+            "extra": pa.array([i * 2 for i in range(n)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=7)  # 15 groups
+    for lo, hi in ((0, 100), (0, 7), (6, 8), (13, 15), (95, 100), (42, 42)):
+        got = _read_row_range(path, lo, hi)
+        assert got.column("doc_id").to_pylist() == list(range(lo, hi))
+        assert got.column_names == ["doc_id", "text"] or (lo == hi)

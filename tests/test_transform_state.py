@@ -458,3 +458,53 @@ def test_selection_guidance_is_pinned():
         text = f.read()
     assert "Q134 amortization curve" in text
     assert "tools/probe_tws.py" in text
+
+
+def test_pbshim_exposes_only_google_namespace(tmp_path):
+    """ADVICE r9 regression: the fallback path entry must expose ONLY
+    google/* from the GAE bundle — a stray top-level import (yaml,
+    webob, ...) that would resolve to the bundle's ancient copies must
+    still fail/resolve elsewhere, and the version gate must stay
+    strict for cross-major skews."""
+    import os
+    import subprocess
+    import sys
+
+    shim = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "project_map_reduce_spark", "streaming", "pbshim",
+    )
+    code = (
+        "import sitecustomize, sys, os\n"
+        "from google.protobuf import descriptor  # repaired\n"
+        "from project_map_reduce_spark.streaming.pbshim.sitecustomize import"
+        " _FALLBACK_DIRS\n"
+        "bad = [p for p in sys.path if os.path.realpath(p) in"
+        " {os.path.realpath(d) for d in _FALLBACK_DIRS}]\n"
+        "print('BUNDLE_TOPLEVEL_EXPOSED', bool(bad))\n"
+        "import google\n"
+        "print('GOOGLE_VIA_SHIM', any('pmrs_pbshim' in p for p in google.__path__))\n"
+        "from google.protobuf import runtime_version as rv\n"
+        "try:\n"
+        "    rv.ValidateProtobufRuntimeVersion(rv.Domain.PUBLIC, rv.MAJOR + 1,"
+        " 0, 0, '', 'x.py')\n"
+        "    print('CROSS_MAJOR_GATE', 'waved-through')\n"
+        "except Exception:\n"
+        "    print('CROSS_MAJOR_GATE', 'strict')\n"
+        "try:\n"
+        "    rv.ValidateProtobufRuntimeVersion(rv.Domain.PUBLIC, rv.MAJOR,"
+        " rv.MINOR + 1, 0, '', 'x.py')\n"
+        "    print('SAME_MAJOR_GATE', 'lenient')\n"
+        "except Exception:\n"
+        "    print('SAME_MAJOR_GATE', 'strict')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=dict(os.environ, PYTHONPATH=shim),
+        capture_output=True,
+        text=True,
+    )
+    assert "BUNDLE_TOPLEVEL_EXPOSED False" in out.stdout, (out.stdout, out.stderr)
+    assert "GOOGLE_VIA_SHIM True" in out.stdout, (out.stdout, out.stderr)
+    assert "CROSS_MAJOR_GATE strict" in out.stdout, out.stdout
+    assert "SAME_MAJOR_GATE lenient" in out.stdout, out.stdout
