@@ -97,13 +97,13 @@ _DRIVER_WINDOW = [
     "q_pagerank",
     "q_quality_classifier_trained",
     "q_scd2_merge",
-    "q_cdc_apply",
     # -- NEW this round (r10):
     "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
     "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
     "q_state_reader_audit",  # NEW (r10): statestore reader vs sink reconciliation
     "q_pyds_stream",  # NEW (r10): Python DataSource API stream source
     "q_variant_storage",  # NEW (r10): VARIANT parquet storage round-trip
+    "q_lateral_topk",  # NEW (r10): correlated LATERAL decorrelation
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

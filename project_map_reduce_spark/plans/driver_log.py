@@ -198,6 +198,7 @@ _R10_NEW: list[str] = [
     "q_state_reader_audit",
     "q_pyds_stream",
     "q_variant_storage",
+    "q_lateral_topk",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

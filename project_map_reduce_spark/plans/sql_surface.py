@@ -347,3 +347,61 @@ def q_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT s.source, d.doc_id, d.n_chars
+    FROM (SELECT DISTINCT source FROM documents) s,
+    LATERAL (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents x
+        WHERE x.source = s.source
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 3
+    ) d
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q143: correlated LATERAL subquery — the SQL-surface twin of
+    Q27's DataFrame top-k-per-group, and the last big analytic SQL
+    form the inventory didn't exercise: for every source, the LATERAL
+    derived table re-executes logically per outer row (top-3 docs by
+    n_chars, doc_id tiebreak). What gets hash-checked is Catalyst's
+    DECORRELATION of it: the executed plan contains NO per-group loop
+    and no nested-loop join — the correlated ORDER BY ... LIMIT
+    becomes a partial→final ``WindowGroupLimit`` (map-side top-k
+    before the one hash exchange, verified below) + row_number
+    filter, i.e. exactly the plan a hand-written window query would
+    get. DuckDB executes the same LATERAL SQL natively, so both
+    engines' correlated-subquery semantics (including the tie rule)
+    must agree row-for-row.
+
+    Scale shape: one partial top-k per partition (O(partitions × k)
+    rows into the exchange), one hash exchange on source, one final
+    top-k — never sources × corpus. The decorrelation is plan-asserted
+    so a Spark regression to BroadcastNestedLoopJoin fails loudly
+    rather than silently going quadratic at 100 TB.
+    """
+    register_views(spark, sf_dir, tables=("documents",))
+    out = spark.sql(
+        """
+        SELECT s.source, d.doc_id, d.n_chars
+        FROM (SELECT DISTINCT source FROM documents) s,
+        LATERAL (
+            SELECT doc_id, n_chars FROM documents x
+            WHERE x.source = s.source
+            ORDER BY n_chars DESC, doc_id
+            LIMIT 3
+        ) d
+        """
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "WindowGroupLimit" not in plan or "BroadcastNestedLoopJoin" in plan:
+        raise RuntimeError(
+            "q_lateral_topk: LATERAL decorrelation regressed — expected "
+            "a WindowGroupLimit top-k plan without a nested-loop join; "
+            f"got:\n{plan[:2000]}"
+        )
+    return out
