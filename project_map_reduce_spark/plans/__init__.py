@@ -96,7 +96,6 @@ _DRIVER_WINDOW = [
     "q_join_interval_stream",
     "q_pagerank",
     "q_quality_classifier_trained",
-    "q_scd2_merge",
     # -- NEW this round (r10):
     "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
     "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
@@ -104,6 +103,7 @@ _DRIVER_WINDOW = [
     "q_pyds_stream",  # NEW (r10): Python DataSource API stream source
     "q_variant_storage",  # NEW (r10): VARIANT parquet storage round-trip
     "q_lateral_topk",  # NEW (r10): correlated LATERAL decorrelation
+    "q_source_xml",  # NEW (r10): native XML source round-trip
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

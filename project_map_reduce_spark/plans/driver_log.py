@@ -199,6 +199,7 @@ _R10_NEW: list[str] = [
     "q_pyds_stream",
     "q_variant_storage",
     "q_lateral_topk",
+    "q_source_xml",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1220,3 +1220,107 @@ def q_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("parquet").alias("leg"), "*"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q144 — native XML source round-trip (Spark 4 merged spark-xml)
+
+
+_XML_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+@register(
+    "q_source_xml",
+    oracle=f"""
+    WITH slice AS (
+        SELECT * FROM events WHERE event_id % 10 = 0
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               {SUM6.format(expr="value")} AS sum_value,
+               CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS micros_sum,
+               count(DISTINCT props) AS n_props
+        FROM slice
+        GROUP BY event_type
+    )
+    SELECT fmt, event_type, n_events, n_users, sum_value, micros_sum, n_props
+    FROM agg CROSS JOIN (VALUES ('xml'), ('xml_gzip')) fmts(fmt)
+    """,
+)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q144: the NATIVE XML source (spark-xml merged into Spark 4)
+    under Q132's round-trip discipline: the same events slice is
+    written as rowTag-delimited XML documents — plain and
+    gzip-compressed (the compression-codec leg no other source query
+    exercises) — and re-read with an EXPLICIT schema and explicit
+    micros timestamp format on BOTH sides; the oracle computes the
+    aggregate once from raw parquet and cross-joins the two leg
+    labels. The format's own precision trap is real and pinned by
+    tests: the DEFAULT XML timestamp format truncates to MILLISECONDS
+    (probed r10 — micros canary reads ...000), so the explicit
+    `{{fmt}}` option is load-bearing, exactly the kind of silent
+    fidelity loss `micros_sum` exists to catch; `n_props` catches
+    XML entity-escaping mangling of the embedded-JSON strings.
+
+    Scale notes: XML writes/reads are ordinary distributed FileFormat
+    paths (gzip makes each file non-splittable — acceptable for
+    interchange assets, the documented trade); the explicit schema
+    keeps the read single-pass (inference would be an extra full scan
+    at 100 TB). Final aggregate is O(legs × types) rows (Q132's
+    driver-collect note applies).
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(*cols)
+        .where(F.col("event_id") % 10 == 0)
+    )
+    tmp = tempfile.mkdtemp(prefix="q_source_xml_")
+    try:
+        legs = []
+        for fmt, codec in (("xml", None), ("xml_gzip", "gzip")):
+            w = (
+                ev.write.format("xml")
+                .option("rootTag", "events")
+                .option("rowTag", "event")
+                .option("timestampNTZFormat", _XML_TS_FMT)
+                .option("timestampFormat", _XML_TS_FMT)
+            )
+            if codec:
+                w = w.option("compression", codec)
+            w.save(f"{tmp}/{fmt}")
+            back = (
+                spark.read.format("xml")
+                .schema(_RT_SCHEMA)
+                .option("rowTag", "event")
+                .option("timestampNTZFormat", _XML_TS_FMT)
+                .option("timestampFormat", _XML_TS_FMT)
+                .load(f"{tmp}/{fmt}")
+            )
+            micros = F.unix_micros(F.col("ts").cast("timestamp_ltz")) % 1000000
+            legs.append(
+                back.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    sum6("value").alias("sum_value"),
+                    F.sum(micros).alias("micros_sum"),
+                    F.countDistinct("props").alias("n_props"),
+                )
+                .select(F.lit(fmt).alias("fmt"), "*")
+            )
+        rows = legs[0].unionByName(legs[1]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="fmt string, event_type string, n_events bigint, "
+        "n_users bigint, sum_value double, micros_sum bigint, n_props bigint",
+    )

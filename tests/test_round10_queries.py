@@ -271,3 +271,50 @@ def test_statestore_join_sides_readable_and_subset(spark, sf_dir, tmp_path):
         ).count()
         assert extra == 0, f"{side} state held rows not in the input"
         assert st.limit(1).count() == 1, f"{side} state unexpectedly empty"
+
+
+# ---------------------------------------------------------------- Q144
+
+
+def test_xml_default_format_truncates_micros(spark, sf_dir, tmp_path):
+    """The explicit micros timestampFormat in Q144 is load-bearing:
+    the XML writer's DEFAULT format keeps only milliseconds, so the
+    canary (sum of sub-second micros) must differ between a
+    default-format round trip and the source — the exact silent
+    fidelity loss micros_sum exists to catch."""
+    from project_map_reduce_spark.plans.scans import _RT_SCHEMA, _XML_TS_FMT
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .limit(200)
+    )
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz")) % 1000000
+    want = ev.agg(F.sum(micros)).first()[0]
+
+    base = (
+        ev.write.format("xml").option("rootTag", "r").option("rowTag", "e")
+    )
+    base.save(f"{tmp_path}/default_fmt")
+    got_default = (
+        spark.read.format("xml").schema(_RT_SCHEMA).option("rowTag", "e")
+        .load(f"{tmp_path}/default_fmt")
+        .agg(F.sum(micros)).first()[0]
+    )
+    assert got_default != want  # millis truncation is real
+    assert got_default % 1000 == 0
+
+    (
+        ev.write.format("xml").option("rootTag", "r").option("rowTag", "e")
+        .option("timestampNTZFormat", _XML_TS_FMT)
+        .option("timestampFormat", _XML_TS_FMT)
+        .save(f"{tmp_path}/micros_fmt")
+    )
+    got_micros = (
+        spark.read.format("xml").schema(_RT_SCHEMA).option("rowTag", "e")
+        .option("timestampNTZFormat", _XML_TS_FMT)
+        .option("timestampFormat", _XML_TS_FMT)
+        .load(f"{tmp_path}/micros_fmt")
+        .agg(F.sum(micros)).first()[0]
+    )
+    assert got_micros == want
