@@ -94,8 +94,6 @@ _DRIVER_WINDOW = [
     "q_stream_enrich",
     "q_stream_sessions",
     "q_join_interval_stream",
-    "q_pagerank",
-    "q_quality_classifier_trained",
     # -- NEW this round (r10):
     "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
     "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
@@ -104,6 +102,8 @@ _DRIVER_WINDOW = [
     "q_variant_storage",  # NEW (r10): VARIANT parquet storage round-trip
     "q_lateral_topk",  # NEW (r10): correlated LATERAL decorrelation
     "q_source_xml",  # NEW (r10): native XML source round-trip
+    "q_observe_metrics",  # NEW (r10): Observation in-flight metrics
+    "q_udtf_analyze",  # NEW (r10): polymorphic UDTF analyze() schema
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

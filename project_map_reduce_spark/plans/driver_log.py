@@ -200,6 +200,8 @@ _R10_NEW: list[str] = [
     "q_variant_storage",
     "q_lateral_topk",
     "q_source_xml",
+    "q_observe_metrics",
+    "q_udtf_analyze",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -355,3 +355,70 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_profile_approx, k=_PROFILE_LGK, t=_PROFILE_RSD3)
+
+
+# ---------------------------------------------------------------------------
+# Q145 — Observation metrics: pipeline totals for free on the main action
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT source,
+           count(*)                          AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)      AS sum_chars,
+           CAST(max(n_chars) AS BIGINT)      AS max_chars
+    FROM documents
+    GROUP BY source
+    UNION ALL
+    SELECT '__total__'                       AS source,
+           count(*)                          AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)      AS sum_chars,
+           CAST(max(n_chars) AS BIGINT)      AS max_chars
+    FROM documents
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q145: the ``Observation`` API (``df.observe``) driver-hash-
+    checked — in-flight metrics collected DURING the main action, the
+    100 TB health-check pattern: corpus-wide totals (row count, char
+    sum, char max) ride the same single scan that computes the
+    per-source aggregate, instead of a second full pass. The observed
+    node sees every row of the scan exactly once regardless of how
+    Catalyst rearranges the plan around it — that exactly-once
+    metric contract is what the hash checks: the ``__total__`` row is
+    BUILT FROM THE OBSERVATION (never recomputed), while the oracle
+    recomputes the same totals independently; a dropped/duplicated
+    observation (e.g. a re-executed stage feeding the metrics twice)
+    would corrupt the row and fail the driver hash.
+
+    Scale shape: one scan, one map-side-combined hash agg for the
+    per-source rows, and the observation's accumulator-style merge for
+    the totals — O(sources)+O(1) result rows; no second job, no extra
+    exchange (the observe node is a pass-through in the physical plan).
+    """
+    from pyspark.sql import Observation
+
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    obs = Observation("q145_totals")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    per_source = (
+        observed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .collect()  # the ONE action; obs.get is defined after it
+    )
+    m = obs.get
+    schema = "source string, n_docs bigint, sum_chars bigint, max_chars bigint"
+    rows = [tuple(r) for r in per_source] + [
+        ("__total__", m["n_docs"], m["sum_chars"], m["max_chars"])
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -168,3 +168,87 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q146 — polymorphic Python UDTF: analyze()-computed output schema
+
+
+@register(
+    "q_udtf_analyze",
+    oracle="""
+    WITH words AS (
+        SELECT split_part(text, ' ', 1) AS w0,
+               CASE WHEN split_part(text, ' ', 2) = '' THEN NULL
+                    ELSE split_part(text, ' ', 2) END AS w1,
+               CASE WHEN split_part(text, ' ', 3) = '' THEN NULL
+                    ELSE split_part(text, ' ', 3) END AS w2
+        FROM documents
+    )
+    SELECT w0,
+           count(*) AS n_docs,
+           count(DISTINCT w1) AS n_second_words,
+           count(DISTINCT w2) AS n_third_words
+    FROM words
+    GROUP BY w0
+    """,
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q146: POLYMORPHIC Python UDTF — Spark 4's ``analyze()`` static
+    method computes the OUTPUT SCHEMA from the call's literal
+    arguments at plan time (Q87 declared a fixed ``returnType``; this
+    is the half of the UDTF surface it couldn't show): ``fixed_split
+    (text, n)`` returns n string columns ``w0..w{n-1}``, so the same
+    function is reusable at any width and the width is part of the
+    PLAN, not the data. The driver hash checks the whole contract —
+    analyze-time schema, per-row eval fan-out (exactly one row per
+    doc), NULL padding for short docs — against DuckDB's split_part
+    (whose empty-string-for-missing is normalized to NULL, pinning
+    the two engines' different missing-token conventions).
+
+    analyze() constraints pinned here: the width argument must be a
+    foldable constant (a column would make the schema data-dependent
+    — rejected loudly at plan time by the assert), which is exactly
+    the 100 TB contract: schema negotiation happens once at plan
+    time, never per partition. Slow-path note (SURVEY B.11): a
+    row-at-a-time Python UDTF is the declared API-coverage lane; the
+    vectorized equivalent of THIS op is Q33's split + getItem
+    projection.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FixedSplit:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int):
+                raise ValueError(
+                    "fixed_split: width must be a foldable int literal — "
+                    "the output schema is decided at PLAN time"
+                )
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"w{i}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            ws = (text or "").split(" ")
+            yield tuple(ws[i] if i < len(ws) else None for i in range(n))
+
+    spark.udtf.register("q146_fixed_split", udtf(FixedSplit))
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT s.w0,
+               count(*) AS n_docs,
+               count(DISTINCT s.w1) AS n_second_words,
+               count(DISTINCT s.w2) AS n_third_words
+        FROM documents d, LATERAL q146_fixed_split(d.text, 3) s
+        GROUP BY s.w0
+        """
+    )
