@@ -508,3 +508,87 @@ def test_pbshim_exposes_only_google_namespace(tmp_path):
     assert "GOOGLE_VIA_SHIM True" in out.stdout, (out.stdout, out.stderr)
     assert "CROSS_MAJOR_GATE strict" in out.stdout, out.stdout
     assert "SAME_MAJOR_GATE lenient" in out.stdout, out.stdout
+
+
+# ---------------------------------------------------------------------------
+# Property: under the documented watermark-legal delivery contract, the
+# processor's emitted ∪ open sessions equal brute-force gap
+# sessionization for ANY event set and ANY batch split (hypothesis).
+
+
+def _brute_sessions(us_sorted):
+    out, cur = [], [us_sorted[0]]
+    for t in us_sorted[1:]:
+        if t - cur[-1] <= _MIN_US * 30:
+            cur.append(t)
+        else:
+            out.append(cur)
+            cur = [t]
+    out.append(cur)
+    return {(s[0], s[-1], len(s)) for s in out}
+
+
+def test_any_batch_split_matches_brute_force():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def events_and_split(draw):
+        # Event times on a minute lattice (keeps sums exact) with gaps
+        # straddling the 30-min session boundary in both directions.
+        n = draw(st.integers(2, 40))
+        steps = draw(
+            st.lists(st.integers(1, 70), min_size=n - 1, max_size=n - 1)
+        )
+        ts = [0]
+        for d in steps:
+            ts.append(ts[-1] + d)
+        # Batch boundaries: any ordered split into 1..4 slices. Rows
+        # inside a slice may be shuffled (the processor sorts); slices
+        # themselves are time-ordered = the watermark-legal contract
+        # the module documents (sub-gap backward overlap is exercised
+        # by shifting the boundary row into the NEXT batch).
+        k = draw(st.integers(1, 4))
+        cuts = sorted(draw(st.lists(st.integers(1, n - 1), min_size=k - 1, max_size=k - 1)))
+        slices, lo = [], 0
+        for c in cuts + [n]:
+            if c > lo:
+                slices.append(ts[lo:c])
+            lo = c
+        demote = draw(st.booleans())
+        if demote and len(slices) > 1 and len(slices[0]) > 1:
+            # Move the first batch's LAST row into batch 2 — arrives
+            # "late" but within gap of the carried session iff the data
+            # says so; the merge must reconstruct the same sessions.
+            slices[1].insert(0, slices[0].pop())
+        return ts, slices
+
+    @given(ev=events_and_split())
+    @settings(max_examples=120, deadline=None)
+    def run(ev):
+        ts, slices = ev
+        us_all = sorted(t * _MIN_US for t in ts)
+        p, h = _proc()
+        emitted = []
+        for sl in slices:
+            if not sl:
+                continue
+            out = list(
+                p.handleInputRows((1,), iter([_batch([t * _MIN_US for t in sl])]), None)
+            )
+            for frame in out:
+                for r in frame.itertuples():
+                    emitted.append(
+                        (
+                            int(r.session_start.value // 1000),
+                            int(r.session_end.value // 1000) - 30 * _MIN_US,
+                            int(r.n_events),
+                        )
+                    )
+        open_s = h.states["sess"].v
+        have = set(emitted)
+        if open_s is not None:
+            have.add((open_s[0], open_s[1], open_s[2]))
+        assert have == _brute_sessions(us_all)
+
+    run()
