@@ -92,8 +92,6 @@ _DRIVER_WINDOW = [
     #    displaced r8 queries rotate in next round at the ceiling).
     "q_stream_dedup_watermark",
     "q_stream_enrich",
-    "q_stream_sessions",
-    "q_join_interval_stream",
     # -- NEW this round (r10):
     "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
     "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
@@ -104,6 +102,8 @@ _DRIVER_WINDOW = [
     "q_source_xml",  # NEW (r10): native XML source round-trip
     "q_observe_metrics",  # NEW (r10): Observation in-flight metrics
     "q_udtf_analyze",  # NEW (r10): polymorphic UDTF analyze() schema
+    "q_corrupt_quarantine",  # NEW (r10): PERMISSIVE/DROPMALFORMED/FAILFAST quarantine
+    "q_stream_chained_agg",  # NEW (r10): chained stateful operators (SPARK-40925)
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

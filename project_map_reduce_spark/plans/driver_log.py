@@ -202,6 +202,8 @@ _R10_NEW: list[str] = [
     "q_source_xml",
     "q_observe_metrics",
     "q_udtf_analyze",
+    "q_corrupt_quarantine",
+    "q_stream_chained_agg",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1324,3 +1324,140 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="fmt string, event_type string, n_events bigint, "
         "n_users bigint, sum_value double, micros_sum bigint, n_props bigint",
     )
+
+
+@register(
+    "q_corrupt_quarantine",
+    oracle=f"""
+    WITH slice AS (
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE event_id % 10 = 0
+    ),
+    ok AS (
+        SELECT 'dropmalformed' AS status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {SUM6.format(expr="value")} AS sum_value,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM slice WHERE event_id % 7 <> 0
+    )
+    SELECT 'permissive_ok' AS status, n_rows, sum_value, id_sum FROM ok
+    UNION ALL
+    SELECT 'permissive_quarantined' AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_value,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM slice WHERE event_id % 7 = 0
+    UNION ALL
+    SELECT status, n_rows, sum_value, id_sum FROM ok
+    """,
+)
+def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q147: malformed-record QUARANTINE ingestion, driver-hash-checked —
+    the dirty-data contract every 100 TB ingest boundary needs and no
+    other query exercises: a CSV batch where a deterministic subset of
+    lines is corrupted (the ``value`` field replaced by non-numeric
+    text on every ``event_id % 7 == 0`` row) is read back through all
+    three CSV parser modes, and the hash proves each mode's exact
+    semantics:
+
+    - PERMISSIVE + ``columnNameOfCorruptRecord``: good rows parse
+      fully (``permissive_ok`` row: count + exact DECIMAL(27,6) value
+      sum + id checksum over the clean subset); bad rows are neither
+      dropped nor fatal — the RAW LINE is preserved in the corrupt
+      column, and the query proves recoverability by re-parsing the
+      intact leading field out of the quarantined raw lines
+      (``permissive_quarantined`` row's ``id_sum`` can only match the
+      oracle's ``sum(event_id) WHERE event_id % 7 = 0`` if every
+      corrupt line survived byte-intact into quarantine).
+    - DROPMALFORMED: silently drops the bad rows — its aggregate must
+      equal the permissive-ok aggregate exactly.
+    - FAILFAST: must raise on the first malformed line (contract-tested
+      in tests/test_round10_queries.py, not hashable).
+
+    The reference has no quarantine path — a failed record kills the
+    worker's message visibility and the job retries it forever
+    (ref Workers.java:186-187 emits an in-band error line only for
+    UNKNOWN operations; parse failures are unhandled). This query is
+    the scalable restatement: corrupt input is data, not an exception.
+
+    Scale notes: quarantining is a property of the SCAN — one
+    distributed pass, no extra shuffle beyond the final O(1)-row
+    aggregate; the corrupt column costs nothing on clean rows (null).
+    The `.cache()` on the permissive read is load-bearing and bounded:
+    Spark disallows filtering a CSV relation by the corrupt column
+    alone without it (the parser would need a second pass to know
+    which rows failed — SPARK-21610), and what is cached is the
+    PROJECTED 4-column slice, not the raw bytes. Scratch files removed
+    before returning (Q132's pattern); the returned aggregate is 3 rows.
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .where(F.col("event_id") % 10 == 0)
+    )
+    # event_type values are single-token identifiers (no commas/quotes)
+    # — premise of the hand-built CSV lines; the corrupt marker keeps
+    # the id field intact so quarantine recovery has something to prove.
+    corrupt = F.col("event_id") % 7 == 0
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.when(corrupt, F.concat(F.lit("!corrupt!"), F.col("event_id")))
+        .otherwise(F.col("value").cast("string")),
+    )
+    tmp = tempfile.mkdtemp(prefix="q_corrupt_quarantine_")
+    schema_ok = "event_id long, event_type string, value double"
+    schema_q = schema_ok + ", _quarantine string"
+    try:
+        ev.select(line.alias("value")).write.text(f"{tmp}/csv")
+
+        perm = (
+            spark.read.schema(schema_q)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_quarantine")
+            .csv(f"{tmp}/csv")
+        ).cache()
+        try:
+            ok = perm.where(F.col("_quarantine").isNull()).agg(
+                F.lit("permissive_ok").alias("status"),
+                F.count(F.lit(1)).alias("n_rows"),
+                sum6("value").alias("sum_value"),
+                F.sum("event_id").alias("id_sum"),
+            )
+            # Recover ids from the RAW quarantined lines, not the parsed
+            # columns — proves byte-intact preservation.
+            quar = perm.where(F.col("_quarantine").isNotNull()).agg(
+                F.lit("permissive_quarantined").alias("status"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_value"),
+                F.sum(
+                    F.split(F.col("_quarantine"), ",").getItem(0).cast("long")
+                ).alias("id_sum"),
+            )
+            dropped = (
+                spark.read.schema(schema_ok)
+                .option("mode", "DROPMALFORMED")
+                .csv(f"{tmp}/csv")
+                .agg(
+                    F.lit("dropmalformed").alias("status"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    sum6("value").alias("sum_value"),
+                    F.sum("event_id").alias("id_sum"),
+                )
+            )
+            rows = ok.unionByName(quar).unionByName(dropped).collect()
+        finally:
+            perm.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="status string, n_rows bigint, sum_value double, id_sum bigint",
+    )

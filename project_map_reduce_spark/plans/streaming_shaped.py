@@ -1224,3 +1224,153 @@ def q_state_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_stream_chained_agg",
+    oracle="""
+    WITH w1 AS (
+        -- epoch-aligned 6h buckets (explicit epoch origin: DuckDB's
+        -- default time_bucket origin is 2000-01-03, not 1970-01-01)
+        SELECT time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01')
+                   AS w_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', w_start) AS TIMESTAMP) AS day_start,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(CAST(sum_value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM w1
+    GROUP BY 1
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q148: CHAINED stateful operators in ONE streaming query,
+    driver-hash-checked — the Spark 3.4+ multiple-stateful-operator
+    surface (SPARK-40925) no other query exercises: a 6-hour tumbling
+    aggregation per event_type feeds a SECOND windowed aggregation (a
+    per-day rollup of the 6-hour slots) inside the same micro-batch
+    pipeline, with ``window_time()`` re-deriving the downstream event
+    time from the upstream window struct. Pre-3.4 this plan was
+    rejected outright; it is the streaming answer to Q80's batch
+    time-rollup hierarchy.
+
+    Flush protocol (the part a finite availableNow run must get right):
+    chained aggs REQUIRE append mode, and an append-mode window emits
+    only when the watermark passes its end — so after 3 in-order
+    event-time range chunks (Q101's staging), a SENTINEL batch (one
+    synthetic row 1 day + 3 h past the last real day boundary) pushes
+    the watermark beyond every real day window, and a trailing EMPTY
+    SPACER batch absorbs the one-batch lag between watermark
+    advancement and state eviction (Q98's pinned semantics). Both
+    cascades flush in the spacer batch: agg1 emits its closed 6-hour
+    slots, and agg2 — fed those slots IN THE SAME micro-batch — closes
+    the day windows. The sentinel's own slot lands in a later day and
+    is excluded by an event-time bound in the snapshot read.
+
+    The hash is sensitive to the whole chain: ``n_slots`` counts agg1's
+    emitted (slot, event_type) groups — a duplicated or dropped
+    upstream emission changes it; the value chain is DECIMAL(27,6)
+    exact at BOTH levels (6dp doubles re-entering decimal is lossless),
+    so drift anywhere breaks the hash.
+
+    Scale shape: state is O(open windows) at both levels — a few
+    hundred keys at any corpus size (shuffle partitions pinned small,
+    Q98's measured rationale); append-mode sink is write-once per
+    window (no last-update resolution needed); snapshot read stays
+    distributed (SURVEY §4.2).
+    """
+    from project_map_reduce_spark.functions.det import sum6
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None or hi is None:
+        raise ValueError("events table is empty — nothing to stream")
+    span_us = max(1, int((hi - lo).total_seconds() * 1_000_000))
+    day_bound = hi.replace(hour=0, minute=0, second=0, microsecond=0)
+    sentinel_ts = day_bound + datetime.timedelta(days=1, hours=3)
+
+    tmp = tempfile.mkdtemp(prefix="pmrs_q148_")
+    out_dir = _session_output_dir("pmrs_q148_final_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        frac = (
+            F.timestamp_diff("MICROSECOND", F.lit(lo), F.col("ts"))
+            / F.lit(span_us)
+        )
+        chunk = F.least(F.floor(frac * 3), F.lit(2))
+        sentinel = spark.createDataFrame(
+            [(sentinel_ts, "__sentinel__", 0.0)],
+            "ts timestamp, event_type string, value double",
+        )
+        src = _stage_batches(tmp, (
+            ("c0", ev.where(chunk == 0)),
+            ("c1", ev.where(chunk == 1)),
+            ("c2", ev.where(chunk == 2)),
+            ("sentinel", sentinel),
+            ("spacer", ev.where(F.lit(False))),
+        ))
+
+        # State is O(open windows) x 2 operators — a small constant
+        # beats cores-many state partitions (Q98's measured rationale).
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        slots = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+            )
+        )
+        days = (
+            slots.groupBy(
+                F.window(F.window_time("window"), "1 day").alias("day_w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_slots"),
+                F.sum("n_events").alias("n_events"),
+                sum6("sum_value").alias("sum_value"),
+            )
+            .select(
+                F.col("day_w.start").alias("day_start"),
+                "n_slots",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = write_stream_idempotent(
+            days, f"{tmp}/sink", f"{tmp}/ckpt", output_mode="append"
+        )
+        _await_finite_stream(q, "q_stream_chained_agg")
+        snap = spark.read.option("basePath", f"{tmp}/sink").parquet(
+            f"{tmp}/sink"
+        )
+        (
+            snap.where(F.col("day_start") < F.lit(sentinel_ts))
+            .select(
+                F.col("day_start").cast("timestamp_ntz").alias("day_start"),
+                "n_slots",
+                "n_events",
+                "sum_value",
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)

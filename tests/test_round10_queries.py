@@ -318,3 +318,69 @@ def test_xml_default_format_truncates_micros(spark, sf_dir, tmp_path):
         .agg(F.sum(micros)).first()[0]
     )
     assert got_micros == want
+
+
+# ---------------------------------------------------------------- Q147
+
+
+def test_corrupt_quarantine_modes_agree(spark, sf_dir):
+    """Engine-side halves of the Q147 contract (no DuckDB): the
+    DROPMALFORMED aggregate must equal the PERMISSIVE ok-side exactly,
+    and ok + quarantined row counts must cover the whole slice."""
+    rows = {r["status"]: r for r in
+            entries()["q_corrupt_quarantine"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"permissive_ok", "permissive_quarantined",
+                         "dropmalformed"}
+    ok, quar, drop = (rows["permissive_ok"], rows["permissive_quarantined"],
+                      rows["dropmalformed"])
+    assert (ok["n_rows"], ok["sum_value"], ok["id_sum"]) == (
+        drop["n_rows"], drop["sum_value"], drop["id_sum"])
+    assert quar["sum_value"] is None and quar["n_rows"] > 0
+    n_slice = (load(spark, sf_dir, "events")
+               .where(F.col("event_id") % 10 == 0).count())
+    assert ok["n_rows"] + quar["n_rows"] == n_slice
+
+
+def test_corrupt_failfast_raises(spark, tmp_path):
+    """FAILFAST is the third CSV mode Q147 documents: the first
+    malformed line must abort the scan with SparkException."""
+    p = str(tmp_path / "ff")
+    spark.createDataFrame(
+        [("1,click,2.5",), ("2,click,!corrupt!2",)], "value string"
+    ).coalesce(1).write.text(p)
+    df = (spark.read.schema("event_id long, event_type string, value double")
+          .option("mode", "FAILFAST").csv(p))
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+# ---------------------------------------------------------------- Q148
+
+
+def test_chained_agg_equals_batch_two_level(spark, sf_dir):
+    """Engine-side half of the Q148 contract (no DuckDB): the chained
+    stateful streaming result must equal the same two-level window
+    rollup computed in one batch plan — and no sentinel-day row may
+    leak into the snapshot."""
+    from project_map_reduce_spark.functions.det import sum6
+
+    got = {tuple(r) for r in
+           entries()["q_stream_chained_agg"].fn(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    w1 = (ev.groupBy(F.window("ts", "6 hours").alias("window"), "event_type")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               sum6("value").alias("sum_value")))
+    want = {tuple(r) for r in (
+        w1.groupBy(F.window(F.window_time("window"), "1 day").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_slots"),
+             F.sum("n_events").alias("n_events"),
+             sum6("sum_value").alias("sum_value"))
+        .select(F.col("d.start").cast("timestamp_ntz").alias("day_start"),
+                "n_slots", "n_events", "sum_value")
+    ).collect()}
+    assert got == want
+    n_days = len({r[0].date() for r in got})
+    assert len(got) == n_days  # one row per real day, sentinel excluded
