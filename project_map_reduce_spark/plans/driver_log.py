@@ -204,6 +204,7 @@ _R10_NEW: list[str] = [
     "q_udtf_analyze",
     "q_corrupt_quarantine",
     "q_stream_chained_agg",
+    "q_collated_group",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -405,3 +405,92 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"got:\n{plan[:2000]}"
         )
     return out
+
+
+@register(
+    "q_collated_group",
+    oracle="""
+    WITH d AS (
+        SELECT CASE
+                 WHEN doc_id % 3 = 0 THEN upper(source)
+                 WHEN doc_id % 3 = 1
+                   THEN upper(substr(source, 1, 1)) || substr(source, 2)
+                 ELSE source
+               END AS k,
+               n_chars
+        FROM documents
+    )
+    SELECT lower(k) AS source_ci,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_case_variants,
+           CAST(sum(n_chars) AS BIGINT)      AS sum_chars
+    FROM d
+    GROUP BY lower(k)
+    """,
+)
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q149: COLLATION-aware grouping — the Spark 4.0 string-collation
+    surface (collations are a first-class string-type property since
+    4.0; no other query exercises them). A deterministically
+    case-mangled key (``doc_id % 3`` selects UPPER / Capitalized / raw
+    spellings of ``source``) is grouped under ``UTF8_LCASE`` collation:
+    the COMPARISON SEMANTICS live in the type, so the hash aggregate
+    itself — not a ``lower()`` wrapped around every reference — merges
+    the case variants. ``n_case_variants`` re-collates the key back to
+    ``UTF8_BINARY`` inside a distinct-count, proving the two collations
+    coexist in one aggregate (binary distinct sees 3 spellings where
+    the case-insensitive group key sees 1); the output label is
+    canonicalized via ``lower(k COLLATE UTF8_BINARY)`` so the returned
+    schema carries PLAIN strings (no collation leaks to the driver).
+
+    Why it matters at 100 TB: a collated column pushes case-insensitive
+    equality into every comparison site — joins, group keys, DISTINCT —
+    without materializing a second normalized column (and without the
+    correctness trap of forgetting one ``lower()`` at one site). The
+    oracle models the classic normalize-by-hand form; the hash matches
+    only if UTF8_LCASE grouping is exactly lower-case-equality grouping
+    on this corpus.
+
+    Scale shape: one hash aggregate, partial+final, same exchange
+    profile as any groupBy; the collated comparison is JVM-side
+    (no Python). Case-mangling premise: ``source`` values are ASCII
+    (asserted loud — non-ASCII case folding differs legitimately
+    between UTF8_LCASE and ``lower()``, and this query pins the ASCII
+    contract only).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bad = docs.where(~F.col("source").rlike("^[\\x00-\\x7F]*$")).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            "q_collated_group: non-ASCII source value — the lower()-oracle "
+            "equivalence is pinned for ASCII only"
+        )
+    m = F.col("doc_id") % 3
+    k = (
+        F.when(m == 0, F.upper("source"))
+        .when(
+            m == 1,
+            F.concat(
+                F.upper(F.substring("source", 1, 1)),
+                F.expr("substr(source, 2)"),
+            ),
+        )
+        .otherwise(F.col("source"))
+    )
+    return (
+        docs.select(F.collate(k, "UTF8_LCASE").alias("k"), "n_chars")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.collate("k", "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.lower(F.collate("k", "UTF8_BINARY")).alias("source_ci"),
+            "n_docs",
+            "n_case_variants",
+            "sum_chars",
+        )
+    )

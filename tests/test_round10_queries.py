@@ -384,3 +384,26 @@ def test_chained_agg_equals_batch_two_level(spark, sf_dir):
     assert got == want
     n_days = len({r[0].date() for r in got})
     assert len(got) == n_days  # one row per real day, sentinel excluded
+
+
+# ---------------------------------------------------------------- Q149
+
+
+def test_collated_group_sensitivity_and_schema(spark, sf_dir):
+    """UTF8_LCASE must be doing real work (binary grouping on the same
+    mangled key yields MORE groups), each merged group must carry >1
+    case variant, and the returned schema must be PLAIN strings — no
+    collation may leak into the driver-facing schema."""
+    df = entries()["q_collated_group"].fn(spark, sf_dir)
+    assert df.schema["source_ci"].dataType.simpleString() == "string"
+    rows = df.collect()
+    n_ci = len(rows)
+    assert all(r["n_case_variants"] >= 2 for r in rows)
+    n_binary = sum(r["n_case_variants"] for r in rows)
+    assert n_binary > n_ci
+
+
+def test_collated_group_plan_is_jvm_only(spark, sf_dir):
+    df = entries()["q_collated_group"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
