@@ -90,7 +90,6 @@ _DRIVER_WINDOW = [
     #    New round-10 queries displace entries from the TAIL of this
     #    block as they land (new queries are in-window from birth; the
     #    displaced r8 queries rotate in next round at the ceiling).
-    "q_stream_dedup_watermark",
     # -- NEW this round (r10):
     "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
     "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
@@ -104,6 +103,7 @@ _DRIVER_WINDOW = [
     "q_corrupt_quarantine",  # NEW (r10): PERMISSIVE/DROPMALFORMED/FAILFAST quarantine
     "q_stream_chained_agg",  # NEW (r10): chained stateful operators (SPARK-40925)
     "q_collated_group",  # NEW (r10): UTF8_LCASE collation grouping
+    "q_sql_script",  # NEW (r10): SQL scripting WHILE/DECLARE + parameterized SQL
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

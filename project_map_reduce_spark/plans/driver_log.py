@@ -205,6 +205,7 @@ _R10_NEW: list[str] = [
     "q_corrupt_quarantine",
     "q_stream_chained_agg",
     "q_collated_group",
+    "q_sql_script",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

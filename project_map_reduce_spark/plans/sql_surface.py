@@ -494,3 +494,98 @@ def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars",
         )
     )
+
+
+@register(
+    "q_sql_script",
+    oracle="""
+    WITH total AS (SELECT count(*) AS n FROM documents),
+    pows AS (
+        SELECT CAST(power(2, g) AS BIGINT) AS w
+        FROM generate_series(0, 40) t(g)
+    ),
+    tails AS (
+        SELECT w,
+               (SELECT count(*) FROM documents WHERE n_chars >= w) AS tail
+        FROM pows
+    ),
+    chosen AS (
+        SELECT min(w) AS w FROM tails, total WHERE tail * 20 < total.n
+    )
+    SELECT chosen.w AS bucket_width,
+           CAST(floor(n_chars / chosen.w) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents, chosen
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q150: SQL SCRIPTING control flow + parameterized SQL — the two
+    Spark 4.0 driver-side SQL surfaces no other query exercises, doing
+    a real job: ADAPTIVE bucketING. A ``BEGIN … END`` script (DECLARE
+    session-scoped variables, a ``WHILE … DO`` loop whose condition
+    and body re-run scalar aggregate queries) doubles a power-of-two
+    bucket width until fewer than 5% of documents sit above it — the
+    data-dependent fixed point a static query cannot express (Spark
+    rejected any multi-statement/control-flow form before 4.0) — and
+    the final histogram then runs as a PARAMETERIZED query
+    (``spark.sql(sql, args={"w": …})``, the named-marker binding
+    surface) over the chosen width.
+
+    The integer-exact loop condition (``tail * 20 >= total``) avoids
+    float thresholds; the oracle replays the whole search closed-form
+    (generate_series of candidate widths → min satisfying width), so
+    the hash fails if the loop stops one doubling early or late OR the
+    parameter binding mangles the width.
+
+    Scale shape: each loop iteration is ONE distributed count with a
+    pushed-down ``n_chars >= w`` predicate (O(log(max_chars))
+    iterations total — 20-ish scans worst case, each cheaper than a
+    full aggregate); only O(1) scalars (the script's variable frame)
+    ever reach the driver. This is the idiomatic home for
+    driver-side fixed-point refinement (the reference has no analog;
+    its Manager loop is job orchestration, not data iteration —
+    ref Manager.java:287-312).
+
+    Engine note: ``spark.sql`` returns the script's LAST statement
+    result; the script here ends with ``SELECT w`` (an O(1) row), and
+    the histogram is deliberately OUTSIDE the script so the returned
+    plan is an ordinary Catalyst aggregate a downstream consumer can
+    compose with (scripts materialize eagerly).
+    """
+    register_views(spark, sf_dir, ("documents",))
+    try:
+        script = """
+        BEGIN
+          -- DECLARE defaults must be subquery-free (INVALID_DEFAULT_VALUE
+          -- .SUBQUERY_EXPRESSION); aggregates bind via SET.
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE w BIGINT DEFAULT 1;
+          DECLARE tail BIGINT DEFAULT 0;
+          SET total = (SELECT count(*) FROM documents);
+          SET tail = (SELECT count(*) FROM documents WHERE n_chars >= 1);
+          WHILE tail * 20 >= total DO
+            SET w = w * 2;
+            SET tail = (SELECT count(*) FROM documents WHERE n_chars >= w);
+          END WHILE;
+          SELECT w;
+        END
+        """
+        (row,) = spark.sql(script).collect()
+        w = int(row[0])
+        if w <= 0 or (w & (w - 1)) != 0:
+            raise ValueError(f"q_sql_script: loop produced a non-power-of-2 width {w}")
+        return spark.sql(
+            """
+            SELECT CAST(:w AS BIGINT)                   AS bucket_width,
+                   CAST(floor(n_chars / :w) AS BIGINT)  AS bucket,
+                   CAST(count(*) AS BIGINT)             AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT)         AS sum_chars
+            FROM documents
+            GROUP BY 1, 2
+            """,
+            args={"w": w},
+        )
+    finally:
+        spark.catalog.dropTempView("documents")

@@ -407,3 +407,26 @@ def test_collated_group_plan_is_jvm_only(spark, sf_dir):
     df = entries()["q_collated_group"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- Q150
+
+
+def test_sql_script_fixed_point_is_minimal(spark, sf_dir):
+    """Engine-side half of the Q150 contract: the script's WHILE loop
+    must stop at the MINIMAL power-of-two width whose tail is <5% —
+    one doubling earlier must still violate the threshold."""
+    rows = entries()["q_sql_script"].fn(spark, sf_dir).collect()
+    widths = {r["bucket_width"] for r in rows}
+    assert len(widths) == 1
+    w = widths.pop()
+    assert w > 0 and (w & (w - 1)) == 0
+    docs = load(spark, sf_dir, "documents")
+    total = docs.count()
+    tail = docs.where(F.col("n_chars") >= w).count()
+    assert tail * 20 < total
+    if w > 1:
+        prev_tail = docs.where(F.col("n_chars") >= w // 2).count()
+        assert prev_tail * 20 >= total
+    # histogram covers the whole corpus
+    assert sum(r["n_docs"] for r in rows) == total
