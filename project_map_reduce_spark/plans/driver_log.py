@@ -208,11 +208,26 @@ _R10_NEW: list[str] = [
     "q_sql_script",
 ]
 
+# Round-10 OVERFLOW: the window must hold all 37 r7-cohort queries this
+# round (the two-round staleness ceiling), leaving exactly 13 slots for
+# new queries — _R10_NEW fills them. Queries below were born after the
+# window filled; they are jv-parity- and pytest-verified this round and
+# MUST open round 11's window (their first driver signal is deferred
+# one round — the ledger records the deferral explicitly rather than
+# silently aging a cohort query past its ceiling).
+_R10_NEW_DEFERRED: list[str] = [
+    "q_file_provenance",
+]
+
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 7 for q in _R7_COHORT},
     **{q: 8 for q in _R8_COHORT},
     **{q: 9 for q in _R9_COHORT},
     **{q: CURRENT_ROUND for q in _R10_NEW},
+    # Deferred queries' first driver signal lands in round N+1; the
+    # N+1 value keeps the staleness math honest (they hold no signal
+    # at all yet — the audit test pairs this with artifact absence).
+    **{q: CURRENT_ROUND + 1 for q in _R10_NEW_DEFERRED},
 }
 
 

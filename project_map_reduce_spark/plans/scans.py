@@ -1461,3 +1461,90 @@ def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="status string, n_rows bigint, sum_value double, id_sum bigint",
     )
+
+
+@register(
+    "q_file_provenance",
+    oracle=f"""
+    SELECT CAST(event_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           CAST(1 AS BIGINT)            AS n_files,
+           CAST(count(*) - 1 AS BIGINT) AS max_row_index,
+           {SUM6.format(expr="value")}  AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q151: the ``_metadata`` hidden column — per-FILE provenance read
+    straight from the scan, the lineage primitive (which file did this
+    row come from, at which position) every 100 TB audit/debug loop
+    needs and no other query exercises. The events slice is written
+    partitioned by ``bucket = event_id % 4`` (one file per partition
+    directory — a single writer task pins that, see below), read back,
+    and each row's ``_metadata.file_path`` / ``_metadata.row_index``
+    drive the aggregate: ``bucket`` is re-derived FROM THE FILE PATH
+    (not from data — a row routed to the wrong directory breaks the
+    hash), ``n_files`` counts distinct physical files per bucket, and
+    ``max_row_index`` must equal ``n_rows − 1`` (parquet row_index is
+    0-based and contiguous per file, so a gap or overlap — a torn scan
+    — breaks the equality). ``sum_value`` ties file placement back to
+    row CONTENT.
+
+    ``_metadata`` is resolved at the scan (a metadata struct attached
+    by the FileFormat reader, constant-folded per file/row-group) —
+    requesting it costs no extra I/O and no shuffle; it simply must be
+    SELECTED explicitly (never appears in ``*``).
+
+    Determinism note: the scratch write goes through ``coalesce(1)``
+    so ONE task writes all four partition directories → exactly one
+    file each, making ``n_files``/``max_row_index`` oracle-expressible.
+    Production provenance does not need that pin — per-file contiguity
+    of row_index holds at any file count; it is only the per-BUCKET
+    single-file arithmetic that wants a deterministic layout. Scratch
+    removed before returning; the result is 4 rows.
+
+    Reference parity: the reference's per-record result lines carry the
+    source object URL as provenance (ref Workers.java:131-148 emits
+    "<operation>: <inputUrl> <outputUrl>"); ``_metadata.file_path`` is
+    the scan-native restatement.
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .withColumn("bucket", F.col("event_id") % 4)
+    )
+    tmp = tempfile.mkdtemp(prefix="q_file_provenance_")
+    try:
+        ev.coalesce(1).write.partitionBy("bucket").parquet(f"{tmp}/part")
+        back = spark.read.parquet(f"{tmp}/part").select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "value",
+        )
+        out = (
+            back.withColumn(
+                "bucket",
+                F.regexp_extract("file_path", r"bucket=(\d+)", 1).cast("long"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("file_path").alias("n_files"),
+                F.max("row_index").alias("max_row_index"),
+                sum6("value").alias("sum_value"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="bucket bigint, n_rows bigint, n_files bigint, "
+        "max_row_index bigint, sum_value double",
+    )

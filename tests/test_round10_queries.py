@@ -430,3 +430,19 @@ def test_sql_script_fixed_point_is_minimal(spark, sf_dir):
         assert prev_tail * 20 >= total
     # histogram covers the whole corpus
     assert sum(r["n_docs"] for r in rows) == total
+
+
+# ---------------------------------------------------------------- Q151
+
+
+def test_file_provenance_contiguity_and_layout(spark, sf_dir):
+    """Engine-side half of the Q151 contract: every bucket must be one
+    physical file whose parquet row_index is 0-based contiguous, and
+    the path-derived buckets must cover 0..3 exactly."""
+    rows = entries()["q_file_provenance"].fn(spark, sf_dir).collect()
+    assert sorted(r["bucket"] for r in rows) == [0, 1, 2, 3]
+    for r in rows:
+        assert r["n_files"] == 1
+        assert r["max_row_index"] == r["n_rows"] - 1
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
