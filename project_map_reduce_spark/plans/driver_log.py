@@ -217,6 +217,7 @@ _R10_NEW: list[str] = [
 # silently aging a cohort query past its ceiling).
 _R10_NEW_DEFERRED: list[str] = [
     "q_file_provenance",
+    "q_stream_outer_join",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1374,3 +1374,144 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_stream_outer_join",
+    oracle="""
+    SELECT e.event_id AS err_id, p.event_id AS pur_id
+    FROM events e
+    LEFT JOIN events p
+      ON  e.user_id = p.user_id
+      AND p.event_type = 'purchase'
+      AND p.ts >  e.ts
+      AND p.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q152: stream-stream LEFT OUTER interval join — Q101's missing
+    half: the NULL-padded row for an error with NO purchase inside its
+    hour can only be emitted when the error's join state EXPIRES (the
+    watermark proves no matching purchase can still arrive), so this
+    query hash-checks the outer-specific machinery — state-expiry
+    null emission, exactly-once per unmatched row — that an inner join
+    never touches. Matched pairs flow like Q101; the oracle is the
+    plain batch left join, so a null row emitted early (watermark not
+    yet past err_ts+1h), twice (replay), or never (state dropped with
+    the row unmarked) breaks the hash.
+
+    Flush protocol: the finite availableNow run ends with a SENTINEL
+    batch (one error + one purchase at hi+4h under user −1, joining
+    nothing) that advances BOTH sides' watermarks — a stream-stream
+    join's global watermark is the MIN across inputs, so pushing one
+    side only would hold every unmatched error's state open forever —
+    plus the empty-spacer batch for the one-batch eviction lag (Q98's
+    pinned semantics). Sentinel rows are excluded from the snapshot by
+    their negative id.
+
+    Scale shape: identical to Q101 (two state stores per partition,
+    measured-best 8 state partitions, O(users · 3 h) state bound,
+    idempotent append sink, distributed snapshot) — plus the outer
+    join's guarantee that state expiry EMITS rather than silently
+    drops, which is what makes the unmatched side auditable at 100 TB.
+    """
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None or hi is None:
+        raise ValueError("events table is empty — nothing to stream-join")
+    span_us = max(1, int((hi - lo).total_seconds() * 1_000_000))
+    sentinel_ts = hi + datetime.timedelta(hours=4)
+
+    tmp = tempfile.mkdtemp(prefix="pmrs_q152_")
+    out_dir = _session_output_dir("pmrs_q152_final_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        frac = (
+            F.timestamp_diff("MICROSECOND", F.lit(lo), F.col("ts"))
+            / F.lit(span_us)
+        )
+        chunk = F.least(F.floor(frac * 3).cast("int"), F.lit(2))
+        sentinel = spark.createDataFrame(
+            [
+                (-1, sentinel_ts, -1, "error"),
+                (-2, sentinel_ts, -1, "purchase"),
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string",
+        )
+        src = _stage_batches(tmp, tuple(
+            (
+                f"c{i}",
+                ev.withColumn("__c", chunk)
+                .where(F.col("__c") == i)
+                .drop("__c"),
+            )
+            for i in range(3)
+        ) + (
+            ("sentinel", sentinel),
+            ("spacer", ev.where(F.lit(False))),
+        ))
+
+        # Two join state stores per partition (Q101's measured
+        # rationale): 8 state partitions beat cores at every probed SF.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        def src_stream():
+            return (
+                spark.readStream.schema(
+                    "event_id bigint, ts timestamp, user_id bigint, "
+                    "event_type string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        err = (
+            src_stream()
+            .where(F.col("event_type") == "error")
+            .select(
+                F.col("user_id").alias("e_user"),
+                F.col("event_id").alias("err_id"),
+                F.col("ts").alias("err_ts"),
+            )
+            .withWatermark("err_ts", "2 hours")
+        )
+        pur = (
+            src_stream()
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("pur_id"),
+                F.col("ts").alias("pur_ts"),
+            )
+            .withWatermark("pur_ts", "2 hours")
+        )
+        joined = err.join(
+            pur,
+            F.expr(
+                "e_user = p_user AND pur_ts > err_ts "
+                "AND pur_ts <= err_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        ).select("err_id", "pur_id")
+        q = write_stream_idempotent(
+            joined, f"{tmp}/sink", f"{tmp}/ckpt", output_mode="append"
+        )
+        _await_finite_stream(q, "q_stream_outer_join")
+        snap = spark.read.option("basePath", f"{tmp}/sink").parquet(f"{tmp}/sink")
+        (
+            snap.where(F.col("err_id") >= 0)
+            .select("err_id", "pur_id")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -446,3 +446,36 @@ def test_file_provenance_contiguity_and_layout(spark, sf_dir):
         assert r["max_row_index"] == r["n_rows"] - 1
     total = load(spark, sf_dir, "events").count()
     assert sum(r["n_rows"] for r in rows) == total
+
+
+# ---------------------------------------------------------------- Q152
+
+
+def test_stream_outer_join_equals_batch_left_join(spark, sf_dir):
+    """Engine-side half of the Q152 contract: the streaming left-outer
+    interval join must equal the batch left join as a MULTISET, and
+    must actually produce null-padded (unmatched) rows."""
+    from collections import Counter
+
+    got = Counter(
+        (r["err_id"], r["pur_id"]) for r in
+        entries()["q_stream_outer_join"].fn(spark, sf_dir).collect()
+    )
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                              "event_type")
+    e = (ev.where(F.col("event_type") == "error")
+         .select(F.col("event_id").alias("err_id"),
+                 F.col("ts").alias("err_ts"),
+                 F.col("user_id").alias("e_user")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pur_id"),
+                 F.col("ts").alias("pur_ts"),
+                 F.col("user_id").alias("p_user")))
+    want = Counter(
+        (r["err_id"], r["pur_id"]) for r in
+        e.join(p, F.expr("e_user = p_user AND pur_ts > err_ts AND "
+                         "pur_ts <= err_ts + INTERVAL 1 HOUR"), "left")
+        .select("err_id", "pur_id").collect()
+    )
+    assert got == want
+    assert any(pur is None for _, pur in got)  # outer rows really exist
