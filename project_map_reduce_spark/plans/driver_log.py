@@ -218,6 +218,7 @@ _R10_NEW: list[str] = [
 _R10_NEW_DEFERRED: list[str] = [
     "q_file_provenance",
     "q_stream_outer_join",
+    "q_udtf_table_arg",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

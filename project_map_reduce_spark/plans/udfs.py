@@ -252,3 +252,96 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.w0
         """
     )
+
+
+# Q153 — UDTF over a TABLE argument: per-partition state + terminate()
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+               ) AS rank,
+               count(*)    OVER (PARTITION BY lang) AS n_docs,
+               sum(n_chars) OVER (PARTITION BY lang) AS sum_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(rank AS INT)        AS rank,
+           doc_id,
+           n_chars,
+           CAST(n_docs AS BIGINT)   AS n_docs,
+           CAST(sum_chars AS BIGINT) AS sum_chars
+    FROM ranked
+    WHERE rank <= 2
+    """,
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q153: Python UDTF over a TABLE ARGUMENT with ``PARTITION BY`` /
+    ``ORDER BY`` — the third and last face of the UDTF surface (Q87:
+    fixed returnType over scalars; Q146: polymorphic ``analyze()``;
+    here: a WHOLE RELATION as the argument, with the engine contract
+    that each partition arrives at EXACTLY ONE UDTF instance in the
+    declared order and ``terminate()`` fires once at partition end).
+    The operator is a per-language top-2-longest-docs WITH totals —
+    per-group state (a 2-slot leader list + running count/sum) emitted
+    at partition close, the custom-aggregation shape users reach for a
+    UDTF for (anything expressible as windows doesn't need one; the
+    oracle deliberately IS the window form, proving equivalence).
+
+    The hash pins the engine-side guarantees the API promises: rows
+    arriving out of declared order, a partition split across two
+    instances (double terminate → duplicate summary rows), or a
+    dropped terminate all corrupt the result. The ORDER BY lives in
+    the CALL SITE (plan), not the UDTF — the class trusts the order,
+    which is the documented contract.
+
+    Scale shape: one hash exchange on the partition key + a
+    partition-local sort — the same profile as the window-function
+    oracle — then a single-pass O(1)-state Python walk per group;
+    syntax pin: a multi-expression ORDER BY in a table-argument call
+    REQUIRES parentheses — ``ORDER BY (a DESC, b ASC)`` — the bare
+    form is a ParseException (_LEGACY_ERROR_TEMP_0064);
+    emitted rows are O(2 × groups). Slow-path note (SURVEY B.11):
+    row-at-a-time Python is the declared API-coverage lane; the
+    vectorized twin of this exact shape is Q27's WindowGroupLimit
+    top-k.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="lang string, rank int, doc_id bigint, n_chars bigint, "
+        "n_docs bigint, sum_chars bigint"
+    )
+    class TopDocs:
+        def __init__(self) -> None:
+            self._top: list[tuple[int, int]] = []
+            self._lang: str | None = None
+            self._n = 0
+            self._sum = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            self._sum += row["n_chars"]
+            if len(self._top) < 2:
+                self._top.append((row["doc_id"], row["n_chars"]))
+
+        def terminate(self):
+            for i, (doc_id, n_chars) in enumerate(self._top):
+                yield (self._lang, i + 1, doc_id, n_chars, self._n, self._sum)
+
+    spark.udtf.register("q153_top_docs", TopDocs)
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT * FROM q153_top_docs(
+            TABLE(SELECT lang, doc_id, n_chars FROM documents)
+            PARTITION BY lang
+            ORDER BY (n_chars DESC, doc_id ASC)
+        )
+        """
+    )

@@ -479,3 +479,31 @@ def test_stream_outer_join_equals_batch_left_join(spark, sf_dir):
     )
     assert got == want
     assert any(pur is None for _, pur in got)  # outer rows really exist
+
+
+# ---------------------------------------------------------------- Q153
+
+
+def test_udtf_table_arg_partition_contract(spark, sf_dir):
+    """Engine-side half of the Q153 contract: exactly one terminate()
+    per lang partition (ranks are 1..min(2, group size) with no
+    duplicates) and the terminate-time totals equal a plain groupBy."""
+    rows = entries()["q_udtf_table_arg"].fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    want = {r["lang"]: (r["n_docs"], r["sum_chars"]) for r in
+            load(spark, sf_dir, "documents").groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")).collect()}
+    assert set(by_lang) == set(want)
+    for lang, rs in by_lang.items():
+        n_docs, sum_chars = want[lang]
+        assert sorted(r["rank"] for r in rs) == list(range(1, min(2, n_docs) + 1))
+        assert all((r["n_docs"], r["sum_chars"]) == (n_docs, sum_chars)
+                   for r in rs)
+        # declared order: rank 1 has the longest doc
+        rs = sorted(rs, key=lambda r: r["rank"])
+        if len(rs) == 2:
+            assert (rs[0]["n_chars"], -rs[0]["doc_id"]) >= (
+                rs[1]["n_chars"], -rs[1]["doc_id"])
