@@ -219,6 +219,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_file_provenance",
     "q_stream_outer_join",
     "q_udtf_table_arg",
+    "q_dynamic_overwrite",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -589,3 +589,90 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_compact_small_files, mb=_COMPACT_TARGET_BYTES // (1024 * 1024))
+
+
+@register(
+    "q_dynamic_overwrite",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {SUM6.format(expr="CASE WHEN event_type = 'click' "
+                             "THEN value * 2 ELSE value END")} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q154: DYNAMIC partition overwrite through catalog DDL — the
+    incremental-partition-refresh semantic every partitioned 100 TB
+    warehouse depends on, and the one INSERT form nothing else
+    exercises: ``INSERT OVERWRITE`` under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` replaces ONLY
+    the partitions present in the incoming rows. The query seeds an
+    EXTERNAL parquet table (``CREATE TABLE … USING parquet PARTITIONED
+    BY (event_type) LOCATION …``) with the full events slice, then
+    re-publishes JUST the ``click`` partition with doubled values; the
+    final per-type aggregate hash-matches the oracle ONLY if the
+    overwrite (a) replaced the click partition (stale rows gone —
+    refresh applied exactly once) and (b) left every other partition
+    byte-intact (STATIC mode — the default — would have dropped them
+    all: the exact production incident this mode exists to prevent,
+    pinned by the canary test).
+
+    Scale shape: the refresh writes O(changed partition) and commits by
+    directory swap — never rewrites the other partitions; reads after
+    the refresh plan partition pruning exactly as before (same
+    partition column). The catalog table is session-scoped scratch and
+    dropped in ``finally`` (ref A12's report-sink lineage: publish =
+    replace the job's output location atomically per partition).
+    """
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="q_dynamic_overwrite_")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    tbl = "q154_events_part"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        ev.createOrReplaceTempView("q154_src")
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} (event_id BIGINT, value DOUBLE,
+                                event_type STRING)
+            USING parquet PARTITIONED BY (event_type)
+            LOCATION '{tmp}/tbl'
+            """
+        )
+        spark.sql(
+            f"""
+            INSERT INTO {tbl} PARTITION (event_type)
+            SELECT event_id, value, event_type FROM q154_src
+            """
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.sql(
+            f"""
+            INSERT OVERWRITE TABLE {tbl} PARTITION (event_type)
+            SELECT event_id, value * 2 AS value, event_type
+            FROM q154_src WHERE event_type = 'click'
+            """
+        )
+        out = (
+            spark.table(tbl)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.catalog.dropTempView("q154_src")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="event_type string, n_events bigint, sum_value double",
+    )

@@ -507,3 +507,41 @@ def test_udtf_table_arg_partition_contract(spark, sf_dir):
         if len(rs) == 2:
             assert (rs[0]["n_chars"], -rs[0]["doc_id"]) >= (
                 rs[1]["n_chars"], -rs[1]["doc_id"])
+
+
+# ---------------------------------------------------------------- Q154
+
+
+def test_dynamic_overwrite_query_and_static_canary(spark, sf_dir, tmp_path):
+    """Engine-side Q154 contract plus the WHY pin: the same INSERT
+    OVERWRITE under the default STATIC mode drops every partition not
+    in the incoming rows — the production incident dynamic mode
+    prevents."""
+    rows = {r["event_type"]: r for r in
+            entries()["q_dynamic_overwrite"].fn(spark, sf_dir).collect()}
+    want = {r["event_type"]: r for r in
+            load(spark, sf_dir, "events").groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(rows) == set(want)  # non-click partitions survived
+    for t, r in rows.items():
+        assert r["n_events"] == want[t]["n"]
+
+    # canary: static mode on the same shape nukes the other partitions
+    tbl = "q154_canary"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        spark.sql(
+            f"CREATE TABLE {tbl} (k BIGINT, p STRING) USING parquet "
+            f"PARTITIONED BY (p) LOCATION '{tmp_path}/t'"
+        )
+        spark.sql(f"INSERT INTO {tbl} PARTITION (p) "
+                  "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END "
+                  "FROM range(10)")
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode").lower() == "static"
+        spark.sql(f"INSERT OVERWRITE TABLE {tbl} PARTITION (p) "
+                  "SELECT id, 'a' FROM range(2)")
+        left = {r["p"] for r in spark.table(tbl).select("p").distinct().collect()}
+        assert left == {"a"}  # partition 'b' is GONE under static mode
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
