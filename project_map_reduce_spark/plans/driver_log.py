@@ -220,6 +220,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_stream_outer_join",
     "q_udtf_table_arg",
     "q_dynamic_overwrite",
+    "q_union_by_name",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -70,3 +70,66 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``subtract`` is Spark's EXCEPT DISTINCT (``exceptAll`` would keep
     multiset leftovers — different semantics)."""
     return _hi(spark, sf_dir).subtract(_urgent(spark, sf_dir))
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT CAST(event_id % 3 AS BIGINT) AS generation,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           CAST(count(CASE WHEN event_id % 3 <> 0 THEN event_type END)
+                AS BIGINT)              AS n_with_type,
+           CAST(count(CASE WHEN event_id % 3 = 2 THEN user_id END)
+                AS BIGINT)              AS n_with_user,
+           CAST(count(CASE WHEN event_id % 3 = 2 THEN props END)
+                AS BIGINT)              AS n_with_props,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q155: SCHEMA-DRIFT union — ``unionByName(allowMissingColumns=
+    True)``, the merge every long-lived ingest pipeline needs when
+    batch generations disagree on column ORDER and PRESENCE (Q126
+    reads drifted PARQUET; this is the in-plan relational form).
+    Three generations are derived from events (``event_id % 3``):
+    gen 0 the minimal legacy shape ``(event_id, value)``, gen 1 adds
+    ``event_type`` FIRST (different order — positional union would
+    misalign it under a bigint column), gen 2 the full modern shape
+    with ``user_id`` and ``props``. The by-NAME union aligns columns
+    and null-fills the gaps; the aggregate counts non-null presence
+    per generation, so a misaligned column, a dropped generation, or
+    a wrongly-null-filled field breaks the hash. The positional-union
+    failure mode is pinned by a canary test (same-width different-
+    order frames: silent column mixing where types collide, an
+    AnalysisException where they don't).
+
+    Scale shape: union is plan-level (no data movement — the three
+    legs scan in parallel into the same exchange); the null-fill is a
+    zero-cost projection. At 100 TB this is how N years of drifted
+    batches aggregate in one pass without a rewrite-to-latest-schema
+    job first.
+    """
+    ev = load(spark, sf_dir, "events")
+    gen = F.col("event_id") % 3
+    g0 = ev.where(gen == 0).select("event_id", "value")
+    g1 = ev.where(gen == 1).select("event_type", "event_id", "value")
+    g2 = ev.where(gen == 2).select(
+        "user_id", "value", "event_id", "event_type", "props"
+    )
+    merged = g0.unionByName(g1, allowMissingColumns=True).unionByName(
+        g2, allowMissingColumns=True
+    )
+    from project_map_reduce_spark.functions.det import sum6
+
+    return (
+        merged.groupBy((F.col("event_id") % 3).alias("generation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("event_type").alias("n_with_type"),
+            F.count("user_id").alias("n_with_user"),
+            F.count("props").alias("n_with_props"),
+            sum6("value").alias("sum_value"),
+        )
+    )

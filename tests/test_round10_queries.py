@@ -545,3 +545,28 @@ def test_dynamic_overwrite_query_and_static_canary(spark, sf_dir, tmp_path):
         assert left == {"a"}  # partition 'b' is GONE under static mode
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------- Q155
+
+
+def test_union_by_name_positional_canary(spark):
+    """The failure mode Q155 exists to avoid: positional union of
+    same-width frames with different column order either mixes columns
+    silently (types collide) or raises — unionByName aligns correctly."""
+    a = spark.createDataFrame([(1, 10)], "x bigint, y bigint")
+    b = spark.createDataFrame([(20, 2)], "y bigint, x bigint")
+    mixed = a.union(b).collect()          # positional: columns silently mixed
+    assert (mixed[1]["x"], mixed[1]["y"]) == (20, 2)  # wrong-by-design
+    fixed = a.unionByName(b).collect()
+    assert {(r["x"], r["y"]) for r in fixed} == {(1, 10), (2, 20)}
+
+
+def test_union_by_name_null_fill(spark, sf_dir):
+    rows = {r["generation"]: r for r in
+            entries()["q_union_by_name"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_with_type"] == 0 and rows[0]["n_with_user"] == 0
+    assert rows[1]["n_with_type"] == rows[1]["n_rows"]
+    assert rows[1]["n_with_user"] == 0
+    assert rows[2]["n_with_props"] == rows[2]["n_rows"]
