@@ -221,6 +221,8 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_udtf_table_arg",
     "q_dynamic_overwrite",
     "q_union_by_name",
+    "q_listagg",
+    "q_sql_ergonomics",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

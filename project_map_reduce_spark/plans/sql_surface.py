@@ -589,3 +589,109 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView("documents")
+
+
+@register(
+    "q_listagg",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name DESC) AS nations_desc
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q156: NATIVE ``listagg(...) WITHIN GROUP (ORDER BY ...)`` — the
+    Spark 4.0 built-in that obsoletes Q76's workaround (collect_list →
+    array_sort → array_join, kept in-inventory as the pre-4.0 form and
+    the deliberate contrast): ordering now lives INSIDE the aggregate,
+    evaluated engine-side, so the shuffle carries the rows once and the
+    sort is per-group at the aggregation site — no array materialized
+    in the plan. DESC order (Q76 sorts ASC) makes the hash prove the
+    WITHIN GROUP clause is real ordering, not incidental set equality.
+
+    Unbounded-state caveat (same as Q76): a string aggregate's state is
+    O(group payload); per-region nation lists are tiny, and at 100 TB
+    listagg over a hot key needs the same cap/sample discipline as any
+    collect. Plan note: one partial+final aggregate over the broadcast
+    nation⋈region join.
+    """
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = load(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    joined = nat.join(F.broadcast(reg),
+                      nat.n_regionkey == reg.r_regionkey).select(
+        "r_name", "n_name"
+    )
+    joined.createOrReplaceTempView("q156_rn")
+    try:
+        return spark.sql(
+            """
+            SELECT r_name,
+                   count(*) AS n_nations,
+                   listagg(n_name, ',')
+                       WITHIN GROUP (ORDER BY n_name DESC) AS nations_desc
+            FROM q156_rn
+            GROUP BY r_name
+            """
+        )
+    finally:
+        # Lazily-evaluated result still resolves: the analyzed plan
+        # captured the view; dropping only removes the catalog entry.
+        spark.catalog.dropTempView("q156_rn")
+
+
+@register(
+    "q_sql_ergonomics",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           o_orderstatus   AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_sql_ergonomics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q157: SQL PIPE SYNTAX (Spark 4.0 ``|>``) + the ergonomics bundle,
+    each clause doing real work — the dialect-modernization surface a
+    user migrating hand-written SQL hits immediately:
+
+    - ``FROM orders |> AGGREGATE … GROUP BY …`` — the pipe form reads
+      in DATAFLOW order (source → aggregate → project → sort), the
+      linearization the DataFrame API taught everyone; Catalyst plans
+      it identically to the nested classic form (plan-asserted: same
+      single partial+final hash aggregate);
+    - ``IDENTIFIER(:k)`` — the grouping keys arrive as named ARGUMENTS
+      resolved as identifiers at plan time: injection-safe dynamic SQL
+      (string-interpolated column names are the classic hole);
+    - lateral column alias — ``avg_raw`` is defined and then REFERENCED
+      in the same pipe SELECT (``round(avg_raw, 6)``), no repeated
+      expression or subquery (pre-3.4 required both);
+    - a final ``|> SELECT`` prunes the scratch alias, and
+      ``|> ORDER BY ALL`` gives schema-stable total ordering.
+
+    The oracle is the fully spelled-out classic form — the hash proves
+    every shorthand resolves to exactly the pre-modern semantics. All
+    of it is ANALYSIS-time sugar: zero runtime cost (test-asserted:
+    one hash aggregate, no extra exchange).
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                         AS sum_price
+           GROUP BY IDENTIFIER(:k1) AS priority, IDENTIFIER(:k2) AS status
+        |> SELECT priority, status, n_orders, sum_price,
+                  sum_price / n_orders AS avg_raw,
+                  round(avg_raw, 6) AS avg_price
+        |> SELECT priority, status, n_orders, sum_price, avg_price
+        |> ORDER BY ALL
+        """,
+        args={"k1": "o_orderpriority", "k2": "o_orderstatus"},
+    )

@@ -570,3 +570,29 @@ def test_union_by_name_null_fill(spark, sf_dir):
     assert rows[1]["n_with_type"] == rows[1]["n_rows"]
     assert rows[1]["n_with_user"] == 0
     assert rows[2]["n_with_props"] == rows[2]["n_rows"]
+
+
+# ---------------------------------------------------------------- Q156/Q157
+
+
+def test_listagg_within_group_order_is_real(spark, sf_dir):
+    """DESC within-group ordering must be real ordering, not set
+    equality: reversing each list must give the ASC form (Q76's)."""
+    rows = entries()["q_listagg"].fn(spark, sf_dir).collect()
+    asc = {r["r_name"]: r["nations_csv"] for r in
+           entries()["q_string_agg"].fn(spark, sf_dir).collect()}
+    for r in rows:
+        assert ",".join(reversed(r["nations_desc"].split(","))) == asc[r["r_name"]]
+
+
+def test_sql_ergonomics_zero_plan_cost(spark, sf_dir):
+    """The pipe/IDENTIFIER/LCA sugar must be analysis-time only: the
+    physical plan is one partial+final hash aggregate (two
+    HashAggregate nodes, one exchange) plus the sort — identical to
+    the classic form."""
+    df = entries()["q_sql_ergonomics"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 2
+    import re
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1
