@@ -223,6 +223,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_union_by_name",
     "q_listagg",
     "q_sql_ergonomics",
+    "q_try_arith",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

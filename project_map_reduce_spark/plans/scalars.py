@@ -262,3 +262,62 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("lang_map", "es"), zero).alias("n_es"),
         F.coalesce(F.element_at("lang_map", "zh"), zero).alias("n_zh"),
     )
+
+
+@register(
+    "q_try_arith",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN event_id % 5 = 0 THEN 1 END) AS BIGINT)
+               AS n_parsed,
+           CAST(sum(CASE WHEN event_id % 5 = 0
+                         THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+               AS sum_parsed,
+           CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_safe_div
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q158: ANSI-safe dirty-numeric ingestion — the ``try_*`` family
+    under Spark 4's ANSI-ON default, Q147's quarantine discipline at
+    EXPRESSION granularity: in ANSI mode a plain ``CAST('n/a' AS
+    DOUBLE)`` or a division by zero KILLS THE JOB (pinned by the
+    canary test — the 100 TB failure mode where one bad cell aborts a
+    million-task stage), and ``try_cast`` / ``try_divide`` are the
+    per-cell null-on-error forms that keep the scan running. A dirty
+    string column is derived deterministically (``event_id % 5``:
+    clean float repr / currency-prefixed / empty / trailing garbage /
+    'n/a' — only class 0 parses), and zero divisors via
+    ``event_id % 2``; the aggregate counts exactly which cells
+    survived, so the hash fails if try_cast admits any malformed class
+    (or rejects the clean one) or try_divide nulls the wrong rows.
+    Double→string→double round-trip exactness (class 0) rides Spark's
+    shortest-round-trip float formatting — the same contract Q132's
+    text leg pins.
+
+    Scale shape: pure narrow projection + one hash aggregate; every
+    ``try_*`` is codegen'd JVM-side (no Python, plan-asserted in
+    tests) — error-tolerance costs nothing over the plain expressions.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    gen = F.col("event_id") % 5
+    dirty = (
+        F.when(gen == 0, F.col("value").cast("string"))
+        .when(gen == 1, F.concat(F.lit("$"), F.col("value").cast("string")))
+        .when(gen == 2, F.lit(""))
+        .when(gen == 3, F.concat(F.col("value").cast("string"), F.lit("x")))
+        .otherwise(F.lit("n/a"))
+    )
+    parsed = dirty.try_cast("double")  # Column.try_cast (no F.try_cast)
+    safe_div = F.expr("try_divide(value, CAST(event_id % 2 AS DOUBLE))")
+    from project_map_reduce_spark.functions.det import sum6
+
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(parsed).alias("n_parsed"),
+        sum6(parsed).alias("sum_parsed"),
+        F.count(safe_div).alias("n_safe_div"),
+    )

@@ -596,3 +596,22 @@ def test_sql_ergonomics_zero_plan_cost(spark, sf_dir):
     import re
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges == 1
+
+
+# ---------------------------------------------------------------- Q158
+
+
+def test_try_arith_ansi_canary_and_plan(spark, sf_dir):
+    """ANSI mode must be ON (Spark 4 default), a plain CAST of a dirty
+    cell must kill the query (the failure mode try_cast exists for),
+    and Q158's plan must stay JVM-side."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    dirty = spark.createDataFrame([("n/a",)], "s string")
+    with pytest.raises(Exception) as ei:
+        dirty.select(F.expr("CAST(s AS DOUBLE)")).collect()
+    assert "CAST_INVALID_INPUT" in str(ei.value) or "NumberFormatException" in str(ei.value)
+    with pytest.raises(Exception):
+        spark.sql("SELECT 1/0").collect()  # ANSI division raises too
+    df = entries()["q_try_arith"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
