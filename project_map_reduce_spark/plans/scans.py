@@ -1371,7 +1371,11 @@ def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle's ``sum(event_id) WHERE event_id % 7 = 0`` if every
       corrupt line survived byte-intact into quarantine).
     - DROPMALFORMED: silently drops the bad rows — its aggregate must
-      equal the permissive-ok aggregate exactly.
+      equal the permissive-ok aggregate exactly. Pinned caveat
+      (property-tested): a column-pruned bare ``count()`` SKIPS
+      parsing, so DROPMALFORMED cannot detect malformed rows there and
+      counts every line — this query's aggregate references real
+      columns, which forces the parse.
     - FAILFAST: must raise on the first malformed line (contract-tested
       in tests/test_round10_queries.py, not hashable).
 

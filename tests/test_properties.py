@@ -382,3 +382,90 @@ def test_mv_refresh_is_associative_over_any_split(spark, rows, cuts, tmp_path_fa
     got = canon(mv_read(spark, path))
     want = canon(mv_partials(spark.createDataFrame(data, schema), keys, sums))
     assert got == want
+
+
+# --------------------------------------------------------- Q147 quarantine
+
+_quarantine_rows = st.lists(
+    st.tuples(
+        st.booleans(),  # corrupt this row?
+        st.integers(min_value=-10**6, max_value=10**6),  # payload int
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_quarantine_rows)
+@settings(**_SETTINGS)
+def test_quarantine_partition_is_exact(spark, rows, tmp_path_factory):
+    """PERMISSIVE quarantine is an exact partition for ANY corruption
+    pattern: ok-side parses precisely the clean rows, the quarantine
+    column preserves each corrupt raw line byte-intact, and
+    DROPMALFORMED == ok-side. (Q147's law, freed from the fixture's
+    mod-7 pattern.)"""
+    import uuid
+
+    p = str(tmp_path_factory.mktemp("q") / f"csv_{uuid.uuid4().hex}")
+    lines = []
+    clean_sum = 0
+    for i, (corrupt, v) in enumerate(rows):
+        if corrupt:
+            lines.append((f"{i},!bad!{v}",))
+        else:
+            lines.append((f"{i},{v}",))
+            clean_sum += v
+    spark.createDataFrame(lines, "value string").coalesce(1).write.text(p)
+    schema = "rid long, v long, _q string"
+    perm = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_q").csv(p)).cache()
+    try:
+        ok = perm.where(F.col("_q").isNull())
+        quar = perm.where(F.col("_q").isNotNull())
+        n_corrupt = sum(1 for c, _ in rows if c)
+        assert ok.count() == len(rows) - n_corrupt
+        assert quar.count() == n_corrupt
+        got_sum = ok.agg(F.sum("v")).first()[0]
+        assert (got_sum or 0) == clean_sum
+        # byte-intact raw lines: re-parse rid out of the quarantine col
+        quar_rids = {r[0] for r in quar.select(
+            F.split("_q", ",").getItem(0).cast("long")).collect()}
+        assert quar_rids == {i for i, (c, _) in enumerate(rows) if c}
+        drop = (spark.read.schema("rid long, v long")
+                .option("mode", "DROPMALFORMED").csv(p))
+        # Pinned caveat: a column-pruned count() skips parsing, so
+        # DROPMALFORMED can't detect malformed rows there — the bare
+        # count sees EVERY line. Materializing rows applies the mode.
+        assert drop.count() == len(rows)
+        assert len(drop.collect()) == ok.count()
+    finally:
+        perm.unpersist()
+
+
+# --------------------------------------------------- Q155 unionByName law
+
+_drift_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=99),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(a=_drift_rows, b=_drift_rows)
+@settings(**_SETTINGS)
+def test_union_by_name_is_order_insensitive(spark, a, b):
+    """unionByName(allowMissingColumns) is invariant to column order
+    and equals the manual align-then-union for ANY pair of drifted
+    schemas: missing columns null-fill, nothing mixes."""
+    da = spark.createDataFrame(a, "k bigint, x bigint")
+    db = spark.createDataFrame([(y, k) for k, y in b], "y bigint, k bigint")
+    u = da.unionByName(db, allowMissingColumns=True)
+    manual = da.select("k", "x", F.lit(None).cast("bigint").alias("y")).union(
+        db.select("k", F.lit(None).cast("bigint").alias("x"), "y")
+    )
+    none_low = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
+    got = sorted(map(tuple, u.select("k", "x", "y").collect()), key=none_low)
+    want = sorted(map(tuple, manual.collect()), key=none_low)
+    assert got == want
