@@ -224,6 +224,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_listagg",
     "q_sql_ergonomics",
     "q_try_arith",
+    "q_jdbc_roundtrip",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1552,3 +1552,91 @@ def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="bucket bigint, n_rows bigint, n_files bigint, "
         "max_row_index bigint, sum_value double",
     )
+
+
+@register(
+    "q_jdbc_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)          AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           {SUM6.format(expr="value")}       AS sum_value,
+           CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS micros_sum
+    FROM events
+    WHERE event_id % 10 = 0 AND value > 0
+    GROUP BY event_type
+    """,
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q159: JDBC source/sink round-trip — the one connector family the
+    inventory didn't yet exercise (file formats: Q132/Q144; custom
+    Python sources: Q139/Q141; here: a RELATIONAL system over JDBC,
+    embedded Derby standing in for the warehouse/OLTP endpoint). An
+    events slice is published to a Derby table via ``df.write.jdbc``,
+    then read back as a PARTITIONED JDBC scan — ``column/lowerBound/
+    upperBound/numPartitions`` split the table into 8 range-disjoint
+    parallel queries (bounds from the slice's own min/max id), which is
+    the only JDBC read shape that scales: the default single-query read
+    serializes the whole table through one connection. A ``value > 0``
+    predicate must reach the remote system as a PUSHED filter (``*``-
+    starred in the plan = evaluated by Derby, not re-checked by Spark —
+    plan-asserted in tests) and the aggregate hash-checks fidelity:
+    ``micros_sum`` pins sub-second TIMESTAMP precision through the JDBC
+    type bridge, DECIMAL(27,6) sums pin float round-trip, distinct
+    counts pin row multiplicity.
+
+    Scale notes: at 100 TB the JDBC endpoint is the bottleneck, not
+    Spark — partitioned reads bound per-connection transfer, and the
+    pushed predicate ships the WHERE to the database so only matching
+    rows cross the wire. The embedded-Derby scratch DB is removed
+    before returning (Q132's pattern); timestamps round-trip through
+    the session-UTC JDBC bridge (NTZ values written as UTC wall time).
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .where(F.col("event_id") % 10 == 0)
+    )
+    if ev.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.to_timestamp_ltz("ts"))
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    if lo is None:
+        raise ValueError("events slice is empty — nothing to round-trip")
+    tmp = tempfile.mkdtemp(prefix="q_jdbc_roundtrip_")
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    try:
+        ev.write.jdbc(url, "events_rt", mode="overwrite", properties=props)
+        back = spark.read.jdbc(
+            url,
+            "events_rt",
+            column="event_id",
+            lowerBound=int(lo),
+            upperBound=int(hi) + 1,
+            numPartitions=8,
+            properties=props,
+        )
+        micros = F.unix_micros(F.col("ts").cast("timestamp_ltz")) % 1000000
+        out = (
+            back.where(F.col("value") > 0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                sum6("value").alias("sum_value"),
+                F.sum(micros).alias("micros_sum"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="event_type string, n_events bigint, n_users bigint, "
+        "sum_value double, micros_sum bigint",
+    )

@@ -615,3 +615,27 @@ def test_try_arith_ansi_canary_and_plan(spark, sf_dir):
     df = entries()["q_try_arith"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- Q159
+
+
+def test_jdbc_partitioned_scan_and_pushdown(spark, tmp_path):
+    """The two JDBC scale levers Q159 documents, plan-asserted: the
+    range-partitioned read plans N parallel partitions, and the value
+    predicate is FULLY pushed (starred) to the database."""
+    import pyspark.sql.functions as F2
+
+    db = f"{tmp_path}/db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    spark.range(100).select(
+        F2.col("id"), (F2.col("id") * 1.5).alias("value")
+    ).write.jdbc(url, "t", mode="overwrite", properties=props)
+    back = spark.read.jdbc(url, "t", column="id", lowerBound=0,
+                           upperBound=100, numPartitions=8, properties=props)
+    assert back.rdd.getNumPartitions() == 8
+    plan = (back.where(F2.col("value") > 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "JDBCRelation" in plan and "numPartitions=8" in plan
+    assert "*GreaterThan(value,10.0)" in plan  # * = pushed, not re-evaluated
