@@ -1608,6 +1608,10 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if lo is None:
         raise ValueError("events slice is empty — nothing to round-trip")
     tmp = tempfile.mkdtemp(prefix="q_jdbc_roundtrip_")
+    # Embedded Derby writes derby.log into user.dir unless told not to;
+    # point it at the scratch dir BEFORE the driver class loads (the
+    # property is read once at engine boot).
+    spark._jvm.System.setProperty("derby.stream.error.file", f"{tmp}/derby.log")
     url = f"jdbc:derby:{tmp}/db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     try:
