@@ -225,6 +225,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_sql_ergonomics",
     "q_try_arith",
     "q_jdbc_roundtrip",
+    "q_rate_source",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1515,3 +1515,116 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_RATE_N = 1000          # rows per micro-batch
+_RATE_BATCHES = 5       # batches the query keeps (0..4)
+_RATE_START_MS = 1704067200000  # 2024-01-01T00:00:00Z
+_RATE_ADV_MS = 3600000  # 1 h of event time per batch
+
+
+@register(
+    "q_rate_source",
+    oracle=f"""
+    SELECT CAST(g AS BIGINT)                                  AS batch_id,
+           CAST({_RATE_N} AS BIGINT)                          AS n_rows,
+           CAST(g * {_RATE_N} * {_RATE_N}
+                + {_RATE_N * (_RATE_N - 1) // 2} AS BIGINT)   AS sum_value,
+           CAST(1 AS BIGINT)                                  AS n_ts,
+           CAST({_RATE_START_MS} + g * {_RATE_ADV_MS} AS BIGINT) AS ts_ms
+    FROM generate_series(0, {_RATE_BATCHES - 1}) t(g)
+    """,
+)
+def q_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q160: the ``rate-micro-batch`` BUILT-IN streaming source — the
+    deterministic load/soak generator (file sources: Q90-class; custom
+    Python sources: Q141; here Spark's own synthetic source, whose
+    offsets ARE the data): batch b carries exactly ``rowsPerBatch``
+    values ``[b·N, (b+1)·N)`` under one event timestamp
+    ``start + b·advance``, so the oracle is pure CLOSED-FORM arithmetic
+    over batch ids — duplicated/dropped batches, re-based offsets, or
+    wall-clock leakage into event time all break the hash. This is the
+    one source whose determinism is independent of any staged input,
+    which is what makes it the standard harness for exactly-once sink
+    tests (the reference's closest analog is its synthetic worker-load
+    generator, ref LocalApp.java:100-115).
+
+    Unbounded-source protocol: ``rate-micro-batch`` never ends (its
+    availableNow form emits ONE batch — probed), so the query runs a
+    0-interval processing-time trigger, POLLS the idempotent sink until
+    {_RATE_BATCHES} batch directories committed, stops the stream, and
+    reads back only batches 0..{_RATE_BATCHES - 1} — any extra batch
+    that raced the stop is ignored by the bound, which is exactly how a
+    finite check over an infinite source must be written.
+
+    Scale shape: the source plans ``numPartitions`` independent range
+    slices per batch (no driver materialization); the per-batch sink
+    write is the same idempotent per-batchId commit every streaming
+    query here uses.
+    """
+    import os
+    import time
+
+    from project_map_reduce_spark.sources.sinks import write_stream_idempotent
+
+    tmp = tempfile.mkdtemp(prefix="pmrs_q160_")
+    out_dir = _session_output_dir("pmrs_q160_final_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        stream = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", _RATE_N)
+            .option("numPartitions", 4)
+            .option("startTimestamp", _RATE_START_MS)
+            .option("advanceMillisPerBatch", _RATE_ADV_MS)
+            .load()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = write_stream_idempotent(
+            stream,
+            f"{tmp}/sink",
+            f"{tmp}/ckpt",
+            trigger_available_now=False,
+            output_mode="append",
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            # A directory appears when the batch STARTS writing; only
+            # its _SUCCESS marker means committed — stopping on bare
+            # dirs races the in-flight write (observed: 4/5 batches).
+            done = [
+                d
+                for d in (
+                    os.listdir(f"{tmp}/sink") if os.path.isdir(f"{tmp}/sink") else []
+                )
+                if d.startswith("batch_id=")
+                and int(d.split("=")[1]) < _RATE_BATCHES
+                and os.path.exists(f"{tmp}/sink/{d}/_SUCCESS")
+            ]
+            if len(done) >= _RATE_BATCHES:
+                break
+            if q.exception():
+                raise q.exception()
+            time.sleep(0.1)
+        else:
+            q.stop()
+            raise RuntimeError("q_rate_source: 5 batches not committed in 120s")
+        q.stop()
+        q.awaitTermination(60)
+        snap = spark.read.option("basePath", f"{tmp}/sink").parquet(f"{tmp}/sink")
+        (
+            snap.where(F.col("batch_id") < _RATE_BATCHES)
+            .groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("value").alias("sum_value"),
+                F.countDistinct("timestamp").alias("n_ts"),
+                F.max(F.unix_millis("timestamp")).alias("ts_ms"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -639,3 +639,20 @@ def test_jdbc_partitioned_scan_and_pushdown(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "JDBCRelation" in plan and "numPartitions=8" in plan
     assert "*GreaterThan(value,10.0)" in plan  # * = pushed, not re-evaluated
+
+
+# ---------------------------------------------------------------- Q160
+
+
+def test_rate_source_offsets_are_the_data(spark, sf_dir):
+    """The rate-micro-batch contract engine-side: contiguous disjoint
+    value ranges per batch, one event timestamp per batch advancing by
+    exactly the configured step."""
+    rows = sorted(entries()["q_rate_source"].fn(spark, sf_dir).collect(),
+                  key=lambda r: r["batch_id"])
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r["n_ts"] == 1
+        assert r["n_rows"] == 1000
+    steps = {rows[i + 1]["ts_ms"] - rows[i]["ts_ms"] for i in range(4)}
+    assert steps == {3600000}
