@@ -226,6 +226,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_try_arith",
     "q_jdbc_roundtrip",
     "q_rate_source",
+    "q_pyds_sink",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1644,3 +1644,102 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, n_events bigint, n_users bigint, "
         "sum_value double, micros_sum bigint",
     )
+
+
+@register(
+    "q_pyds_sink",
+    oracle=f"""
+    SELECT event_type,
+           CAST(ts AS DATE)            AS day,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           {SUM6.format(expr="value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q161: Python DataSource API custom batch SINK — the writer third
+    of the custom-source surface (Q139 read, Q141 stream; here
+    ``DataSource.writer``), restating the reference's REPORT SINK
+    (result lines gathered and wrapped into an HTML report,
+    ref Manager.java:287-312 + LocalApp.java:312-343) as the two-phase
+    writer protocol: each task streams its partition into a part file
+    and returns a commit message (filename + row count + order-
+    independent content checksum), and the driver's ``commit()`` —
+    which Spark runs exactly once, discarding messages from failed
+    attempts — publishes the ``_MANIFEST`` and the wrapped
+    ``report.html``.
+
+    The hash closes the loop THROUGH the sink: the per-(type, day)
+    aggregate is written via ``format("pmrs_report")`` across 4
+    repartitioned tasks, read BACK by parsing the committed part files,
+    validated against the manifest (total rows AND the xor checksum
+    recomputed from the parsed lines must equal what commit() recorded
+    — a dropped/duplicated/mangled line breaks either), and returned;
+    the oracle recomputes the aggregate from the raw table. A row lost
+    in a task, a task committed twice, or a commit that ran without all
+    messages is caught at one of the three layers.
+
+    Scale shape: per-task writes are coordination-free; commit is
+    O(tasks) over tiny messages — the FileFormatWriter two-phase shape.
+    Float cells are 6dp-rounded BEFORE rendering so the text round-trip
+    is exact. Scratch removed before returning (Q132's pattern).
+    """
+    import shutil
+    import tempfile
+
+    from project_map_reduce_spark.functions.det import sum6
+    from project_map_reduce_spark.sources.pyds_sink import (
+        _line_hash,
+        register_report_sink,
+    )
+
+    register_report_sink(spark)
+    agg = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum6("value").alias("sum_value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="q_pyds_sink_")
+    out = f"{tmp}/report"
+    try:
+        (
+            agg.repartition(4)
+            .write.format("pmrs_report")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        import os
+
+        manifest = open(f"{out}/_MANIFEST").readline().split("\t")
+        want_total, want_xor = int(manifest[1]), int(manifest[3])
+        parts = [p for p in os.listdir(out) if p.startswith("part-")]
+        got_lines = []
+        for p in parts:
+            with open(f"{out}/{p}", encoding="utf-8") as f:
+                got_lines.extend(ln.rstrip("\n") for ln in f)
+        got_xor = 0
+        for ln in got_lines:
+            got_xor ^= _line_hash(ln)
+        if len(got_lines) != want_total or got_xor != want_xor:
+            raise ValueError(
+                "q_pyds_sink: committed parts disagree with manifest "
+                f"(rows {len(got_lines)} vs {want_total}, "
+                f"xor {got_xor} vs {want_xor})"
+            )
+        rows = [
+            (c[0], c[1], int(c[2]), float(c[3]))
+            for c in (ln.split("\t") for ln in got_lines)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    import datetime as _dt
+
+    return spark.createDataFrame(
+        [(t, _dt.date.fromisoformat(d), n, v) for t, d, n, v in rows],
+        schema="event_type string, day date, n_events bigint, sum_value double",
+    )

@@ -1,0 +1,118 @@
+"""Custom batch SINK on Spark 4's Python DataSource API — the writer
+third of the custom-source surface (Q139 batch read, Q141 stream read,
+here ``DataSource.writer``), and the idiomatic home for the reference's
+REPORT SINK: LocalApp gathers the job's result lines and wraps them
+into an HTML report (``LocalApp.java:312-343``; the gather itself is
+``Manager.java:287-312``). Here the gather is the writer protocol —
+each executor task streams ITS partition's rows into a part file and
+returns a ``WriterCommitMessage`` (filename + row count + a content
+checksum); the DRIVER's ``commit()`` runs exactly once over the
+collected messages and publishes the manifest + the wrapped HTML
+report, which is what makes the sink exactly-once: a retried task's
+message is simply never committed (Spark discards messages from failed
+attempts), and an aborted job leaves no manifest.
+
+Scale notes (100 TB): the per-task write is append-free and
+independent (no coordination until commit), the commit is O(tasks)
+driver work over tiny messages — the same two-phase shape as Spark's
+own FileFormatWriter. The report wrap mirrors the reference line-for-
+line semantics: one ``<p>`` per result line.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+REPORT_NAME = "pmrs_report"
+
+
+@dataclass
+class _PartCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+    line_xor: int  # order-independent content checksum of the part
+
+
+def _line_hash(line: str) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(line.encode("utf-8")).digest()[:8], "big"
+    )
+
+
+class _ReportWriter(DataSourceWriter):
+    """Tab-separated result lines, one part file per task; driver
+    commit publishes ``_MANIFEST`` (the exactly-once marker) and
+    ``report.html`` (the reference's wrap, LocalApp.java:312-335)."""
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(f"{REPORT_NAME}: the 'path' option is required")
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        # Executor-side: stream the partition once; cells are rendered
+        # with repr-stable formatting (floats already rounded upstream).
+        fname = f"part-{uuid.uuid4().hex}.tsv"
+        n = 0
+        xor = 0
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f".{fname}.inprogress")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                line = "\t".join("" if v is None else str(v) for v in row)
+                f.write(line + "\n")
+                n += 1
+                xor ^= _line_hash(line)
+        os.replace(tmp, os.path.join(self._path, fname))
+        return _PartCommit(filename=fname, n_rows=n, line_xor=xor)
+
+    def commit(self, messages):
+        total = sum(m.n_rows for m in messages)
+        xor = 0
+        for m in messages:
+            xor ^= m.line_xor
+        # The manifest IS the commit: readers treat its absence as an
+        # uncommitted (aborted/in-flight) sink, mirroring _SUCCESS.
+        lines = []
+        for m in sorted(messages, key=lambda m: m.filename):
+            lines.append(f"{m.filename}\t{m.n_rows}\t{m.line_xor}")
+        body = "\n".join(lines)
+        with open(os.path.join(self._path, "_MANIFEST"), "w") as f:
+            f.write(f"total\t{total}\txor\t{xor}\n{body}\n")
+        # The reference's report wrap: one <p> per result line
+        # (LocalApp.java:312-335), driver-side over the tiny result set.
+        parts = [m.filename for m in messages]
+        with open(os.path.join(self._path, "report.html"), "w") as f:
+            f.write("<html><body>\n")
+            for p in sorted(parts):
+                with open(os.path.join(self._path, p), encoding="utf-8") as pf:
+                    for line in pf:
+                        f.write(f"<p>{line.rstrip()}</p>\n")
+            f.write("</body></html>\n")
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._path, m.filename))
+            except OSError:
+                pass
+
+
+class ReportDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return REPORT_NAME
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _ReportWriter(self.options, overwrite)
+
+
+def register_report_sink(spark) -> None:
+    spark.dataSource.register(ReportDataSource)

@@ -656,3 +656,46 @@ def test_rate_source_offsets_are_the_data(spark, sf_dir):
         assert r["n_rows"] == 1000
     steps = {rows[i + 1]["ts_ms"] - rows[i]["ts_ms"] for i in range(4)}
     assert steps == {3600000}
+
+
+# ---------------------------------------------------------------- Q161
+
+
+def test_pyds_sink_two_phase_commit_artifacts(spark, tmp_path):
+    """The writer protocol end-to-end on a tiny frame: per-task part
+    files, a driver _MANIFEST whose totals match, and the report wrap
+    carrying exactly one <p> per result line (the reference's report
+    shape)."""
+    import os
+
+    from project_map_reduce_spark.sources.pyds_sink import (
+        _line_hash, register_report_sink)
+
+    register_report_sink(spark)
+    out = f"{tmp_path}/rep"
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(20)], "k bigint, s string"
+    ).repartition(3)
+    df.write.format("pmrs_report").option("path", out).mode("append").save()
+    head = open(f"{out}/_MANIFEST").readline().split("\t")
+    assert int(head[1]) == 20
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == 3
+    lines = []
+    for p in parts:
+        lines += [ln.rstrip("\n") for ln in open(f"{out}/{p}")]
+    xor = 0
+    for ln in lines:
+        xor ^= _line_hash(ln)
+    assert xor == int(head[3]) and len(lines) == 20
+    html = open(f"{out}/report.html").read()
+    assert html.count("<p>") == 20
+
+
+def test_pyds_sink_requires_path(spark):
+    from project_map_reduce_spark.sources.pyds_sink import register_report_sink
+
+    register_report_sink(spark)
+    with pytest.raises(Exception) as ei:
+        spark.range(1).write.format("pmrs_report").mode("append").save()
+    assert "path" in str(ei.value)
