@@ -227,6 +227,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_jdbc_roundtrip",
     "q_rate_source",
     "q_pyds_sink",
+    "q_agg_pushdown",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1743,3 +1743,87 @@ def q_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, _dt.date.fromisoformat(d), n, v) for t, d, n, v in rows],
         schema="event_type string, day date, n_events bigint, sum_value double",
     )
+
+
+@register(
+    "q_agg_pushdown",
+    oracle="""
+    SELECT CAST(event_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           round(min(value), 6)          AS min_value,
+           round(max(value), 6)          AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q162: parquet AGGREGATE PUSHDOWN — MIN/MAX/COUNT answered from
+    row-group FOOTER STATISTICS without reading a single data page, the
+    last scan-layer shortcut the skipping family (Q118 partition prune,
+    Q124 cluster prune, Q133 bloom prune, Q136 DPP) doesn't cover: those
+    skip data; this never touches it. The events slice is written
+    partitioned by ``bucket = event_id % 4``; under
+    ``spark.sql.parquet.aggregatePushdown=true`` on the v2 read path the
+    whole GROUP-BY-partition-column MIN/MAX/COUNT plan collapses to a
+    footer walk — ``PushedAggregation: [MIN(...), MAX(...), COUNT(*)]``
+    + ``PushedGroupBy: [bucket]`` in the scan node (plan-asserted in
+    tests, along with the negative: adding SUM — not derivable from
+    stats — silently disables the pushdown, which is why the query's
+    aggregate set is exactly the pushable three).
+
+    At 100 TB this is the difference between a metadata operation
+    (O(row groups) footer reads) and a full-corpus scan for every
+    data-profiling MIN/MAX/COUNT — the same class of win as Q118's
+    listing-time pruning, applied to the aggregate itself.
+
+    Engine notes: the two confs (aggregatePushdown + the v2 parquet
+    read path) are set for the scratch read and RESTORED in finally —
+    v1 is the session default and other queries depend on its plan
+    shapes. Both engines see identical values: parquet min/max stats
+    are exact for int64/double (no truncation at these widths), and the
+    result is re-verified against the footer-free plan in tests.
+    """
+    import shutil
+    import tempfile
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .withColumn("bucket", F.col("event_id") % 4)
+    )
+    tmp = tempfile.mkdtemp(prefix="q_agg_pushdown_")
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        ev.write.partitionBy("bucket").parquet(f"{tmp}/part")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        out = (
+            spark.read.parquet(f"{tmp}/part")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+                F.round(F.min("value"), 6).alias("min_value"),
+                F.round(F.max("value"), 6).alias("max_value"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation: [" not in plan or "COUNT(*)" not in plan:
+            raise AssertionError(
+                "q_agg_pushdown: aggregate was not pushed to the parquet "
+                "footer — plan regressed to a data scan"
+            )
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="bucket bigint, n_rows bigint, min_id bigint, max_id bigint, "
+        "min_value double, max_value double",
+    )

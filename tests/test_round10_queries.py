@@ -699,3 +699,46 @@ def test_pyds_sink_requires_path(spark):
     with pytest.raises(Exception) as ei:
         spark.range(1).write.format("pmrs_report").mode("append").save()
     assert "path" in str(ei.value)
+
+
+# ---------------------------------------------------------------- Q162
+
+
+def test_agg_pushdown_plan_and_sum_negative(spark, sf_dir, tmp_path):
+    """Q162's positive is asserted inside the query (it raises if the
+    pushdown regresses); here the NEGATIVE canary: adding SUM — not
+    derivable from footer stats — silently disables the pushdown, which
+    is why the query's aggregate set is exactly MIN/MAX/COUNT. Also the
+    footer answer must equal the data-scan answer."""
+    import pyspark.sql.functions as F2
+
+    spark.range(1000).select(
+        F2.col("id"), (F2.col("id") % 4).alias("b")
+    ).write.partitionBy("b").parquet(f"{tmp_path}/p")
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        base = spark.read.parquet(f"{tmp_path}/p")
+        pushed = base.groupBy("b").agg(F2.count(F2.lit(1)).alias("n"),
+                                       F2.min("id"), F2.max("id"))
+        assert "PushedAggregation: [" in (
+            pushed._jdf.queryExecution().executedPlan().toString())
+        with_sum = base.groupBy("b").agg(F2.count(F2.lit(1)).alias("n"),
+                                         F2.sum("id").alias("s"))
+        plan = with_sum._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: []" in plan or "PushedAggregation" not in plan
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+    # footer answer == data answer (independent of confs)
+    rows = {r["bucket"]: r for r in
+            entries()["q_agg_pushdown"].fn(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    want = {r["bucket"]: r for r in
+            ev.withColumn("bucket", F.col("event_id") % 4).groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("event_id").alias("min_id")).collect()}
+    for b, r in rows.items():
+        assert (r["n_rows"], r["min_id"]) == (want[b]["n_rows"], want[b]["min_id"])

@@ -17,7 +17,13 @@ the min(string) survivor picks documented in q_pipeline_e2e's
 docstring), and q_profile_columns' level-2 measures agg, which by
 design runs AFTER the hash-agg collapse so its sort input is the
 O(Σ distinct values) relation, not the corpus (see its docstring's
-measured A/B). Current expected total: 10 flagged, all documented
+measured A/B). r10 adds a sixth SortAggregate: q_collated_group —
+UTF8_LCASE group keys have no hash-agg fast path in Spark 4.1 (the
+comparator lives in the collation), so the partial+final agg runs as
+SortAggregate by construction; the hash-agg alternative is the
+normalize-with-lower() form, which is deliberately the query's ORACLE,
+not its engine path — the query exists to exercise the collated
+comparator. Current expected total: 11 flagged, all documented
 (mirrors tests/test_plan_audit.py::_BNLJ_ALLOWED).
 
 Usage:
