@@ -228,6 +228,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_rate_source",
     "q_pyds_sink",
     "q_agg_pushdown",
+    "q_pyds_stream_sink",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1628,3 +1628,136 @@ def q_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_pyds_stream_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q163: Python DataSource STREAMING SINK — the fourth and last
+    quadrant of the custom-source API (batch read Q139 / stream read
+    Q141 / batch write Q161 / stream write here,
+    ``DataSource.streamWriter``): the events corpus flows as 3 staged
+    micro-batches through an availableNow stream into the custom
+    writer, whose per-EPOCH commit publishes ``_MANIFEST-<batchId>``
+    listing exactly that epoch's part files (filename + rows + an
+    order-independent xor checksum per part). The read-back takes ONLY
+    manifest-listed parts — the reader-side half of exactly-once: a
+    crash-replayed epoch re-commits the same batchId manifest and
+    orphan parts from failed attempts are never listed — then validates
+    every epoch's totals and aggregates; the oracle is the plain batch
+    aggregate, so a dropped epoch, a double-committed epoch, or a row
+    lost between write() and commit() all break the hash.
+
+    Scale shape: write() streams each partition once (no buffering
+    beyond the line), commit is O(tasks/epoch) over tiny messages; the
+    manifest-listed read is how production consumers of a custom sink
+    must be written (never glob part files — the manifest IS the
+    commit).
+    """
+    from project_map_reduce_spark.sources.pyds_sink import (
+        _line_hash,
+        register_report_sink,
+    )
+
+    register_report_sink(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="pmrs_q163_")
+    out = f"{tmp}/report"
+    try:
+        n = ev.count()
+        third = max(1, n // 3)
+        rank = F.col("event_id")  # dense enough: stage by id ranges
+        lo_hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        span = max(1, int(lo_hi[1]) - int(lo_hi[0]) + 1)
+        chunk = F.least(
+            F.floor((F.col("event_id") - F.lit(int(lo_hi[0]))) * 3 / span),
+            F.lit(2),
+        )
+        src = _stage_batches(tmp, tuple(
+            (f"c{i}", ev.where(chunk == i)) for i in range(3)
+        ))
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("pmrs_report")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_finite_stream(q, "q_pyds_stream_sink")
+
+        import os
+
+        manifests = sorted(
+            f for f in os.listdir(out) if f.startswith("_MANIFEST-")
+        )
+        if len(manifests) < 3:
+            raise ValueError(
+                f"q_pyds_stream_sink: expected >=3 committed epochs, "
+                f"got {manifests}"
+            )
+        lines: list[str] = []
+        for mf in manifests:
+            head, *body = open(f"{out}/{mf}").read().splitlines()
+            want_total, want_xor = int(head.split("\t")[1]), int(
+                head.split("\t")[3]
+            )
+            got = []
+            for entry in body:
+                fname, n_rows, xor = entry.split("\t")
+                with open(f"{out}/{fname}", encoding="utf-8") as f:
+                    part_lines = [ln.rstrip("\n") for ln in f]
+                part_xor = 0
+                for ln in part_lines:
+                    part_xor ^= _line_hash(ln)
+                if len(part_lines) != int(n_rows) or part_xor != int(xor):
+                    raise ValueError(
+                        f"q_pyds_stream_sink: part {fname} disagrees with "
+                        f"its manifest entry"
+                    )
+                got.extend(part_lines)
+            epoch_xor = 0
+            for ln in got:
+                epoch_xor ^= _line_hash(ln)
+            if len(got) != want_total or epoch_xor != want_xor:
+                raise ValueError(
+                    f"q_pyds_stream_sink: epoch {mf} totals disagree"
+                )
+            lines.extend(got)
+        agg: dict[str, tuple[int, object]] = {}
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for ln in lines:
+            _eid, etype, val = ln.split("\t")
+            c, s = agg.get(etype, (0, Decimal(0)))
+            # HALF_UP matches both engines' CAST(x AS DECIMAL(27,6));
+            # Python's default HALF_EVEN differs on exact halves
+            # (the ADVICE-r9 rounding-contract class).
+            agg[etype] = (
+                c + 1,
+                s + Decimal(val).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                ),
+            )
+        rows = [
+            (t, c, float(s)) for t, (c, s) in sorted(agg.items())
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_events bigint, sum_value double"
+    )

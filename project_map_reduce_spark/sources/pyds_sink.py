@@ -25,7 +25,12 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 REPORT_NAME = "pmrs_report"
 
@@ -113,6 +118,58 @@ class ReportDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _ReportWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return _ReportStreamWriter(self.options)
+
 
 def register_report_sink(spark) -> None:
     spark.dataSource.register(ReportDataSource)
+
+
+class _ReportStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``_ReportWriter`` — the fourth quadrant of the
+    Python DataSource API (batch read Q139 / stream read Q141 / batch
+    write Q161 / stream write here). Each micro-batch epoch commits its
+    own ``_MANIFEST-<epoch>`` over that epoch's part files; Spark
+    replays an epoch after a crash with the SAME batchId, and the
+    epoch-scoped manifest makes the replay idempotent at read time
+    (readers take each committed epoch once) — the same per-batchId
+    discipline as sources/sinks.py::write_stream_idempotent, expressed
+    through the writer protocol instead of foreachBatch."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(f"{REPORT_NAME}: the 'path' option is required")
+
+    def write(self, iterator):
+        fname = f"part-{uuid.uuid4().hex}.tsv"
+        n = 0
+        xor = 0
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f".{fname}.inprogress")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                line = "\t".join("" if v is None else str(v) for v in row)
+                f.write(line + "\n")
+                n += 1
+                xor ^= _line_hash(line)
+        os.replace(tmp, os.path.join(self._path, fname))
+        return _PartCommit(filename=fname, n_rows=n, line_xor=xor)
+
+    def commit(self, messages, batchId: int):
+        total = sum(m.n_rows for m in messages)
+        xor = 0
+        body = []
+        for m in sorted(messages, key=lambda m: m.filename):
+            xor ^= m.line_xor
+            body.append(f"{m.filename}\t{m.n_rows}\t{m.line_xor}")
+        with open(os.path.join(self._path, f"_MANIFEST-{batchId}"), "w") as f:
+            f.write(f"total\t{total}\txor\t{xor}\n" + "\n".join(body) + "\n")
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._path, m.filename))
+            except OSError:
+                pass

@@ -742,3 +742,45 @@ def test_agg_pushdown_plan_and_sum_negative(spark, sf_dir, tmp_path):
                  F.min("event_id").alias("min_id")).collect()}
     for b, r in rows.items():
         assert (r["n_rows"], r["min_id"]) == (want[b]["n_rows"], want[b]["min_id"])
+
+
+# ---------------------------------------------------------------- Q163
+
+
+def test_pyds_stream_sink_epoch_manifests(spark, tmp_path):
+    """The streaming writer's epoch contract on a controlled 2-batch
+    stream: one _MANIFEST-<batchId> per micro-batch, each listing only
+    its own parts, totals covering the staged rows exactly once."""
+    import glob
+    import os
+
+    from project_map_reduce_spark.sources.pyds_sink import register_report_sink
+
+    register_report_sink(spark)
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    spark.range(0, 50).coalesce(1).write.parquet(f"{tmp_path}/a")
+    spark.range(50, 80).coalesce(1).write.parquet(f"{tmp_path}/b")
+    for i, d in enumerate(("a", "b")):
+        (part,) = glob.glob(f"{tmp_path}/{d}/part-*.parquet")
+        os.rename(part, f"{src}/b{i}.parquet")
+    out = f"{tmp_path}/rep"
+    q = (spark.readStream.schema("id bigint")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.format("pmrs_report")
+         .option("path", out)
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    manifests = sorted(f for f in os.listdir(out) if f.startswith("_MANIFEST-"))
+    assert len(manifests) == 2
+    totals = []
+    listed = set()
+    for mf in manifests:
+        head, *body = open(f"{out}/{mf}").read().splitlines()
+        totals.append(int(head.split("\t")[1]))
+        for entry in body:
+            fname = entry.split("\t")[0]
+            assert fname not in listed  # epochs never share parts
+            listed.add(fname)
+    assert sorted(totals) == [30, 50]
