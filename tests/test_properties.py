@@ -469,3 +469,59 @@ def test_union_by_name_is_order_insensitive(spark, a, b):
     got = sorted(map(tuple, u.select("k", "x", "y").collect()), key=none_low)
     want = sorted(map(tuple, manual.collect()), key=none_low)
     assert got == want
+
+
+# ------------------------------------------------ Q148 chained-agg law
+
+_chain_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=96 * 3600 - 1),  # sec offset, 4 days
+        st.integers(min_value=0, max_value=2),               # event_type id
+        st.integers(min_value=-1000, max_value=1000),        # value milli-units
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_chain_rows, cut=st.integers(min_value=1, max_value=95))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_chained_agg_batch_law(spark, rows, cut):
+    """The algebra under Q148 (engine-side, no streaming run per
+    example — the streaming equality is pinned by its own test): the
+    two-level window rollup equals recomputing from raw for ANY input,
+    and splitting the input at ANY event-time cut and merging the two
+    halves' slot aggregates reproduces it — the invariant that makes
+    the slot layer a mergeable partial state."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    data = [(base + dt.timedelta(seconds=s), f"t{e}", v / 1000.0)
+            for s, e, v in rows]
+    df = spark.createDataFrame(data, "ts timestamp, event_type string, value double")
+
+    def slots(d):
+        return d.groupBy(F.window("ts", "6 hours").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+        )
+
+    def days(sl):
+        return (sl.groupBy(F.window(F.window_time("w"), "1 day").alias("d"))
+                .agg(F.count(F.lit(1)).alias("n_slots"),
+                     F.sum("n").alias("n"),
+                     F.sum("s").alias("s"))
+                .select(F.col("d.start").alias("day"), "n_slots", "n", "s"))
+
+    whole = {tuple(r) for r in days(slots(df)).collect()}
+    cut_ts = base + dt.timedelta(hours=cut)
+    lo, hi = df.where(F.col("ts") < cut_ts), df.where(F.col("ts") >= cut_ts)
+    # merge the two halves' slot aggregates (mergeable-partial law),
+    # then roll up to days
+    merged_slots = (slots(lo).unionByName(slots(hi))
+                    .groupBy("w", "event_type")
+                    .agg(F.sum("n").alias("n"), F.sum("s").alias("s")))
+    split = {tuple(r) for r in days(merged_slots).collect()}
+    assert split == whole
