@@ -784,3 +784,36 @@ def test_pyds_stream_sink_epoch_manifests(spark, tmp_path):
             assert fname not in listed  # epochs never share parts
             listed.add(fname)
     assert sorted(totals) == [30, 50]
+
+
+def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
+    """The Arrow lane (option arrow=true) must produce artifacts the
+    row lane's reader cannot distinguish: same epoch totals and the
+    same epoch xor checksums on the same staged input."""
+    import glob
+    import os
+
+    from project_map_reduce_spark.sources.pyds_sink import register_report_sink
+
+    register_report_sink(spark)
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    spark.range(0, 500).selectExpr(
+        "id", "concat('t', id % 3) AS s", "CAST(id * 0.25 AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(f"{tmp_path}/a")
+    (part,) = glob.glob(f"{tmp_path}/a/part-*.parquet")
+    os.rename(part, f"{src}/b0.parquet")
+
+    def run(out, arrow):
+        q = (spark.readStream.schema("id bigint, s string, v double")
+             .parquet(src)
+             .writeStream.format("pmrs_report")
+             .option("path", out).option("arrow", str(arrow).lower())
+             .option("checkpointLocation", f"{out}_ckpt")
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        (mf,) = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]
+        head = open(f"{out}/{mf}").readline().split("\t")
+        return int(head[1]), int(head[3])
+
+    assert run(f"{tmp_path}/row", False) == run(f"{tmp_path}/arrow", True)
