@@ -229,6 +229,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_pyds_sink",
     "q_agg_pushdown",
     "q_pyds_stream_sink",
+    "q_cogroup_asof",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -345,3 +345,97 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# Q164 — COGROUPED map: two relations, one key, one pandas func
+
+
+@register(
+    "q_cogroup_asof",
+    oracle="""
+    SELECT p.event_id AS pur_id,
+           p.user_id,
+           round(p.value, 6) AS pur_value,
+           (SELECT e.event_id
+            FROM events e
+            WHERE e.user_id = p.user_id AND e.event_type = 'error'
+              AND e.ts <= p.ts
+            ORDER BY e.ts DESC, e.event_id DESC
+            LIMIT 1) AS last_err_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q164: COGROUPED map — ``groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas`` — the last uncovered cell of the Python-API matrix
+    (scalar Q49 / grouped-map Q50 / grouped-agg Q59 / UDTF Q87+Q146+
+    Q153; cogrouped-map aligns TWO relations per key into one pandas
+    call). The operator is the per-key AS-OF enrichment every event
+    pipeline writes: each purchase picks up the latest same-user error
+    at-or-before it, computed with ``pandas.merge_asof`` over the two
+    per-user frames — the pandas-native form of Q14's struct-max
+    technique, which is exactly why the oracle is the correlated
+    ORDER-BY-LIMIT-1 subquery (Catalyst decorrelates it; equivalence IS the
+    check). Tie discipline: duplicate (user, ts) pairs are broken by
+    event_id via a (ts, event_id) sort and the oracle's (ts DESC, id DESC) order — both
+    sides deterministic.
+
+    Scale shape: ONE co-partitioned shuffle brings both relations'
+    matching keys to the same task (FlatMapCoGroupsInPandas —
+    plan-asserted), then each pair of per-user frames merges in O(n+m)
+    after the per-group sort; no join blow-up, no driver gather. The
+    100 TB caveat is per-GROUP memory (both frames of one user
+    materialize in one worker) — fine for user-keyed events, the
+    documented reason skewed keys get salted first (Q91).
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "ts", "user_id"
+    )
+
+    def asof(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
+        if len(purchases) == 0:
+            return pd.DataFrame(
+                columns=["pur_id", "user_id", "pur_value", "last_err_id"]
+            )
+        p = purchases.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "pur_id": p["event_id"].to_numpy(),
+                "user_id": p["user_id"].to_numpy(),
+                "pur_value": p["value"].round(6).to_numpy(),
+            }
+        )
+        if len(errors) == 0:
+            out["last_err_id"] = pd.array([None] * len(p), dtype="Int64")
+            return out
+        # merge_asof takes the LAST row with ts <= purchase ts; sorting
+        # errors by (ts, err_id) makes the within-ts winner the max id —
+        # matching the oracle's struct_pack(ts, id) max_by tiebreak.
+        e = errors.sort_values(["ts", "err_id"], kind="mergesort")
+        m = pd.merge_asof(
+            p[["ts"]].reset_index(drop=True),
+            e[["ts", "err_id"]],
+            on="ts",
+            direction="backward",
+        )
+        out["last_err_id"] = m["err_id"].astype("Int64").to_numpy()
+        return out
+
+    return (
+        pur.groupBy("user_id")
+        .cogroup(err.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema="pur_id bigint, user_id bigint, pur_value double, "
+            "last_err_id bigint",
+        )
+    )

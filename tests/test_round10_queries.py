@@ -817,3 +817,29 @@ def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
         return int(head[1]), int(head[3])
 
     assert run(f"{tmp_path}/row", False) == run(f"{tmp_path}/arrow", True)
+
+
+# ---------------------------------------------------------------- Q164
+
+
+def test_cogroup_asof_plan_and_equivalence(spark, sf_dir):
+    """One co-partitioned shuffle into FlatMapCoGroupsInPandas (the
+    cogrouped-map physical node), and the pandas merge_asof result must
+    equal Q14's struct-max window technique computed engine-side."""
+    df = entries()["q_cogroup_asof"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    got = {(r["pur_id"], r["last_err_id"]) for r in df.collect()}
+    ev = load(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("err_id"))
+    j = pur.join(err, (pur.user_id == err.e_user) & (err.e_ts <= pur.ts),
+                 "left")
+    want = {(r["pur_id"], r["last_err_id"]) for r in
+            j.groupBy(pur.event_id.alias("pur_id"))
+            .agg(F.max(F.struct("e_ts", "err_id")).alias("m"))
+            .select("pur_id", F.col("m.err_id").alias("last_err_id"))
+            .collect()}
+    assert got == want
