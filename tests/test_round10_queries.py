@@ -843,3 +843,65 @@ def test_cogroup_asof_plan_and_equivalence(spark, sf_dir):
             .select("pur_id", F.col("m.err_id").alias("last_err_id"))
             .collect()}
     assert got == want
+
+
+def test_pyds_stream_sink_kill_replay_exactly_once(spark, tmp_path):
+    """Crash-replay for the custom stream sink: stop the query after
+    the first epoch commits (epoch 2 possibly mid-write), restart from
+    the same checkpoint, and the final ledger must cover every staged
+    row exactly once — orphan parts from the killed attempt may sit on
+    disk but are never manifest-listed, which is why readers take only
+    listed parts."""
+    import glob
+    import os
+    import time
+
+    from project_map_reduce_spark.sources.pyds_sink import register_report_sink
+
+    register_report_sink(spark)
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    sizes = [40, 60, 30]
+    start = 0
+    for i, n in enumerate(sizes):
+        spark.range(start, start + n).coalesce(1).write.parquet(f"{tmp_path}/c{i}")
+        (part,) = glob.glob(f"{tmp_path}/c{i}/part-*.parquet")
+        os.rename(part, f"{src}/b{i}.parquet")
+        start += n
+    out, ckpt = f"{tmp_path}/rep", f"{tmp_path}/ckpt"
+
+    def start_stream():
+        return (spark.readStream.schema("id bigint")
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .writeStream.format("pmrs_report")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    q = start_stream()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if os.path.isdir(out) and any(
+            f.startswith("_MANIFEST-") for f in os.listdir(out)
+        ):
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start_stream()
+    assert q2.awaitTermination(120)
+    manifests = sorted(f for f in os.listdir(out) if f.startswith("_MANIFEST-"))
+    assert len(manifests) == 3
+    listed, total = set(), 0
+    ids = []
+    for mf in manifests:
+        head, *body = open(f"{out}/{mf}").read().splitlines()
+        total += int(head.split("\t")[1])
+        for entry in body:
+            fname = entry.split("\t")[0]
+            assert fname not in listed
+            listed.add(fname)
+            ids += [int(ln) for ln in open(f"{out}/{fname}")]
+    assert total == sum(sizes)
+    assert sorted(ids) == list(range(sum(sizes)))  # every row exactly once
