@@ -230,6 +230,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_agg_pushdown",
     "q_pyds_stream_sink",
     "q_cogroup_asof",
+    "q_sql_udf",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

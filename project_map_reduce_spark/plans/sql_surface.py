@@ -695,3 +695,72 @@ def q_sql_ergonomics(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"k1": "o_orderpriority", "k2": "o_orderstatus"},
     )
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+           CAST(sum(CAST(CASE WHEN o.o_totalprice > 150000
+                              THEN o.o_totalprice * 0.9
+                              ELSE o.o_totalprice END
+                         AS DECIMAL(27,6))) AS DOUBLE) AS sum_tier
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q165: SQL-DEFINED functions (Spark 4.1 ``CREATE FUNCTION …
+    RETURN``) — business logic as catalog objects, in both shapes at
+    once: a SCALAR SQL UDF (``f_tier_price``: the discount-policy CASE)
+    and a SQL TABLE FUNCTION (``f_cust_orders(k) RETURNS TABLE``) used
+    with a CORRELATED ``LATERAL`` argument (each customer's key flows
+    into the function body's predicate). This is the third function
+    tier after built-ins and Python UDFs — and unlike Python, SQL
+    functions INLINE at analysis time: the optimized plan is the plain
+    join + CASE + aggregate (zero runtime overhead, no Python workers,
+    no serialization boundary) — asserted in tests: no BatchEvalPython,
+    no BroadcastNestedLoopJoin, the TVF decorrelates into an ordinary
+    equi-join exactly like Q143's LATERAL subquery.
+
+    Why it matters at 100 TB: shared business definitions (pricing
+    tiers, eligibility predicates) live ONCE in the catalog and every
+    caller gets the optimizer-visible inlined form — pushdown and
+    pruning work THROUGH the function boundary, which no external UDF
+    can offer. The oracle is the hand-inlined SQL, so the hash proves
+    inlining semantics exactly.
+
+    Functions are session-scoped TEMPORARY and re-created per call
+    (idempotent ``CREATE OR REPLACE``); names are q165-prefixed to
+    avoid session collisions.
+    """
+    register_views(spark, sf_dir, ("customer", "orders"))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q165_tier_price(p DOUBLE)
+        RETURNS DOUBLE
+        RETURN CASE WHEN p > 150000 THEN p * 0.9 ELSE p END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q165_cust_orders(k BIGINT)
+        RETURNS TABLE (o_totalprice DOUBLE)
+        RETURN SELECT o_totalprice FROM orders WHERE o_custkey = k
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(f.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sum_price,
+               CAST(sum(CAST(q165_tier_price(f.o_totalprice)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS sum_tier
+        FROM customer c, LATERAL q165_cust_orders(c.c_custkey) f
+        GROUP BY c.c_mktsegment
+        """
+    )

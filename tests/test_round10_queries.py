@@ -905,3 +905,18 @@ def test_pyds_stream_sink_kill_replay_exactly_once(spark, tmp_path):
             ids += [int(ln) for ln in open(f"{out}/{fname}")]
     assert total == sum(sizes)
     assert sorted(ids) == list(range(sum(sizes)))  # every row exactly once
+
+
+# ---------------------------------------------------------------- Q165
+
+
+def test_sql_udf_inlines_to_plain_plan(spark, sf_dir):
+    """SQL functions must INLINE: no Python eval nodes, no per-row
+    nested loop — the correlated TVF decorrelates to an equi-join and
+    the scalar UDF becomes the CASE expression."""
+    df = entries()["q_sql_udf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # decorrelated into an ordinary join
