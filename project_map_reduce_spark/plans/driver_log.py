@@ -231,6 +231,7 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_pyds_stream_sink",
     "q_cogroup_asof",
     "q_sql_udf",
+    "q_transpose",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -422,3 +422,80 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("__total__", m["n_docs"], m["sum_chars"], m["max_chars"])
     ]
     return spark.createDataFrame(rows, schema)
+
+
+_T_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_transpose",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY event_type
+    ),
+    m(metric) AS (VALUES ('n_events'), ('n_users'), ('sum_value'))
+    SELECT m.metric AS key,
+           max(CASE WHEN m.metric = 'n_events' THEN a.n_events
+                    WHEN m.metric = 'n_users' THEN a.n_users
+                    ELSE a.sum_value END)
+               FILTER (WHERE a.event_type = 'click') AS click,
+           max(CASE WHEN m.metric = 'n_events' THEN a.n_events
+                    WHEN m.metric = 'n_users' THEN a.n_users
+                    ELSE a.sum_value END)
+               FILTER (WHERE a.event_type = 'error') AS error,
+           max(CASE WHEN m.metric = 'n_events' THEN a.n_events
+                    WHEN m.metric = 'n_users' THEN a.n_users
+                    ELSE a.sum_value END)
+               FILTER (WHERE a.event_type = 'purchase') AS purchase,
+           max(CASE WHEN m.metric = 'n_events' THEN a.n_events
+                    WHEN m.metric = 'n_users' THEN a.n_users
+                    ELSE a.sum_value END)
+               FILTER (WHERE a.event_type = 'signup') AS signup,
+           max(CASE WHEN m.metric = 'n_events' THEN a.n_events
+                    WHEN m.metric = 'n_users' THEN a.n_users
+                    ELSE a.sum_value END)
+               FILTER (WHERE a.event_type = 'view') AS view
+    FROM m CROSS JOIN agg a
+    GROUP BY m.metric
+    """,
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q166: ``DataFrame.transpose`` (Spark 4.0) — rows↔columns as a
+    FIRST-CLASS relational op, the report-shaping step (metrics as
+    rows, categories as columns) previously hand-written as the
+    Q64-pivot/Q78-unpivot pair: the per-type aggregate (5 types × 3
+    metrics) transposes on ``event_type``, so the original COLUMN NAMES
+    become the ``key`` column and each index VALUE becomes an output
+    column. Transpose semantics pinned by the hash: all measure columns
+    must first share a least-common type (everything cast to DOUBLE
+    here — transpose REFUSES mixed incompatible types, the canary
+    test), column order follows the sorted index values, and the oracle
+    rebuilds the same grid with the classic metric-rows × FILTERed-max
+    construction.
+
+    The fixture's event-type vocabulary is a stable 5-value set at
+    every SF; the premise is guarded LOUD (an unexpected type would
+    silently add a column and break the driver's schema match, so the
+    query raises instead). Scale note: transpose materializes the index
+    values as schema — it is an O(small) REPORT op by construction
+    (column count = distinct index values); at 100 TB the input is
+    always a pre-aggregated frame like this one, never the raw corpus.
+    """
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    types = {r[0] for r in agg.select("event_type").collect()}
+    if types != set(_T_TYPES):
+        raise ValueError(
+            f"q_transpose: unexpected event_type vocabulary {sorted(types)} "
+            f"— transposed schema would drift from the declared oracle"
+        )
+    return agg.transpose(F.col("event_type"))

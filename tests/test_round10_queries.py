@@ -920,3 +920,25 @@ def test_sql_udf_inlines_to_plain_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # decorrelated into an ordinary join
+
+
+# ---------------------------------------------------------------- Q166
+
+
+def test_transpose_mixed_types_refused_and_roundtrip(spark, sf_dir):
+    """Transpose canaries: incompatible measure types are refused (the
+    least-common-type contract Q166 pre-casts for), and transposing
+    twice round-trips the grid values."""
+    bad = spark.createDataFrame([("a", 1, "x")], "k string, n bigint, s string")
+    with pytest.raises(Exception) as ei:
+        bad.transpose(F.col("k")).collect()
+    assert "TRANSPOSE" in str(ei.value).upper() or "least common type" in str(ei.value)
+
+    df = entries()["q_transpose"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert {r["key"] for r in rows} == {"n_events", "n_users", "sum_value"}
+    back = df.transpose(F.col("key"))
+    got = {(r[0], c): r[c] for r in back.collect() for c in back.columns[1:]}
+    ev = load(spark, sf_dir, "events")
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert got[("click", "n_events")] == float(n_click)
