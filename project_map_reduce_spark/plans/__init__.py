@@ -41,69 +41,71 @@ from project_map_reduce_spark.plans import (  # noqa: F401
 )
 
 _DRIVER_WINDOW = [
-    # -- round-10 rotation (VERDICT r9 item 1): the 37 round-7-cohort
-    #    queries hit the ledger's two-round staleness ceiling this round
-    #    and rotate in first (plans/driver_log.py::_R7_COHORT,
-    #    machine-derived from the CORRECTNESS artifacts by
-    #    tests/test_plan_audit.py).
-    "q_agg_rollup",
-    "q_approx_count_distinct",
-    "q_approx_quantile_check",
-    "q_array_ops",
-    "q_corr_stats",
-    "q_date_funcs",
-    "q_datediff",
-    "q_decontaminate",
-    "q_dedup_lines",
-    "q_doc_logprob",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_events_session",
-    "q_events_sliding",
-    "q_events_tumbling",
-    "q_join_bucketed",
-    "q_join_theta",
-    "q_map_ops",
-    "q_math_funcs",
-    "q_multimodal_dims",
-    "q_not_exists",
-    "q_percentiles",
-    "q_pii_mask",
-    "q_pipeline_e2e",
-    "q_repetition",
-    "q_salted_agg",
-    "q_sample_stratified",
-    "q_sample_temperature",
-    "q_split_train_val",
-    "q_string_funcs",
-    "q_udaf_weighted_mean",
-    "q_udf_python",
-    "q_udtf_sentences",
-    "q_window_lag_lead",
-    "q_window_moving",
-    "q_window_range",
-    "q_window_rank",
-    # -- then 13 flexible slots from the round-8 cohort (the oldest
-    #    remaining signal; they reach the ceiling in r11 otherwise),
-    #    drift-prone plan machinery first: real streaming jobs,
-    #    iterative model fits, merge machinery, mergeable sketches.
-    #    New round-10 queries displace entries from the TAIL of this
-    #    block as they land (new queries are in-window from birth; the
-    #    displaced r8 queries rotate in next round at the ceiling).
-    # -- NEW this round (r10):
-    "q_variant_json",  # NEW (r10): VARIANT semi-structured path (parse_json/variant_get)
-    "q_pyds_source",  # NEW (r10): Python DataSource API custom batch source
-    "q_state_reader_audit",  # NEW (r10): statestore reader vs sink reconciliation
-    "q_pyds_stream",  # NEW (r10): Python DataSource API stream source
-    "q_variant_storage",  # NEW (r10): VARIANT parquet storage round-trip
-    "q_lateral_topk",  # NEW (r10): correlated LATERAL decorrelation
-    "q_source_xml",  # NEW (r10): native XML source round-trip
-    "q_observe_metrics",  # NEW (r10): Observation in-flight metrics
-    "q_udtf_analyze",  # NEW (r10): polymorphic UDTF analyze() schema
-    "q_corrupt_quarantine",  # NEW (r10): PERMISSIVE/DROPMALFORMED/FAILFAST quarantine
-    "q_stream_chained_agg",  # NEW (r10): chained stateful operators (SPARK-40925)
-    "q_collated_group",  # NEW (r10): UTF8_LCASE collation grouping
-    "q_sql_script",  # NEW (r10): SQL scripting WHILE/DECLARE + parameterized SQL
+    # -- round-11 rotation (VERDICT r10 item 1): the 16 round-10
+    #    OVERFLOW queries seat first — they have NO driver artifact at
+    #    all yet (declared in plans/driver_log.py::_R10_NEW_DEFERRED;
+    #    jv10-parity- and pytest-green since round 10) and receive
+    #    their first authoritative DuckDB-oracle signal this round.
+    "q_file_provenance",
+    "q_stream_outer_join",
+    "q_udtf_table_arg",
+    "q_dynamic_overwrite",
+    "q_union_by_name",
+    "q_listagg",
+    "q_sql_ergonomics",
+    "q_try_arith",
+    "q_jdbc_roundtrip",
+    "q_rate_source",
+    "q_pyds_sink",
+    "q_agg_pushdown",
+    "q_pyds_stream_sink",
+    "q_cogroup_asof",
+    "q_sql_udf",
+    "q_transpose",
+    # -- then 34 slots from the round-8 cohort (the oldest remaining
+    #    signal; ceiling = staleness_ceiling(len(registry)) rounds —
+    #    renegotiated in r11, see plans/driver_log.py docstring — so
+    #    the 16 r8-cohort queries left outside this round are seated
+    #    in r12 at the ceiling). Drift-prone plan machinery first:
+    #    real streaming jobs, merge/sink machinery, iterative model
+    #    fits, mergeable sketches. New round-11 queries displace
+    #    entries from the TAIL of this block as they land (new
+    #    queries are in-window from birth; the displaced r8 queries
+    #    rotate in next round at the ceiling).
+    "q_stream_dedup_watermark",
+    "q_stream_enrich",
+    "q_stream_sessions",
+    "q_join_interval_stream",
+    "q_scd2_merge",
+    "q_cdc_apply",
+    "q_mv_incremental",
+    "q_compact_small_files",
+    "q_schema_evolution",
+    "q_zorder_prune",
+    "q_cluster_prune",
+    "q_partition_prune",
+    "q_pagerank",
+    "q_quality_classifier_trained",
+    "q_typo_join",
+    "q_embedding_quantize",
+    "q_hll_rollup",
+    "q_kll_rollup",
+    "q_heavy_hitters",
+    "q_profile_approx",
+    "q_join_bloom",
+    "q_join_range",
+    "q_dedup_substring_removal",
+    "q_job_pipeline",
+    "q_timeseries_fill",
+    "q_time_rollup",
+    "q_scalar_subquery",
+    "q_source_quota",
+    "q_profile_columns",
+    "q_pivot_status",
+    "q_token_count",
+    "q_length_deciles",
+    "q_value_histogram",
+    "q_zscore_outliers",
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

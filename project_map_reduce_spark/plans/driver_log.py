@@ -12,19 +12,35 @@ Maintenance contract (enforced by ``tests/test_plan_audit.py``):
 
 * ``CURRENT_ROUND`` is bumped at the start of each round, when the
   window is rotated.
-* Every query in the current ``_DRIVER_WINDOW`` will receive a
-  ``CURRENT_ROUND`` signal when this round's driver run lands; queries
-  OUTSIDE the window must already hold a signal no older than
-  ``CURRENT_ROUND - 2`` — i.e. after this round's rotation no query's
-  evidence is ever more than two rounds stale.
+* STALENESS CEILING (renegotiated in round 11, VERDICT r10 item 2):
+  the original "no signal older than two rounds" bound requires
+  inventory <= 3x50 = 150 queries; the inventory passed 150 in round
+  10, so the bound is now the ARITHMETIC one — with N registered
+  queries and a 50-slot window the rotation cycle is ceil(N/50)
+  rounds, so after this round's rotation no query outside the window
+  may carry a signal older than ``ceil(N/50) - 1`` rounds (N=166..200
+  -> 3 rounds; the old bound falls out as the special case N<=150).
+  The plan-audit test computes the bound from the live registry size,
+  so growing the inventory automatically widens the ceiling honestly
+  instead of silently breaking the contract.
+* ROTATION PRIORITY: queries whose signal reaches the ceiling next
+  round rotate in first; within a cohort, drift-prone plan machinery
+  (real streaming jobs, iterative model fits, merge/sink machinery,
+  Arrow-crossing lanes) takes the slots before drift-stable scalar
+  surface (set ops, simple scans/filters), which carries pytest +
+  local-parity coverage in the interim.
 * Queries new this round carry ``CURRENT_ROUND`` (they are in the
   window from birth and have no earlier signal by definition).
+  OVERFLOW queries — born after the window filled — are declared in a
+  ``_R{N}_NEW_DEFERRED`` list, carry ``CURRENT_ROUND + 1``, and MUST
+  open the next round's window (round 10 deferred 16; all 16 seat in
+  the round-11 window below).
 * Since round 8 the ledger can no longer drift from the evidence:
   ``derive_driver_rounds`` recomputes every value straight from the
   on-disk ``CORRECTNESS_r*.json`` artifacts and the plan-audit test
   asserts ``DRIVER_ROUNDS`` equals the derivation (VERDICT r7 item 8;
-  new-this-round queries are the only entries allowed to have no
-  artifact yet).
+  new-this-round and deferred queries are the only entries allowed to
+  have no artifact yet).
 * LOCKSTEP RULE (ADVICE r8): committing a new ``CORRECTNESS_r{N}.json``
   artifact and rotating this ledger MUST happen in the same commit —
   the artifact advances the derivation, so a stale ledger fails CI the
@@ -39,51 +55,11 @@ import json
 import re
 from pathlib import Path
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 # Queries whose last driver hash predates this round's window, by cohort
 # (cohort = the round whose CORRECTNESS artifact last full-matched them;
 # regenerate with ``derive_driver_rounds`` — the test does).
-_R7_COHORT = [
-    "q_agg_rollup",
-    "q_approx_count_distinct",
-    "q_approx_quantile_check",
-    "q_array_ops",
-    "q_corr_stats",
-    "q_date_funcs",
-    "q_datediff",
-    "q_decontaminate",
-    "q_dedup_lines",
-    "q_doc_logprob",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_events_session",
-    "q_events_sliding",
-    "q_events_tumbling",
-    "q_join_bucketed",
-    "q_join_theta",
-    "q_map_ops",
-    "q_math_funcs",
-    "q_multimodal_dims",
-    "q_not_exists",
-    "q_percentiles",
-    "q_pii_mask",
-    "q_pipeline_e2e",
-    "q_repetition",
-    "q_salted_agg",
-    "q_sample_stratified",
-    "q_sample_temperature",
-    "q_split_train_val",
-    "q_string_funcs",
-    "q_udaf_weighted_mean",
-    "q_udf_python",
-    "q_udtf_sentences",
-    "q_window_lag_lead",
-    "q_window_moving",
-    "q_window_range",
-    "q_window_rank",
-]
-
 _R8_COHORT = [
     "q_case_when",
     "q_cdc_apply",
@@ -190,31 +166,63 @@ _R9_COHORT = [
     "q_window_distribution",
 ]
 
-# Queries introduced in round 10 (in the window from birth; their first
-# driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R10_NEW: list[str] = [
-    "q_variant_json",
-    "q_pyds_source",
-    "q_state_reader_audit",
-    "q_pyds_stream",
-    "q_variant_storage",
-    "q_lateral_topk",
-    "q_source_xml",
-    "q_observe_metrics",
-    "q_udtf_analyze",
-    "q_corrupt_quarantine",
-    "q_stream_chained_agg",
+_R10_COHORT = [
+    "q_agg_rollup",
+    "q_approx_count_distinct",
+    "q_approx_quantile_check",
+    "q_array_ops",
     "q_collated_group",
+    "q_corr_stats",
+    "q_corrupt_quarantine",
+    "q_date_funcs",
+    "q_datediff",
+    "q_decontaminate",
+    "q_dedup_lines",
+    "q_doc_logprob",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_session",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_join_bucketed",
+    "q_join_theta",
+    "q_lateral_topk",
+    "q_map_ops",
+    "q_math_funcs",
+    "q_multimodal_dims",
+    "q_not_exists",
+    "q_observe_metrics",
+    "q_percentiles",
+    "q_pii_mask",
+    "q_pipeline_e2e",
+    "q_pyds_source",
+    "q_pyds_stream",
+    "q_repetition",
+    "q_salted_agg",
+    "q_sample_stratified",
+    "q_sample_temperature",
+    "q_source_xml",
+    "q_split_train_val",
     "q_sql_script",
+    "q_state_reader_audit",
+    "q_stream_chained_agg",
+    "q_string_funcs",
+    "q_udaf_weighted_mean",
+    "q_udf_python",
+    "q_udtf_analyze",
+    "q_udtf_sentences",
+    "q_variant_json",
+    "q_variant_storage",
+    "q_window_lag_lead",
+    "q_window_moving",
+    "q_window_range",
+    "q_window_rank",
 ]
 
-# Round-10 OVERFLOW: the window must hold all 37 r7-cohort queries this
-# round (the two-round staleness ceiling), leaving exactly 13 slots for
-# new queries — _R10_NEW fills them. Queries below were born after the
-# window filled; they are jv-parity- and pytest-verified this round and
-# MUST open round 11's window (their first driver signal is deferred
-# one round — the ledger records the deferral explicitly rather than
-# silently aging a cohort query past its ceiling).
+# Round-10 OVERFLOW, seated this round (VERDICT r10 item 1): born after
+# the r10 window filled, jv-parity- and pytest-verified in round 10, no
+# driver artifact yet. All 16 open the round-11 window below and
+# receive their FIRST driver signal when CORRECTNESS_r11.json lands.
 _R10_NEW_DEFERRED: list[str] = [
     "q_file_provenance",
     "q_stream_outer_join",
@@ -234,25 +242,36 @@ _R10_NEW_DEFERRED: list[str] = [
     "q_transpose",
 ]
 
+# Queries introduced in round 11 (in the window from birth; their first
+# driver signal will be CURRENT_ROUND — no artifact carries them yet).
+_R11_NEW: list[str] = []
+
 DRIVER_ROUNDS: dict[str, int] = {
-    **{q: 7 for q in _R7_COHORT},
     **{q: 8 for q in _R8_COHORT},
     **{q: 9 for q in _R9_COHORT},
-    **{q: CURRENT_ROUND for q in _R10_NEW},
-    # Deferred queries' first driver signal lands in round N+1; the
-    # N+1 value keeps the staleness math honest (they hold no signal
-    # at all yet — the audit test pairs this with artifact absence).
-    **{q: CURRENT_ROUND + 1 for q in _R10_NEW_DEFERRED},
+    **{q: 10 for q in _R10_COHORT},
+    **{q: CURRENT_ROUND for q in _R10_NEW_DEFERRED},
+    **{q: CURRENT_ROUND for q in _R11_NEW},
 }
+
+
+def staleness_ceiling(n_queries: int, window: int = 50) -> int:
+    """The tightest satisfiable staleness bound for an ``n_queries``
+    inventory over a ``window``-slot driver check: the rotation cycle
+    visits every query once per ``ceil(n/window)`` rounds, so the
+    oldest in-contract signal is ``ceil(n/window) - 1`` rounds stale
+    (minimum 2 — the original contract — so the bound never tightens
+    retroactively below what rounds 1-10 promised)."""
+    return max(2, -(-n_queries // window) - 1)
 
 
 def derive_driver_rounds(repo_root: str | Path) -> dict[str, int]:
     """Recompute the ledger straight from the driver's own artifacts:
     for each query, the highest N such that ``CORRECTNESS_r{N}.json``
     records a full rows+schema+hash match. Queries that never
-    full-matched (only possible for new-this-round entries) are absent
-    from the result — the test pairs that absence with membership in
-    the current new-query list."""
+    full-matched (only possible for new-this-round or deferred
+    entries) are absent from the result — the test pairs that absence
+    with membership in the current new/deferred lists."""
     derived: dict[str, int] = {}
     for p in sorted(Path(repo_root).glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p.name)

@@ -531,20 +531,27 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
 def test_driver_window_rotation_debt_bounded():
     """plans/driver_log.py is the machine-checkable rotation ledger
     (VERDICT r6 item 8): after this round's window rotation, no query
-    outside the window may carry a driver hash older than two rounds,
-    every in-window query must actually exist, the ledger must cover
-    the registry exactly, and new-this-round queries must sit in the
-    window from birth. Since round 8 (VERDICT r7 item 8) the ledger is
-    also verified against the evidence itself: every DRIVER_ROUNDS
-    value must equal the round derived from the on-disk
-    CORRECTNESS_r*.json artifacts, so the dict can never drift."""
+    outside the window may carry a driver hash older than the
+    staleness ceiling, every in-window query must actually exist, the
+    ledger must cover the registry exactly, and new-this-round queries
+    must sit in the window from birth. The ceiling was renegotiated in
+    round 11 (VERDICT r10 item 2): the original fixed "two rounds"
+    bound requires inventory <= 3x50 and broke at 166 queries, so it
+    is now computed from the live registry size —
+    staleness_ceiling(N) = max(2, ceil(N/50) - 1) — which is the
+    tightest bound a 50-slot window can satisfy. Since round 8
+    (VERDICT r7 item 8) the ledger is also verified against the
+    evidence itself: every DRIVER_ROUNDS value must equal the round
+    derived from the on-disk CORRECTNESS_r*.json artifacts, so the
+    dict can never drift."""
     from project_map_reduce_spark.plans import _DRIVER_WINDOW
     from project_map_reduce_spark.plans.driver_log import (
         CURRENT_ROUND,
         DRIVER_ROUNDS,
-        _R10_NEW,
         _R10_NEW_DEFERRED,
+        _R11_NEW,
         derive_driver_rounds,
+        staleness_ceiling,
     )
 
     reg = set(entries())
@@ -555,19 +562,21 @@ def test_driver_window_rotation_debt_bounded():
     window = set(_DRIVER_WINDOW)
     assert window <= reg, sorted(window - reg)
     assert len(_DRIVER_WINDOW) == 50 == len(window)
+    ceiling = staleness_ceiling(len(reg))
     stale = {
         q: r
         for q, r in DRIVER_ROUNDS.items()
-        if q not in window and r < CURRENT_ROUND - 2
+        if q not in window and r < CURRENT_ROUND - ceiling
     }
-    assert not stale, f"rotate these into the window: {stale}"
-    missing_new = [q for q in _R10_NEW if q not in window]
+    assert not stale, f"rotate these into the window (ceiling={ceiling}): {stale}"
+    missing_new = [q for q in _R11_NEW if q not in window]
     assert not missing_new, f"new queries must be in-window from birth: {missing_new}"
-    # Overflow queries are a DECLARED deferral, not window members —
-    # a deferred query inside the window means the lists drifted.
-    in_window_deferred = [q for q in _R10_NEW_DEFERRED if q in window]
-    assert not in_window_deferred, (
-        f"deferred queries must stay outside the full window: {in_window_deferred}"
+    # Round-10 overflow queries SEAT this round (VERDICT r10 item 1):
+    # all 16 must be inside the round-11 window so the driver's first
+    # authoritative signal for them lands in CORRECTNESS_r11.json.
+    unseated_deferred = [q for q in _R10_NEW_DEFERRED if q not in window]
+    assert not unseated_deferred, (
+        f"r10-deferred queries must open the r11 window: {unseated_deferred}"
     )
 
     # Ledger == evidence: derive every query's last full-match round
@@ -578,13 +587,13 @@ def test_driver_window_rotation_debt_bounded():
         q: (r, derived.get(q))
         for q, r in DRIVER_ROUNDS.items()
         if derived.get(q) != r
-        and not (q in _R10_NEW + _R10_NEW_DEFERRED and q not in derived)
+        and not (q in _R11_NEW + _R10_NEW_DEFERRED and q not in derived)
     }
     assert not drift, f"ledger drifted from CORRECTNESS artifacts (ledger, derived): {drift}"
-    # and the new-query list is exactly the set with no artifact yet
+    # and the new/deferred lists are exactly the set with no artifact yet
     never_verified = reg - set(derived)
-    assert never_verified == set(_R10_NEW) | set(_R10_NEW_DEFERRED), (
+    assert never_verified == set(_R11_NEW) | set(_R10_NEW_DEFERRED), (
         sorted(never_verified),
-        sorted(_R10_NEW),
+        sorted(_R11_NEW),
         sorted(_R10_NEW_DEFERRED),
     )
