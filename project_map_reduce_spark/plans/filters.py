@@ -147,7 +147,13 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar Python UDF tier label (ref A6's per-record dispatch, the
     idiomatic home of user Python logic). Kept deliberately as a
     row-at-a-time UDF to exercise that surface; the vectorized
-    equivalent is q_pandas_udf_scalar. At 100 TB you'd write this as
+    equivalent is q_pandas_udf_scalar. Remediation ladder, measured in
+    the round-10 tier A/B (BASELINE.md: pickled 1.34 s → arrow 0.97 s
+    → pandas_udf 0.92 s → built-in 0.29 s over 6 M cached rows): the
+    FIRST step is the one-flag ``@F.udf(..., useArrow=True)`` variant —
+    same function body, Arrow batch transfer instead of pickling,
+    ~40% of the gap closed for free (equivalence test-pinned) — then
+    the pandas_udf rewrite (Q49), and at 100 TB you'd write this as
     the CASE expression of q_case_when — documented slow path."""
     o = load(spark, sf_dir, "orders")
 

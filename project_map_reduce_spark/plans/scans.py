@@ -1713,11 +1713,13 @@ def q_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("append")
             .save()
         )
-        import os
-
-        manifest = open(f"{out}/_MANIFEST").readline().split("\t")
+        head, *body = open(f"{out}/_MANIFEST").read().splitlines()
+        manifest = head.split("\t")
         want_total, want_xor = int(manifest[1]), int(manifest[3])
-        parts = [p for p in os.listdir(out) if p.startswith("part-")]
+        # Read ONLY manifest-listed parts (ADVICE r10): the manifest IS
+        # the commit — an orphan part from a retried task whose commit
+        # message was discarded must never count against the ledger.
+        parts = [entry.split("\t")[0] for entry in body]
         got_lines = []
         for p in parts:
             with open(f"{out}/{p}", encoding="utf-8") as f:

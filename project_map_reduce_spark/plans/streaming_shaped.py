@@ -1660,12 +1660,14 @@ def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the line), commit is O(tasks/epoch) over tiny messages; the
     manifest-listed read is how production consumers of a custom sink
     must be written (never glob part files — the manifest IS the
-    commit). Measured honestly: the per-ROW Python loop in write() is
-    the slow lane (sf10 22× — probe r10d); the 100 TB form of the SAME
-    protocol is ``DataSourceArrowWriter`` (write(iterator[RecordBatch]),
-    vectorized rendering per batch) — this query pins the commit
-    protocol and the exactly-once ledger, which are identical in both
-    variants.
+    commit). Since round 11 the sink defaults to the ARROW lane
+    (``DataSourceStreamArrowWriter``: write(iterator[RecordBatch]),
+    rendering from the Arrow arrays — VERDICT r10 item 3), the lane
+    measured 2.2× faster at sf0.1 and ~6× vs the row loop's 22× at
+    sf10 (BASELINE.md r10d probe); ``option("arrow","false")`` keeps
+    the per-row teaching lane reachable and the two lanes' artifacts
+    are byte-equivalent by construction (test-pinned, including
+    null-bearing input).
     """
     from project_map_reduce_spark.sources.pyds_sink import (
         _line_hash,
@@ -1677,9 +1679,6 @@ def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="pmrs_q163_")
     out = f"{tmp}/report"
     try:
-        n = ev.count()
-        third = max(1, n // 3)
-        rank = F.col("event_id")  # dense enough: stage by id ranges
         lo_hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
         span = max(1, int(lo_hi[1]) - int(lo_hi[0]) + 1)
         chunk = F.least(

@@ -14,6 +14,8 @@ arbitrary per-record logic with columnar in/out.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -407,11 +409,26 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["pur_id", "user_id", "pur_value", "last_err_id"]
             )
         p = purchases.sort_values(["ts", "event_id"], kind="mergesort")
+        # Rounding contract (ADVICE r10): pandas' .round is HALF_EVEN
+        # on the decimal repr while both engines' round() is half away
+        # from zero — quantize the exact binary expansion of each
+        # double with ROUND_HALF_UP, which is bit-identical to Spark's
+        # F.round and DuckDB's round(x, 6). It must happen HERE, not in
+        # a Spark expression above the cogroup: Spark 4.1's column
+        # pruning mis-prunes the cogroup INPUT frames when any output
+        # column is wrapped in an expression (a plain reordering
+        # projection is safe; round(pur_value) above this operator
+        # drops the error side's ts column — pinned in
+        # tests/test_round11_queries.py).
+        q6 = Decimal("0.000001")
         out = pd.DataFrame(
             {
                 "pur_id": p["event_id"].to_numpy(),
                 "user_id": p["user_id"].to_numpy(),
-                "pur_value": p["value"].round(6).to_numpy(),
+                "pur_value": [
+                    float(Decimal(v).quantize(q6, rounding=ROUND_HALF_UP))
+                    for v in p["value"]
+                ],
             }
         )
         if len(errors) == 0:

@@ -787,9 +787,14 @@ def test_pyds_stream_sink_epoch_manifests(spark, tmp_path):
 
 
 def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
-    """The Arrow lane (option arrow=true) must produce artifacts the
-    row lane's reader cannot distinguish: same epoch totals and the
-    same epoch xor checksums on the same staged input."""
+    """The Arrow lane (the default since r11) must produce artifacts
+    the row lane's reader cannot distinguish: same epoch totals and the
+    same epoch xor checksums on the same staged input. The input is
+    deliberately NULL-bearing (nullable int64, string, double columns —
+    ADVICE r10): a pandas-mediated render would write 'nan' for nulls
+    and '5.0' for a null-promoted int64 where the row lane writes ''
+    and '5', so the xor comparison pins the None/int64-preserving
+    Arrow-array render, not just the happy path."""
     import glob
     import os
 
@@ -799,13 +804,20 @@ def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
     src = f"{tmp_path}/src"
     os.makedirs(src)
     spark.range(0, 500).selectExpr(
-        "id", "concat('t', id % 3) AS s", "CAST(id * 0.25 AS DOUBLE) AS v"
+        "id",
+        "concat('t', id % 3) AS s",
+        "CAST(id * 0.25 AS DOUBLE) AS v",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 END AS k",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('x', id) END AS sn",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id * 0.5 AS DOUBLE) END AS vn",
     ).coalesce(1).write.parquet(f"{tmp_path}/a")
     (part,) = glob.glob(f"{tmp_path}/a/part-*.parquet")
     os.rename(part, f"{src}/b0.parquet")
 
     def run(out, arrow):
-        q = (spark.readStream.schema("id bigint, s string, v double")
+        q = (spark.readStream
+             .schema("id bigint, s string, v double, k bigint, "
+                     "sn string, vn double")
              .parquet(src)
              .writeStream.format("pmrs_report")
              .option("path", out).option("arrow", str(arrow).lower())
@@ -816,7 +828,14 @@ def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
         head = open(f"{out}/{mf}").readline().split("\t")
         return int(head[1]), int(head[3])
 
-    assert run(f"{tmp_path}/row", False) == run(f"{tmp_path}/arrow", True)
+    row_res = run(f"{tmp_path}/row", False)
+    assert row_res == run(f"{tmp_path}/arrow", True)
+    # and an int64 null really renders as '' with ints unpromoted:
+    # '3' not '3.0', '' not 'nan' (grep one committed part directly)
+    (part,) = glob.glob(f"{tmp_path}/arrow/part-*.tsv")
+    cells = {ln.split("\t")[3] for ln in open(part).read().splitlines()}
+    assert "" in cells and "3" in cells
+    assert not any(c.endswith(".0") or c == "nan" for c in cells)
 
 
 # ---------------------------------------------------------------- Q164
