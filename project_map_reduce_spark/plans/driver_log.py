@@ -244,7 +244,13 @@ _R10_NEW_DEFERRED: list[str] = [
 
 # Queries introduced in round 11 (in the window from birth; their first
 # driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R11_NEW: list[str] = []
+_R11_NEW: list[str] = [
+    "q_map_in_arrow",
+    "q_apply_in_arrow",
+    "q_cogroup_in_arrow",
+    "q_lateral_join_df",
+    "q_subquery_df",
+]
 
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 8 for q in _R8_COHORT},

@@ -432,3 +432,55 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="c_mktsegment string, n_orders bigint, total_revenue double",
     )
+
+
+@register(
+    "q_lateral_join_df",
+    oracle="""
+    SELECT n.n_name,
+           t.c_custkey AS cust_key,
+           t.c_acctbal AS acctbal
+    FROM nation n
+    JOIN LATERAL (
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_custkey
+        LIMIT 2
+    ) AS t ON true
+    """,
+)
+def q_lateral_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q169: ``DataFrame.lateralJoin`` — Spark 4's DataFrame-API form of
+    the correlated LATERAL subquery (Q143 is the SQL spelling; this is
+    the programmatic one, with the outer reference marked by
+    ``Column.outer()``): for every nation, the top-2 customers by
+    account balance, ties broken by c_custkey. Both engines run a
+    structurally identical correlated ORDER-BY-LIMIT subquery, so what
+    gets hash-checked is Spark's decorrelation of the DataFrame form.
+
+    Scale shape: Catalyst DECORRELATES the per-row subquery into ONE
+    ranked window over customer partitioned by nationkey (plan shows
+    Window[row_number] + filter, never a per-outer-row re-execution,
+    plan-asserted in tests) joined back to nation — i.e. the API is
+    sugar over exactly the Q27 top-k-per-group plan, which is why it
+    survives 100 TB: one shuffle of customer on the correlation key,
+    nation broadcast, no N×M re-scan.
+    """
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    return (
+        nat.lateralJoin(
+            cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+            .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+            .limit(2)
+            .select("c_custkey", "c_acctbal")
+        )
+        .select(
+            "n_name",
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )

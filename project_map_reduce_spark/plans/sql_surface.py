@@ -764,3 +764,57 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@register(
+    "q_subquery_df",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rich_active,
+           round(avg(c.c_acctbal), 6) AS avg_bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_subquery_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q170: SUBQUERY EXPRESSIONS in the DataFrame API — Spark 4's
+    ``DataFrame.exists()`` (correlated, outer reference marked with
+    ``Column.outer()``) and ``DataFrame.scalar()`` (uncorrelated) used
+    directly as Columns inside ``where`` (Q79/Q93/Q121 are the SQL
+    spellings; Q169 the lateral-join sibling — this completes the
+    programmatic subquery surface): customers that placed at least one
+    order AND sit above the global average balance, counted per market
+    segment. The hash checks Spark's rewrite of both expression forms —
+    exists into a left-semi join, the scalar into a broadcast
+    one-row aggregate — against DuckDB's textbook planning of the
+    identical SQL.
+
+    API caveat pinned here: classic (non-Connect) PySpark analyzes
+    eagerly, so a CORRELATED ``.scalar()``/``.agg()`` raises
+    UNRESOLVED_COLUMN at construction — correlated aggregation goes
+    through ``lateralJoin`` (Q169) or SQL (Q79); ``exists()`` accepts
+    correlation fine.
+
+    Scale shape: the semi join shuffles on the key with AQE free to
+    broadcast the smaller side; the scalar aggregate is one exchange to
+    a single row broadcast into the filter — no per-row subquery
+    re-execution anywhere.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    has_order = o.where(
+        F.col("o_custkey") == F.col("c_custkey").outer()
+    ).exists()
+    global_avg = c.agg(F.avg("c_acctbal")).scalar()
+    return (
+        c.where(has_order & (F.col("c_acctbal") > global_avg))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich_active"),
+            r6d(F.avg("c_acctbal"), "avg_bal"),
+        )
+    )

@@ -456,3 +456,222 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_err_id bigint",
         )
     )
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(l_quantity AS BIGINT) // 10) AS BIGINT)
+               AS qty_decades
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q167: ``DataFrame.mapInArrow`` — the Arrow-NATIVE per-batch map
+    lane, the one cell the Python-eval matrix didn't exercise (Q48
+    pickled / Q49 pandas scalar / Q50 grouped-map / Q59 grouped-agg /
+    Q164 cogroup / Q87+Q146+Q153 UDTF; VERDICT r10 item 4). The
+    function receives ``pyarrow.RecordBatch``es and computes entirely
+    in Arrow kernels (``pyarrow.compute`` multiply/subtract/floor —
+    zero pandas materialization, zero per-row Python): the classic
+    discounted revenue plus an integer decade-bucket of quantity,
+    emitted per row; the exact-decimal aggregation happens ENGINE-side
+    above it (sum6 contract), so the Python crossing stays a narrow
+    map, the shuffle carries 4 small columns, and the oracle is the
+    plain relational aggregate — any batch dropped, duplicated, or
+    mis-typed by the crossing breaks the hash.
+
+    mapInArrow vs mapInPandas at 100 TB: identical plan shape (one
+    MapInArrow node, plan-asserted; no extra exchange), but the Arrow
+    form skips the Arrow->pandas->Arrow double conversion per batch —
+    it IS the zero-copy lane the round-10 tier A/B measured pandas_udf
+    paying for. Per-batch memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch (10k default), so
+    executor footprint is batch-sized regardless of table size.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from project_map_reduce_spark.functions.det import sum6
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount", "l_quantity"
+    )
+
+    def batch_revenue(batches):
+        for b in batches:
+            revenue = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            decades = pc.divide(
+                pc.cast(b.column("l_quantity"), pa.int64()), pa.scalar(10)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), revenue, decades],
+                names=["l_returnflag", "disc_price", "qty_decade"],
+            )
+
+    mapped = li.mapInArrow(
+        batch_revenue,
+        "l_returnflag string, disc_price double, qty_decade bigint",
+    )
+    return (
+        mapped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            sum6("disc_price").alias("revenue"),
+            F.sum("qty_decade").alias("qty_decades"),
+        )
+    )
+
+
+@register(
+    "q_apply_in_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                 AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           min(o_orderdate)                          AS first_order,
+           max(o_orderdate)                          AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q168: ``GroupedData.applyInArrow`` — the Arrow-native GROUPED-map
+    lane (Q50 is the pandas form; Q167 the ungrouped Arrow map; this
+    completes the Arrow column of the Python-eval matrix). Each
+    o_orderpriority group arrives as ONE ``pyarrow.Table`` and the
+    summary row is computed entirely in Arrow kernels
+    (``count_distinct``/``min_max`` — no pandas, no per-row Python),
+    returning exact-typed columns only (counts + dates), so no
+    rounding contract is even needed; the oracle is the plain GROUP BY
+    and any group mis-assembled by the crossing breaks the hash.
+
+    Scale shape: one hash exchange on the grouping key into
+    FlatMapGroupsInArrow (plan-asserted) — identical plan shape to
+    applyInPandas, minus the Arrow→pandas→Arrow double conversion.
+    The per-GROUP memory caveat is the same as Q50/Q164 (one group =
+    one in-worker Table; low-cardinality demo keys are fine at sf,
+    real 100 TB pipelines group by user/doc-grade keys or pre-salt —
+    Q91) and is exactly why the engine-side built-in aggregate (Q15)
+    remains the default answer when the logic IS expressible.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderdate"
+    )
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        dates = tbl.column("o_orderdate")
+        mm = pc.min_max(dates).as_py()
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": [tbl.column("o_orderpriority")[0].as_py()],
+                "n_orders": [tbl.num_rows],
+                "n_custs": [pc.count_distinct(tbl.column("o_custkey")).as_py()],
+                "first_order": [mm["min"]],
+                "last_order": [mm["max"]],
+            },
+            schema=pa.schema(
+                [
+                    ("o_orderpriority", pa.string()),
+                    ("n_orders", pa.int64()),
+                    ("n_custs", pa.int64()),
+                    ("first_order", pa.timestamp("us")),
+                    ("last_order", pa.timestamp("us")),
+                ]
+            ),
+        )
+
+    return o.groupBy("o_orderpriority").applyInArrow(
+        summarize,
+        "o_orderpriority string, n_orders bigint, n_custs bigint, "
+        "first_order timestamp_ntz, last_order timestamp_ntz",
+    )
+
+
+@register(
+    "q_cogroup_in_arrow",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ),
+    p AS (
+        SELECT user_id, count(*) AS n FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    e AS (
+        SELECT user_id, count(*) AS n FROM events
+        WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT u.user_id,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(e.n, 0) AS BIGINT) AS n_errors
+    FROM u
+    LEFT JOIN p ON p.user_id = u.user_id
+    LEFT JOIN e ON e.user_id = u.user_id
+    """,
+)
+def q_cogroup_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q171: ``cogroup(...).applyInArrow`` — the COGROUPED Arrow-native
+    cell, completing the Python-eval matrix outright (pickled Q48 /
+    arrow-flag Q48-test / pandas scalar Q49 / grouped-map Q50 /
+    grouped-agg Q59 / UDTF Q87+Q146+Q153 / cogrouped-pandas Q164 /
+    map-in-arrow Q167 / grouped-arrow Q168): per user, the purchase
+    and error relations align key-wise into two ``pyarrow.Table``s and
+    the summary row is pure Arrow (``num_rows`` — no pandas, no
+    per-row Python). The 3-arg form ``(key, left, right)`` is used
+    deliberately: cogroup emits keys present on EITHER side, so the
+    user_id must come from the key tuple, not from a possibly-empty
+    side — exactly the contract the oracle's full outer count join
+    checks (a one-sided user with the wrong id or a dropped empty
+    side breaks the hash).
+
+    Scale shape: ONE co-partitioned exchange per side into
+    FlatMapCoGroupsInArrow, per-group O(1) work; same per-group memory
+    caveat as Q164 with the same salting escape (Q91). The engine-side
+    twin is the two-aggregate outer join the oracle spells — the query
+    exists to pin the cogrouped Arrow protocol, the 100 TB form of
+    custom two-relation per-key logic that SQL can't express (Q164's
+    merge_asof is the real workload; counts make it oracle-exact).
+    """
+    import pyarrow as pa
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    pur = ev.where(F.col("event_type") == "purchase")
+    err = ev.where(F.col("event_type") == "error")
+
+    def counts(key, purchases: pa.Table, errors: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": [key[0].as_py()],
+                "n_purchases": [purchases.num_rows],
+                "n_errors": [errors.num_rows],
+            },
+            schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_purchases", pa.int64()),
+                    ("n_errors", pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        pur.groupBy("user_id")
+        .cogroup(err.groupBy("user_id"))
+        .applyInArrow(
+            counts,
+            "user_id bigint, n_purchases bigint, n_errors bigint",
+        )
+    )

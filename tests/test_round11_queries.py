@@ -91,3 +91,100 @@ def test_cogroup_apply_in_pandas_expression_projection_prunes_inputs(spark):
         "Spark fixed the cogroup input mis-pruning — move Q164's "
         "rounding back to an engine-side expression (plans/udfs.py)"
     )
+
+
+# ------------------------------------------------- r11 new-query plans
+def _plan(spark, sf_dir, name):
+    df = entries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_map_in_arrow_single_node_no_extra_exchange(spark, sf_dir):
+    """Q167: exactly one MapInArrow node fed straight by the scan (the
+    Python crossing is a narrow map — no exchange below it; the only
+    shuffle is the final aggregate's)."""
+    plan = _plan(spark, sf_dir, "q_map_in_arrow")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInArrow") == 1, tree
+    below = tree[tree.index("MapInArrow"):]
+    assert "Exchange" not in below, tree
+
+
+def test_apply_in_arrow_plan_shape(spark, sf_dir):
+    """Q168: the grouped Arrow lane compiles to FlatMapGroupsInArrow
+    over ONE hash exchange on the grouping key."""
+    plan = _plan(spark, sf_dir, "q_apply_in_arrow")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("FlatMapGroupsInArrow") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_cogroup_in_arrow_plan_and_one_sided_keys(spark, sf_dir):
+    """Q171: FlatMapCoGroupsInArrow with one exchange per side, and the
+    3-arg key contract really surfaces users present on only ONE side
+    (the reason the function takes the key tuple)."""
+    plan = _plan(spark, sf_dir, "q_cogroup_in_arrow")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("FlatMapCoGroupsInArrow") == 1, tree
+    assert tree.count("Exchange") == 2, tree
+    df = entries()["q_cogroup_in_arrow"].fn(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    )
+    assert df.count() == ev.select("user_id").distinct().count()
+    # One-sided key contract on a synthetic frame (the sf fixture is
+    # dense — every user has both types): user 2 exists only on the
+    # purchase side, user 3 only on the error side; the 3-arg key-tuple
+    # form must still emit both with the right id and a 0 count.
+    syn = spark.createDataFrame(
+        [(2, "purchase"), (3, "error")], "user_id long, event_type string"
+    )
+    import pyarrow as pa
+
+    def counts(key, p: pa.Table, e: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"user_id": [key[0].as_py()],
+             "n_purchases": [p.num_rows], "n_errors": [e.num_rows]},
+            schema=pa.schema([("user_id", pa.int64()),
+                              ("n_purchases", pa.int64()),
+                              ("n_errors", pa.int64())]),
+        )
+
+    got = sorted(
+        tuple(r) for r in (
+            syn.where(F.col("event_type") == "purchase").groupBy("user_id")
+            .cogroup(syn.where(F.col("event_type") == "error").groupBy("user_id"))
+            .applyInArrow(
+                counts, "user_id long, n_purchases long, n_errors long"
+            )
+        ).collect()
+    )
+    assert got == [(2, 1, 0), (3, 0, 1)]
+
+
+def test_lateral_join_df_decorrelates_to_window(spark, sf_dir):
+    """Q169: the correlated ORDER-BY-LIMIT lateral subquery must
+    decorrelate into ONE ranked window over customer (row_number +
+    filter), never a per-outer-row re-execution (no nested-loop over
+    the subquery, no cartesian)."""
+    plan = _plan(spark, sf_dir, "q_lateral_join_df")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_subquery_df_rewrites(spark, sf_dir):
+    """Q170: exists() becomes a semi join; scalar() becomes a one-row
+    subquery reused as a literal-ish input to the filter — and the
+    correlated-scalar limitation stays pinned (eager analysis raises
+    UNRESOLVED_COLUMN, the docstring's documented boundary)."""
+    plan = _plan(spark, sf_dir, "q_subquery_df")
+    assert "LeftSemi" in plan, plan
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with pytest.raises(Exception, match="UNRESOLVED_COLUMN"):
+        c.select(
+            o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+            .agg(F.count(F.lit(1)))
+            .scalar()
+        )
