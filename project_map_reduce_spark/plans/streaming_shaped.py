@@ -1670,7 +1670,7 @@ def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-bearing input).
     """
     from project_map_reduce_spark.sources.pyds_sink import (
-        _line_hash,
+        LINE_HASH_SQL,
         register_report_sink,
     )
 
@@ -1714,52 +1714,74 @@ def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"q_pyds_stream_sink: expected >=3 committed epochs, "
                 f"got {manifests}"
             )
-        lines: list[str] = []
+        # Parse the tiny manifests driver-side: per-part expectations
+        # plus per-epoch totals (O(parts) lines).
+        want_part: dict[str, tuple[int, int]] = {}  # fname -> (rows, xor)
+        want_epoch: dict[str, tuple[int, int, list[str]]] = {}
         for mf in manifests:
             head, *body = open(f"{out}/{mf}").read().splitlines()
-            want_total, want_xor = int(head.split("\t")[1]), int(
-                head.split("\t")[3]
-            )
-            got = []
+            parts = [entry.split("\t")[0] for entry in body]
             for entry in body:
                 fname, n_rows, xor = entry.split("\t")
-                with open(f"{out}/{fname}", encoding="utf-8") as f:
-                    part_lines = [ln.rstrip("\n") for ln in f]
-                part_xor = 0
-                for ln in part_lines:
-                    part_xor ^= _line_hash(ln)
-                if len(part_lines) != int(n_rows) or part_xor != int(xor):
-                    raise ValueError(
-                        f"q_pyds_stream_sink: part {fname} disagrees with "
-                        f"its manifest entry"
-                    )
-                got.extend(part_lines)
-            epoch_xor = 0
-            for ln in got:
-                epoch_xor ^= _line_hash(ln)
-            if len(got) != want_total or epoch_xor != want_xor:
+                want_part[fname] = (int(n_rows), int(xor))
+            want_epoch[mf] = (
+                int(head.split("\t")[1]),
+                int(head.split("\t")[3]),
+                parts,
+            )
+        # Verification AND the aggregate are DISTRIBUTED, in ONE scan
+        # (the r11 sf10 probe showed the former per-line driver loop
+        # dominating the whole query at 10 M rows): a single text scan
+        # over exactly the manifest-listed parts groups by
+        # (part, event_type), computing per-cell row counts, the md5
+        # line-xor via the BIGINT bit_xor aggregate (LINE_HASH_SQL is
+        # the exact Spark twin of the writer's _line_hash —
+        # test-pinned), and the exact-decimal value sum
+        # (CAST(... AS DECIMAL(27,6)) quantizes HALF_UP exactly like
+        # the oracle — the ADVICE-r9 rounding contract). Only the
+        # O(parts x types) cell summary reaches the driver; both the
+        # ledger checks and the final aggregate re-lift from it.
+        fields = F.split(F.col("value"), "\t")
+        cells = (
+            spark.read.text([f"{out}/{p}" for p in want_part])
+            .select(
+                F.col("_metadata.file_name").alias("part"),
+                F.expr(LINE_HASH_SQL).alias("h"),
+                fields.getItem(1).alias("event_type"),
+                fields.getItem(2).cast("decimal(27,6)").alias("v"),
+            )
+            .groupBy("part", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor("h").alias("x"),
+                F.sum("v").alias("s"),
+            )
+            .collect()
+        )
+        got_part: dict[str, tuple[int, int]] = {}
+        for r in cells:
+            n, x = got_part.get(r["part"], (0, 0))
+            got_part[r["part"]] = (n + r["n"], x ^ r["x"])
+        for fname, (n_rows, xor) in want_part.items():
+            if got_part.get(fname, (0, 0)) != (n_rows, xor):
+                raise ValueError(
+                    f"q_pyds_stream_sink: part {fname} disagrees with "
+                    f"its manifest entry"
+                )
+        for mf, (total, xor, parts) in want_epoch.items():
+            got_n = sum(got_part.get(p, (0, 0))[0] for p in parts)
+            got_x = 0
+            for p in parts:
+                got_x ^= got_part.get(p, (0, 0))[1]
+            if (got_n, got_x) != (total, xor):
                 raise ValueError(
                     f"q_pyds_stream_sink: epoch {mf} totals disagree"
                 )
-            lines.extend(got)
         agg: dict[str, tuple[int, object]] = {}
-        from decimal import ROUND_HALF_UP, Decimal
-
-        for ln in lines:
-            _eid, etype, val = ln.split("\t")
-            c, s = agg.get(etype, (0, Decimal(0)))
-            # HALF_UP matches both engines' CAST(x AS DECIMAL(27,6));
-            # Python's default HALF_EVEN differs on exact halves
-            # (the ADVICE-r9 rounding-contract class).
-            agg[etype] = (
-                c + 1,
-                s + Decimal(val).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
-                ),
-            )
-        rows = [
-            (t, c, float(s)) for t, (c, s) in sorted(agg.items())
-        ]
+        for r in cells:
+            c, s = agg.get(r["event_type"], (0, 0))
+            agg[r["event_type"]] = (c + r["n"], s + r["s"])
+        rows = [(t, c, float(s)) for t, (c, s) in sorted(agg.items())]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

@@ -44,11 +44,34 @@ class _PartCommit(WriterCommitMessage):
 
 
 def _line_hash(line: str) -> int:
+    """SIGNED int64 of the first 8 md5 bytes (big-endian). Signed so
+    the ledger xor maps 1:1 onto Spark's BIGINT ``bit_xor`` aggregate —
+    the readback side of the sink verifies manifests DISTRIBUTED (a
+    text scan + bit_xor per part), never a driver-side per-line loop
+    (the r11 sf10 probe measured that loop dominating the whole query).
+    xor over two's-complement int64 is bit-identical to the unsigned
+    form, so the checksum strength is unchanged."""
     import hashlib
 
     return int.from_bytes(
-        hashlib.md5(line.encode("utf-8")).digest()[:8], "big"
+        hashlib.md5(line.encode("utf-8")).digest()[:8], "big", signed=True
     )
+
+
+# Spark-side twin of ``_line_hash`` over a text column named `value`:
+# conv() parses the 16-hex-digit md5 prefix as UNSIGNED 64-bit but
+# returns a STRING — it must be cast to DECIMAL(20,0) BEFORE any
+# arithmetic (a bare subtraction would coerce through double and lose
+# low bits); the CASE then reinterprets bit-identically as signed
+# int64. Equivalence with the Python _line_hash is test-pinned.
+LINE_HASH_SQL = (
+    "CAST((CASE WHEN u >= 9223372036854775808"
+    " THEN u - 18446744073709551616 ELSE u END) AS BIGINT)"
+    .replace(
+        "u",
+        "CAST(conv(substring(md5(value), 1, 16), 16, 10) AS DECIMAL(20,0))",
+    )
+)
 
 
 class _ReportWriter(DataSourceWriter):

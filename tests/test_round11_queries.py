@@ -188,3 +188,27 @@ def test_subquery_df_rewrites(spark, sf_dir):
             .agg(F.count(F.lit(1)))
             .scalar()
         )
+
+
+def test_line_hash_sql_twin_matches_python(spark):
+    """LINE_HASH_SQL (the distributed readback's per-line hash) must be
+    bit-identical to the writer's Python _line_hash for any line —
+    including values that exercise the unsigned->signed reinterpretation
+    branch and non-ASCII UTF-8."""
+    from project_map_reduce_spark.sources.pyds_sink import (
+        LINE_HASH_SQL,
+        _line_hash,
+    )
+
+    lines = [
+        "", "a", "1\tpurchase\t0.25", "tab\tsep\tline",
+        "unicode-éß漢", "trailing space ", "0" * 200,
+    ] + [f"probe-{i}" for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    got = {r["value"]: r["h"] for r in
+           df.select("value", F.expr(LINE_HASH_SQL).alias("h")).collect()}
+    want = {s: _line_hash(s) for s in lines}
+    assert got == want
+    # both branches of the sign reinterpretation must have fired
+    assert any(v < 0 for v in want.values())
+    assert any(v >= 0 for v in want.values())
