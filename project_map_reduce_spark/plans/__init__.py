@@ -97,18 +97,20 @@ _DRIVER_WINDOW = [
     "q_dedup_substring_removal",
     "q_job_pipeline",
     "q_timeseries_fill",
-    "q_time_rollup",
-    "q_scalar_subquery",
-    "q_source_quota",
-    "q_profile_columns",
-    # -- NEW this round (r11) — displaced the five r8-tail entries
-    #    (q_pivot_status, q_token_count, q_length_deciles,
-    #    q_value_histogram, q_zscore_outliers), which seat in r12:
+    # -- NEW this round (r11) — displaced the nine r8-tail entries
+    #    (q_time_rollup, q_scalar_subquery, q_source_quota,
+    #    q_profile_columns, q_pivot_status, q_token_count,
+    #    q_length_deciles, q_value_histogram, q_zscore_outliers),
+    #    which seat in r12:
     "q_map_in_arrow",  # NEW (r11): Arrow-native mapInArrow batch lane
     "q_apply_in_arrow",  # NEW (r11): Arrow-native grouped-map lane
     "q_cogroup_in_arrow",  # NEW (r11): Arrow-native cogrouped lane
     "q_lateral_join_df",  # NEW (r11): DataFrame.lateralJoin decorrelation
     "q_subquery_df",  # NEW (r11): exists()/scalar() subquery expressions
+    "q_regr_stats",  # NEW (r11): ANSI linear-regression aggregates
+    "q_bitmap_distinct",  # NEW (r11): exact-distinct bitmap rollup
+    "q_agg_modern",  # NEW (r11): count_if/bool/median/percentile_disc/mode
+    "q_variant_explode",  # NEW (r11): VARIANT destructuring TVF
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

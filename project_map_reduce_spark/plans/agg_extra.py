@@ -441,3 +441,137 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_heavy_hitters, e=_HH_EPS, n=_HH_TOPK, t=_HH_TRACKED)
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    WITH pd AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(DISTINCT user_id) AS du
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, count(DISTINCT user_id) AS tu
+        FROM events GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(count(*) AS BIGINT)  AS n_days,
+           CAST(sum(p.du) AS BIGINT) AS sum_daily_users,
+           CAST(max(t.tu) AS BIGINT) AS total_users
+    FROM pd p JOIN tot t ON t.event_type = p.event_type
+    GROUP BY p.event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q173: EXACT-distinct rollup via BITMAP aggregates
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``,
+    Spark 3.5+) — the exact twin of Q116's HLL rollup: per
+    (event_type, day, bucket) cell a fixed 4 KB bitmap marks which
+    user ids appeared; the per-day distinct is the SUM of the cell
+    popcounts, and the coarser per-type distinct is answered by
+    OR-MERGING the daily bitmaps — never a rescan, and unlike HLL the
+    answer is exact, so the oracle is the plain double
+    count(DISTINCT). A dropped cell, a double-merged bitmap, or an id
+    colliding across buckets all break the hash.
+
+    Scale shape: the shuffle carries one ≤4 KB bitmap per
+    (type, day, bucket) cell — cells = distinct_ids/32768 per group —
+    instead of every distinct id (the count(DISTINCT) plan's Expand);
+    the rollup is O(cells) blob ORs. Dense-id domains are the sweet
+    spot (bitmap space is id-range/8 bits spread over buckets); sparse
+    64-bit domains want Q116's HLL instead — the pairing IS the
+    design rule: bitmap when exactness + density, sketch when
+    approximation + arbitrary domain.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    cells = ev.groupBy(
+        "event_type",
+        "day",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    daily = cells.groupBy("event_type", "day").agg(
+        F.expr("sum(bitmap_count(bm))").alias("du")
+    )
+    per_day = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("du").cast("bigint").alias("sum_daily_users"),
+    )
+    total = (
+        cells.groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("total_users"))
+    )
+    return per_day.join(total, "event_type").select(
+        "event_type", "n_days", "sum_daily_users", "total_users"
+    )
+
+
+@register(
+    "q_agg_modern",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_deep_disc,
+           bool_and(l_quantity > 0)   AS all_positive,
+           bool_or(l_discount > 0.09) AS any_max_disc,
+           round(median(l_extendedprice), 6) AS median_price,
+           round(quantile_disc(l_extendedprice, 0.25), 6) AS p25_disc_price,
+           CAST(mode(least(l_linenumber, 3)) AS BIGINT) AS mode_lineno,
+           upper(any_value(l_returnflag)) AS flag_upper
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q174: the MODERN ANSI aggregate surface in one hash agg —
+    ``count_if`` (Spark's FILTER-clause shorthand), ``bool_and`` /
+    ``bool_or``, ``median`` (interpolated, = percentile 0.5),
+    ``percentile_disc WITHIN GROUP`` (discrete — returns an actual
+    data value; definitionally Spark's smallest-cume_dist>=p element
+    coincides with DuckDB's quantile_disc index pick, which the hash
+    verifies), ``mode`` (deterministic HERE by construction: the
+    argument is ``least(l_linenumber, 3)`` — the fixture's line
+    numbers are uniform over 1..7, so the clamped value 3 carries
+    ~5/7 of every group's mass and the mode is structurally unique,
+    a premise the test suite guards loud; mode over tie-prone raw
+    columns is NOT hash-stable and stays out of the inventory by
+    design), and ``any_value`` (kept
+    deterministic by applying it to a per-group CONSTANT — the
+    grouping key itself — which is the only hash-safe way to exercise
+    a pick-any aggregate).
+
+    Scale shape: every function here is a constant-state mergeable
+    aggregate except median/percentile_disc, which buffer per-group
+    values (OK for bounded groups; the 100 TB form is
+    approx_percentile — Q75's declared drop-in, same answer within
+    rank error).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_discount > 0.05)").cast("bigint").alias(
+            "n_deep_disc"
+        ),
+        F.expr("bool_and(l_quantity > 0)").alias("all_positive"),
+        F.expr("bool_or(l_discount > 0.09)").alias("any_max_disc"),
+        r6d(F.expr("median(l_extendedprice)"), "median_price"),
+        r6d(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP"
+                " (ORDER BY l_extendedprice)"
+            ),
+            "p25_disc_price",
+        ),
+        F.expr("mode(least(l_linenumber, 3))").cast("bigint").alias(
+            "mode_lineno"
+        ),
+        F.upper(F.expr("any_value(l_returnflag)")).alias("flag_upper"),
+    )

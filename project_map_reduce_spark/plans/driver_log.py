@@ -250,6 +250,10 @@ _R11_NEW: list[str] = [
     "q_cogroup_in_arrow",
     "q_lateral_join_df",
     "q_subquery_df",
+    "q_regr_stats",
+    "q_bitmap_distinct",
+    "q_agg_modern",
+    "q_variant_explode",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

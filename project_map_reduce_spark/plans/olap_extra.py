@@ -499,3 +499,47 @@ def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"— transposed schema would drift from the declared oracle"
         )
     return agg.transpose(F.col("event_type"))
+
+
+@register(
+    "q_regr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 6)      AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q172: LINEAR-REGRESSION aggregates (``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` / ``regr_count`` / ``regr_avgx`` /
+    ``regr_avgy``) — the ANSI bivariate family beside Q66's
+    corr/covar/stddev: per return flag, the least-squares fit of
+    extended price on quantity. Both engines implement the identical
+    textbook definitions over Welford-style mergeable partials, so the
+    aggregate is one partial+final hash agg (no window, no self-join).
+    Only NORMALIZED outputs are emitted (slope/intercept/r2/means —
+    magnitude ~1e0-1e4, where round-6 absorbs double summation-order
+    drift); the raw sum-of-squares forms (regr_sxx/sxy/syy, ~1e12)
+    stay out of the hash deliberately — 6-dp rounding past double's
+    15-16 significant digits would be noise, the Q15/sum6 lesson.
+
+    Scale shape: mergeable constant-size state per group (6 moments),
+    map-side combined — the same 100 TB profile as every Q66-class
+    moment aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"regr_count({y}, {x})").cast("bigint").alias("n_pairs"),
+        r6d(F.expr(f"regr_slope({y}, {x})"), "slope"),
+        r6d(F.expr(f"regr_intercept({y}, {x})"), "intercept"),
+        r6d(F.expr(f"regr_r2({y}, {x})"), "r2"),
+        r6d(F.expr(f"regr_avgx({y}, {x})"), "avg_qty"),
+        r6d(F.expr(f"regr_avgy({y}, {x})"), "avg_price"),
+    )

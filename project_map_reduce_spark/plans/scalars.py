@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import r6d
 from project_map_reduce_spark.registry import register
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, register_views
 
 
 @register(
@@ -320,4 +320,68 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(parsed).alias("n_parsed"),
         sum6(parsed).alias("sum_parsed"),
         F.count(safe_div).alias("n_safe_div"),
+    )
+
+
+@register(
+    "q_variant_explode",
+    oracle="""
+    WITH kv AS (
+        SELECT 'bucket' AS key,
+               CAST(user_id % 5 AS VARCHAR) AS val
+        FROM events
+        UNION ALL
+        SELECT 'event_type' AS key,
+               '"' || event_type || '"' AS val
+        FROM events
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_values,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM kv
+    GROUP BY key
+    """,
+)
+def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q175: the ``variant_explode`` TABLE FUNCTION — VARIANT's
+    destructuring half (Q138 navigates with variant_get, Q142 stores;
+    this LATERAL-explodes an encoded OBJECT into (pos, key, value)
+    rows, the generic form a pipeline needs when the keys are NOT
+    known at plan time). Each event builds a two-key object
+    (to_json(struct(...)) → parse_json — one encode per row),
+    variant_explode fans it out, and the per-key profile (row count,
+    distinct values, min/max of the JSON-rendered value) must equal
+    the oracle's direct per-column aggregation — the equivalence
+    proves the explode loses nothing, invents nothing, and renders
+    values canonically (``to_json`` of a VARIANT scalar: bare number
+    vs quoted string — matched in the oracle by construction).
+
+    Scale shape: variant_explode is a codegen'd JVM generator (same
+    Generate node class as explode — no Python, no shuffle of its
+    own); the output is key-value-shaped exactly like Q119's melt, so
+    the downstream per-key aggregate is one hash agg. At 100 TB this
+    is the schema-discovery scan you run ONCE over a new semi-
+    structured feed before writing the variant_get extraction of
+    Q138.
+    """
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH src AS (
+            SELECT parse_json(
+                       to_json(named_struct(
+                           'bucket', user_id % 5,
+                           'event_type', event_type))) AS v
+            FROM events
+        )
+        SELECT e.key,
+               count(*) AS n_rows,
+               count(DISTINCT to_json(e.value)) AS n_values,
+               min(to_json(e.value)) AS min_val,
+               max(to_json(e.value)) AS max_val
+        FROM src, LATERAL variant_explode(src.v) AS e
+        GROUP BY e.key
+        """
     )

@@ -212,3 +212,78 @@ def test_line_hash_sql_twin_matches_python(spark):
     # both branches of the sign reinterpretation must have fired
     assert any(v < 0 for v in want.values())
     assert any(v >= 0 for v in want.values())
+
+
+def test_bitmap_distinct_no_expand_node(spark, sf_dir):
+    """Q173's whole point: the exact distinct comes from bitmap
+    popcounts, never from the count(DISTINCT) plan — no Expand node
+    anywhere, and the rollup merges bitmaps (bitmap_or_agg present in
+    the plan) instead of rescanning events."""
+    df = entries()["q_bitmap_distinct"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in tree, tree
+    assert "bitmap_or" in plan.lower(), plan[:2000]
+    # Both rollup levels share the (type, day, bucket) cells exchange:
+    # after AQE finalizes, the second branch reads a ReusedExchange /
+    # ReusedQueryStage instead of rescanning events.
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in final, final.split("\n\n")[0]
+
+
+def test_agg_modern_mode_premise_unique_majority(spark, sf_dir):
+    """Q174 hashes mode(least(l_linenumber, 3)) only because the
+    premise holds: line numbers are ~uniform over 1..7, so the clamped
+    value 3 carries ~5/7 of every group's mass — a strict majority
+    over each alternative by a wide margin in EVERY group. Guard the
+    premise loud — a fixture where the clamp no longer wins a group
+    would silently turn mode() nondeterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag", F.least("l_linenumber", F.lit(3)).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_flag: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], {})[r["v"]] = r["n"]
+    for flag, counts in by_flag.items():
+        others = [n for v, n in counts.items() if v != 3]
+        assert counts[3] > 2 * max(others), (flag, counts)
+
+
+def test_variant_explode_is_jvm_generate(spark, sf_dir):
+    """Q175: variant_explode must run as a codegen'd JVM Generate node —
+    no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_variant_explode")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree, tree
+    assert "Python" not in tree, tree
+
+
+def test_regr_stats_matches_closed_form(spark, sf_dir):
+    """Q172: regr_slope/intercept must equal the covar_pop/var_pop
+    closed form computed engine-side (the definitional identity the
+    oracle can't distinguish from luck)."""
+    li = load(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: (r["slope"], r["intercept"])
+        for r in entries()["q_regr_stats"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["f"]: (
+            round(r["c"] / r["v"], 6),
+            round(r["my"] - (r["c"] / r["v"]) * r["mx"], 6),
+        )
+        for r in li.groupBy(F.col("l_returnflag").alias("f"))
+        .agg(
+            F.covar_pop("l_extendedprice", "l_quantity").alias("c"),
+            F.var_pop("l_quantity").alias("v"),
+            F.avg("l_quantity").alias("mx"),
+            F.avg("l_extendedprice").alias("my"),
+        )
+        .collect()
+    }
+    for f, (s, i) in want.items():
+        assert abs(got[f][0] - s) < 1e-6 and abs(got[f][1] - i) < 1e-6
