@@ -360,11 +360,17 @@ def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: variant_explode is a codegen'd JVM generator (same
     Generate node class as explode — no Python, no shuffle of its
-    own); the output is key-value-shaped exactly like Q119's melt, so
-    the downstream per-key aggregate is one hash agg. At 100 TB this
-    is the schema-discovery scan you run ONCE over a new semi-
-    structured feed before writing the variant_get extraction of
-    Q138.
+    own); the output is key-value-shaped exactly like Q119's melt.
+    The profile aggregates in TWO levels deliberately (the Q119/Q128
+    collapse pattern): level 1 hash-aggregates the full exploded
+    relation down to distinct (key, value) pairs with their counts —
+    string group KEYS ride the hash-agg fast path — and only the
+    collapsed O(distinct) relation feeds level 2's min/max(string),
+    whose string AGG BUFFERS legally fall to SortAggregate (the
+    documented q_profile_columns class: sort input is O(distinct),
+    never the corpus). At 100 TB this is the schema-discovery scan
+    you run ONCE over a new semi-structured feed before writing the
+    variant_get extraction of Q138.
     """
     register_views(spark, sf_dir, ("events",))
     return spark.sql(
@@ -375,13 +381,22 @@ def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            'bucket', user_id % 5,
                            'event_type', event_type))) AS v
             FROM events
+        ),
+        kv AS (
+            SELECT e.key, to_json(e.value) AS val
+            FROM src, LATERAL variant_explode(src.v) AS e
+        ),
+        collapsed AS (
+            SELECT key, val, count(*) AS n
+            FROM kv
+            GROUP BY key, val
         )
-        SELECT e.key,
-               count(*) AS n_rows,
-               count(DISTINCT to_json(e.value)) AS n_values,
-               min(to_json(e.value)) AS min_val,
-               max(to_json(e.value)) AS max_val
-        FROM src, LATERAL variant_explode(src.v) AS e
-        GROUP BY e.key
+        SELECT key,
+               sum(n) AS n_rows,
+               count(*) AS n_values,
+               min(val) AS min_val,
+               max(val) AS max_val
+        FROM collapsed
+        GROUP BY key
         """
     )
