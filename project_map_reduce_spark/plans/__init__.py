@@ -96,12 +96,11 @@ _DRIVER_WINDOW = [
     "q_join_range",
     "q_dedup_substring_removal",
     "q_job_pipeline",
-    "q_timeseries_fill",
-    # -- NEW this round (r11) — displaced the nine r8-tail entries
-    #    (q_time_rollup, q_scalar_subquery, q_source_quota,
-    #    q_profile_columns, q_pivot_status, q_token_count,
-    #    q_length_deciles, q_value_histogram, q_zscore_outliers),
-    #    which seat in r12:
+    # -- NEW this round (r11) — displaced the ten r8-tail entries
+    #    (q_timeseries_fill, q_time_rollup, q_scalar_subquery,
+    #    q_source_quota, q_profile_columns, q_pivot_status,
+    #    q_token_count, q_length_deciles, q_value_histogram,
+    #    q_zscore_outliers), which seat in r12:
     "q_map_in_arrow",  # NEW (r11): Arrow-native mapInArrow batch lane
     "q_apply_in_arrow",  # NEW (r11): Arrow-native grouped-map lane
     "q_cogroup_in_arrow",  # NEW (r11): Arrow-native cogrouped lane
@@ -111,6 +110,7 @@ _DRIVER_WINDOW = [
     "q_bitmap_distinct",  # NEW (r11): exact-distinct bitmap rollup
     "q_agg_modern",  # NEW (r11): count_if/bool/median/percentile_disc/mode
     "q_variant_explode",  # NEW (r11): VARIANT destructuring TVF
+    "q_join_null_safe",  # NEW (r11): <=> null-safe equi-join semantics
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -254,6 +254,7 @@ _R11_NEW: list[str] = [
     "q_bitmap_distinct",
     "q_agg_modern",
     "q_variant_explode",
+    "q_join_null_safe",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

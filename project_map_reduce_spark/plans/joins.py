@@ -484,3 +484,78 @@ def q_lateral_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("acctbal"),
         )
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 20 END AS k,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 20 END AS k,
+               count(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT coalesce(a.k, b.k) AS k,
+           CAST(coalesce(a.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(b.n_errors, 0) AS BIGINT)    AS n_errors,
+           (a.k IS NULL AND b.k IS NULL
+            AND a.n_purchases IS NOT NULL AND b.n_errors IS NOT NULL)
+               AS null_key_matched
+    FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q176: NULL-SAFE equality join (``<=>`` / ``Column.eqNullSafe`` —
+    Spark's spelling of SQL's IS NOT DISTINCT FROM): the one join-key
+    semantic the B.3 family didn't cover. Two per-key aggregates carry
+    a deliberately NULL-bearing key (every 7th user's bucket is NULL);
+    a PLAIN equi-join silently drops both NULL groups (NULL = NULL is
+    NULL — the classic lost-rows bug this query exists to teach),
+    while ``<=>`` matches them, so the FULL join emits exactly one row
+    where ``null_key_matched`` is true — the oracle's structurally
+    identical IS NOT DISTINCT FROM plan must agree on every row AND on
+    that flag, which a fallback-to-plain-equality regression would
+    flip to a pair of half-null rows.
+
+    Scale shape: EqualNullSafe is a first-class EQUI-join key for the
+    hash/sort-merge strategies (Catalyst rewrites it into the
+    coalesce-keyed exchange internally) — plan-asserted NOT a
+    BroadcastNestedLoopJoin/cartesian, which is what a naive
+    `ON a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` disjunction
+    degenerates to. NULL keys all hash to one partition — at 100 TB a
+    Zipf-scale NULL population is the documented salting case (Q91)
+    or, better, a pre-split (nulls never JOIN-match under plain
+    equality, so route them around the join entirely).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    nk = F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("bigint")).otherwise(
+        F.col("user_id") % 20
+    )
+    a = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(nk.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "error")
+        .select(nk.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    j = a.join(b, a["k"].eqNullSafe(b["k"]), "full")
+    return j.select(
+        F.coalesce(a["k"], b["k"]).alias("k"),
+        F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).cast("bigint").alias("n_errors"),
+        (
+            a["k"].isNull()
+            & b["k"].isNull()
+            & F.col("n_purchases").isNotNull()
+            & F.col("n_errors").isNotNull()
+        ).alias("null_key_matched"),
+    )

@@ -287,3 +287,19 @@ def test_regr_stats_matches_closed_form(spark, sf_dir):
     }
     for f, (s, i) in want.items():
         assert abs(got[f][0] - s) < 1e-6 and abs(got[f][1] - i) < 1e-6
+
+
+def test_join_null_safe_is_equi_not_bnlj(spark, sf_dir):
+    """Q176: <=> must compile to a real EQUI join strategy (sort-merge
+    or hash) — the naive OR-of-IS-NULLs disjunction degenerates to
+    BroadcastNestedLoopJoin, which is the regression this pin
+    catches. And the NULL groups must actually meet: exactly one
+    output row carries a matched NULL key."""
+    df = entries()["q_join_null_safe"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan
+    matched = [r for r in df.collect() if r["null_key_matched"]]
+    assert len(matched) == 1 and matched[0]["k"] is None
+    assert matched[0]["n_purchases"] > 0 and matched[0]["n_errors"] > 0
