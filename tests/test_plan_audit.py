@@ -420,14 +420,26 @@ def test_watermark_late_returns_distributed_snapshot(spark, sf_dir):
     a lazy parquet read of the executor-written snapshot — driver-side
     gathers of per-window totals would violate SURVEY §4.2. Static
     check only here (the streaming test drives it end to end): the
-    registered callable exists and its module has no collect() in the
-    query path."""
+    registered callable exists and its module has no ROW-SCALE
+    collect() in the query path. Exactly ONE collect is allowed: Q163's
+    manifest-verification summary (r11) — the distributed one-scan
+    groupBy(part, event_type) whose output is O(parts x types) cells,
+    the documented Q118/Q124 small-re-lift pattern that REPLACED a
+    per-line driver readback loop; any second collect in the module is
+    a regression."""
     import inspect
 
     from project_map_reduce_spark.plans import streaming_shaped as mod
 
     src = inspect.getsource(mod)
-    assert ".collect()" not in src, "driver gather crept back into B.9"
+    n = src.count(".collect()")
+    assert n <= 1, f"driver gather crept back into B.9 ({n} collect sites)"
+    if n == 1:
+        before = src[: src.index(".collect()")]
+        assert 'groupBy("part", "event_type")' in before.rsplit("def ", 1)[-1], (
+            "the single allowed collect moved away from Q163's "
+            "O(parts x types) manifest summary"
+        )
 
 
 def test_quality_classifier_is_shuffle_free(spark, sf_dir):
