@@ -303,3 +303,36 @@ def test_join_null_safe_is_equi_not_bnlj(spark, sf_dir):
     matched = [r for r in df.collect() if r["null_key_matched"]]
     assert len(matched) == 1 and matched[0]["k"] is None
     assert matched[0]["n_purchases"] > 0 and matched[0]["n_errors"] > 0
+
+
+def test_percentile_disc_definition_matches_duckdb(spark):
+    """Q174 hashes percentile_disc(0.25) assuming Spark's
+    smallest-cume_dist>=p pick equals DuckDB's quantile_disc index
+    pick. The driver only checks at one fixture size — pin the
+    definitional agreement across adversarial group sizes (around the
+    p*n integer boundaries where off-by-one definitions diverge) and
+    several p values."""
+    import duckdb
+
+    sizes = [1, 2, 3, 4, 5, 7, 8, 9, 12, 13, 16, 17, 20, 39, 40, 41, 100]
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+    rows = [(n, float(v)) for n in sizes for v in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n int, v double")
+    got = {
+        (r["n"], p): r[f"p{int(p*100)}"]
+        for r in df.groupBy("n").agg(*[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)"
+            ).alias(f"p{int(p*100)}")
+            for p in ps
+        ]).collect()
+        for p in ps
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for p in ps:
+        for n, want in con.execute(
+            f"SELECT n, quantile_disc(v, {p}) FROM t GROUP BY n"
+        ).fetchall():
+            assert got[(n, p)] == want, (n, p, got[(n, p)], want)
