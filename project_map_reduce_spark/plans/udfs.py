@@ -487,12 +487,18 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-typed by the crossing breaks the hash.
 
     mapInArrow vs mapInPandas at 100 TB: identical plan shape (one
-    MapInArrow node, plan-asserted; no extra exchange), but the Arrow
-    form skips the Arrow->pandas->Arrow double conversion per batch —
-    it IS the zero-copy lane the round-10 tier A/B measured pandas_udf
-    paying for. Per-batch memory is bounded by
-    spark.sql.execution.arrow.maxRecordsPerBatch (10k default), so
-    executor footprint is batch-sized regardless of table size.
+    MapInArrow node, plan-asserted; no extra exchange); the Arrow form
+    skips the Arrow->pandas->Arrow conversion per batch. Measured
+    honestly (r11 A/B, BASELINE.md: same op over 6 M cached rows —
+    mapInArrow 1.86 s, mapInPandas 1.83 s, built-in expression
+    0.21 s): for a narrow numeric op the CROSSING dominates and the
+    two Python lanes tie — the conversion saving only pays on wide /
+    string-heavy batches — while the JVM expression stays ~9x ahead
+    of any Python crossing, which is why built-ins remain the default
+    and this lane exists for logic they can't express. Per-batch
+    memory is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+    (10k default), so executor footprint is batch-sized regardless of
+    table size.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
