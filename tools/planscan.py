@@ -23,7 +23,16 @@ comparator lives in the collation), so the partial+final agg runs as
 SortAggregate by construction; the hash-agg alternative is the
 normalize-with-lower() form, which is deliberately the query's ORACLE,
 not its engine path — the query exists to exercise the collated
-comparator. Current expected total: 11 flagged, all documented
+comparator. r11 adds two more adjudicated SortAggregates:
+q_variant_explode — min/max(STRING) agg buffers have no hash-agg fast
+path; the query collapses to distinct (key, value) pairs FIRST so the
+sort input is O(distinct), never the corpus (2.76→0.76 s grid after
+that restructure) — and q_bitmap_distinct, whose 4 KB BINARY bitmap
+buffers are likewise sort-based by Spark's aggregate selection; the
+sorted relation is the narrow (type, day, bucket, id) projection and
+the measured scale curve is flat (1.4 s at sf10, 2.6×/100×) — the
+hash-path alternative IS count(DISTINCT)'s Expand, which the query
+exists to avoid. Current expected total: 13 flagged, all documented
 (mirrors tests/test_plan_audit.py::_BNLJ_ALLOWED).
 
 Usage:
