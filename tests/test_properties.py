@@ -525,3 +525,103 @@ def test_chained_agg_batch_law(spark, rows, cut):
                     .agg(F.sum("n").alias("n"), F.sum("s").alias("s")))
     split = {tuple(r) for r in days(merged_slots).collect()}
     assert split == whole
+
+
+_lines = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_characters="\n\r", max_codepoint=0x2FFF),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(lines=_lines)
+@settings(**_SETTINGS)
+def test_line_hash_sql_equals_python_on_any_line(spark, lines):
+    """The stream-sink ledger holds only if LINE_HASH_SQL (the Spark
+    readback twin) is bit-identical to the writer's Python _line_hash
+    on ANY line content, and the bit_xor aggregate equals Python's
+    running xor — both sign branches, unicode, empty lines."""
+    from project_map_reduce_spark.sources.pyds_sink import (
+        LINE_HASH_SQL,
+        _line_hash,
+    )
+
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    got = [
+        r["h"] for r in df.select(F.expr(LINE_HASH_SQL).alias("h")).collect()
+    ]
+    want = [_line_hash(s) for s in lines]
+    assert sorted(got) == sorted(want)
+    (agg,) = df.agg(F.bit_xor(F.expr(LINE_HASH_SQL)).alias("x")).collect()
+    px = 0
+    for s in lines:
+        px ^= _line_hash(s)
+    assert agg["x"] == px
+
+
+_nullable_keys = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        st.booleans(),  # side: False = left, True = right
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_nullable_keys)
+@settings(**_SETTINGS)
+def test_null_safe_join_equals_grouping_semantics(spark, rows):
+    """eqNullSafe full join of two keyed aggregates == a plain GROUP BY
+    over the union with per-side counts (NULL is just another key
+    under IS NOT DISTINCT FROM). Checks the Q176 semantic on any
+    null-mixture, not just the fixture's."""
+    data = [(k, s) for k, s in rows]
+    df = spark.createDataFrame(data, "k int, right boolean")
+    a = (
+        df.where(~F.col("right"))
+        .groupBy(F.col("k").alias("ka"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        df.where(F.col("right"))
+        .groupBy(F.col("k").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    j = a.join(b, F.col("ka").eqNullSafe(F.col("kb")), "full").select(
+        F.coalesce("ka", "kb").alias("k"),
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    got = {(r["k"], r["na"], r["nb"]) for r in j.collect()}
+    want_map: dict[object, list[int]] = {}
+    for k, s in data:
+        c = want_map.setdefault(k, [0, 0])
+        c[1 if s else 0] += 1
+    want = {(k, c[0], c[1]) for k, c in want_map.items()}
+    assert got == want
+
+
+_id_sets = st.lists(
+    st.integers(min_value=0, max_value=200_000), min_size=1, max_size=40
+)
+
+
+@given(ids=_id_sets)
+@settings(**_SETTINGS)
+def test_bitmap_distinct_equals_exact_on_any_ids(spark, ids):
+    """sum(bitmap_count(bitmap_construct_agg(...))) grouped by bucket ==
+    exact count(DISTINCT id) for ANY id multiset — duplicates collapse,
+    bucket boundaries (multiples of 32768) don't double-count."""
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    (got,) = (
+        df.groupBy(F.expr("bitmap_bucket_number(id)").alias("b"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(id))").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n"))
+        .collect()
+    )
+    assert got["n"] == len(set(ids))
