@@ -95,9 +95,8 @@ _DRIVER_WINDOW = [
     "q_join_bloom",
     "q_join_range",
     "q_dedup_substring_removal",
-    "q_job_pipeline",
-    # -- NEW this round (r11) — displaced the ten r8-tail entries
-    #    (q_timeseries_fill, q_time_rollup, q_scalar_subquery,
+    # -- NEW this round (r11) — displaced the eleven r8-tail entries
+    #    (q_job_pipeline, q_timeseries_fill, q_time_rollup, q_scalar_subquery,
     #    q_source_quota, q_profile_columns, q_pivot_status,
     #    q_token_count, q_length_deciles, q_value_histogram,
     #    q_zscore_outliers), which seat in r12:
@@ -111,6 +110,7 @@ _DRIVER_WINDOW = [
     "q_agg_modern",  # NEW (r11): count_if/bool/median/percentile_disc/mode
     "q_variant_explode",  # NEW (r11): VARIANT destructuring TVF
     "q_join_null_safe",  # NEW (r11): <=> null-safe equi-join semantics
+    "q_topk_sketch_rollup",  # NEW (r11): mergeable top-k sketch-state rollup
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

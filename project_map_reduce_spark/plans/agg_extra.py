@@ -575,3 +575,92 @@ def q_agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.upper(F.expr("any_value(l_returnflag)")).alias("flag_upper"),
     )
+
+
+@register(
+    "q_topk_sketch_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(sqrt(user_id)) AS BIGINT) AS b,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, CAST(b AS VARCHAR) AS item, n,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n DESC, CAST(b AS VARCHAR)
+               ) AS rnk
+        FROM c
+    )
+    SELECT event_type, CAST(rnk AS INT) AS rank, item,
+           CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rnk <= 5
+    """,
+)
+def q_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q177: MERGEABLE top-k sketch rollup (Spark 4.1's
+    ``approx_top_k_accumulate`` / ``approx_top_k_combine`` /
+    ``approx_top_k_estimate`` — the sketch-STATE form of Q131's
+    one-shot approx_top_k), completing the mergeable-rollup family:
+    HLL distincts (Q116), KLL quantiles (Q130), bitmaps (Q173), and
+    now frequent items. Per (event_type, day) cell one bounded sketch
+    state accumulates the skew-shaped item stream (Q131's
+    floor(sqrt(user_id)) buckets — real heavy hitters at every SF,
+    IEEE-identical across engines); the per-TYPE top-5 is answered by
+    COMBINING the daily states — never a rescan of events.
+
+    Hash contract: the datasketches frequent-items sketch is EXACT
+    while distinct items <= maxItemsTracked (no eviction ever
+    happens) — ~390 buckets at sf10 vs 10k capacity, and the premise
+    is guarded LOUD engine-side (a fixture exceeding capacity raises
+    instead of silently going approximate), so the estimated counts
+    equal the oracle's exact group-by. Selection determinism is OURS,
+    not the sketch's: the estimate is exploded at full width and
+    re-ranked by the (count DESC, item) window, so a tie at the
+    top-5 boundary resolves identically in both engines. At 100 TB
+    (distincts > capacity) the counts go eps-bounded and the Q131
+    invariant contract (membership + eps TRUEs) is the documented
+    fallback — the rollup SHAPE is what this query pins: shuffle
+    carries O(days x capacity) sketch blobs, never raw ids.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.sqrt(F.col("user_id"))).cast("bigint").cast("string").alias(
+            "item"
+        ),
+    )
+    cap = 10_000
+    n_items = ev.select(F.countDistinct("item")).first()[0]
+    if n_items >= cap:  # the exactness premise, guarded loud
+        raise ValueError(
+            f"q_topk_sketch_rollup: {n_items} distinct items >= sketch "
+            f"capacity {cap} — counts would go approximate; raise cap or "
+            f"switch to the Q131 invariant contract"
+        )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr(f"approx_top_k_accumulate(item, {cap})").alias("st")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("approx_top_k_combine(st)").alias("st")
+    )
+    exploded = merged.select(
+        "event_type",
+        F.explode(F.expr(f"approx_top_k_estimate(st, {cap})")).alias("e"),
+    ).select(
+        "event_type",
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("n_events"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("item")
+    )
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "rank", "item", "n_events")
+    )

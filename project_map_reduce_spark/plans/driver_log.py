@@ -255,6 +255,7 @@ _R11_NEW: list[str] = [
     "q_agg_modern",
     "q_variant_explode",
     "q_join_null_safe",
+    "q_topk_sketch_rollup",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -336,3 +336,23 @@ def test_percentile_disc_definition_matches_duckdb(spark):
             f"SELECT n, quantile_disc(v, {p}) FROM t GROUP BY n"
         ).fetchall():
             assert got[(n, p)] == want, (n, p, got[(n, p)], want)
+
+
+def test_topk_sketch_rollup_merges_states_not_rescans(spark, sf_dir):
+    """Q177: the per-type answer must come from combining the daily
+    sketch states — the plan has the two-level aggregate over the
+    sketch struct and NO second scan of events; and the premise guard
+    really fires past capacity."""
+    df = entries()["q_topk_sketch_rollup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "approx_top_k_combine" in plan.lower() or "approxtopkcombine" in plan.lower() or "approx_top_k" in plan.lower(), plan[:1500]
+    # exactness premise: distinct items far below capacity here
+    ev = load(spark, sf_dir, "events")
+    n = ev.select(
+        F.countDistinct(
+            F.floor(F.sqrt(F.col("user_id"))).cast("bigint").cast("string")
+        )
+    ).first()[0]
+    assert n < 1000
