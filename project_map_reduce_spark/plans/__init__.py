@@ -90,13 +90,10 @@ _DRIVER_WINDOW = [
     "q_embedding_quantize",
     "q_hll_rollup",
     "q_kll_rollup",
-    "q_heavy_hitters",
-    "q_profile_approx",
-    "q_join_bloom",
-    "q_join_range",
-    "q_dedup_substring_removal",
-    # -- NEW this round (r11) — displaced the eleven r8-tail entries
-    #    (q_job_pipeline, q_timeseries_fill, q_time_rollup, q_scalar_subquery,
+    # -- NEW this round (r11) — displaced the sixteen r8-tail entries
+    #    (q_heavy_hitters, q_profile_approx, q_join_bloom, q_join_range,
+    #    q_dedup_substring_removal,
+    #    q_job_pipeline, q_timeseries_fill, q_time_rollup, q_scalar_subquery,
     #    q_source_quota, q_profile_columns, q_pivot_status,
     #    q_token_count, q_length_deciles, q_value_histogram,
     #    q_zscore_outliers), which seat in r12:
@@ -111,6 +108,11 @@ _DRIVER_WINDOW = [
     "q_variant_explode",  # NEW (r11): VARIANT destructuring TVF
     "q_join_null_safe",  # NEW (r11): <=> null-safe equi-join semantics
     "q_topk_sketch_rollup",  # NEW (r11): mergeable top-k sketch-state rollup
+    "q_explode_outer",  # NEW (r11): outer generator null-preservation
+    "q_groupingsets_df",  # NEW (r11): DataFrame.groupingSets API
+    "q_hof_lambda",  # NEW (r11): lambda HOF battery vs list_* twins
+    "q_jl_projection",  # NEW (r11): deterministic JL random projection
+    "q_stream_to_table",  # NEW (r11): managed-table streaming sink
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -664,3 +664,41 @@ def q_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("event_type", "rank", "item", "n_events")
     )
+
+
+@register(
+    "q_groupingsets_df",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def q_groupingsets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q179: ``DataFrame.groupingSets`` (Spark 4.0) — the programmatic
+    twin of Q19's SQL GROUPING SETS, closing the DataFrame-API parity
+    set alongside Q169 (lateralJoin) and Q170 (exists/scalar): the
+    same three explicit aggregation levels declared as a list of
+    column lists instead of SQL text, NULL-filled grouping columns at
+    the aggregated-out levels, one Expand-based aggregate underneath —
+    the hash checks that the API spells the identical plan.
+
+    Scale shape: same as Q19 — Expand multiplies rows by the number of
+    sets BEFORE the exchange (3x here), partial aggregation absorbs it
+    map-side; explicit sets beat CUBE's 2^n blow-up, which is the
+    documented reason this API exists.
+    """
+    from project_map_reduce_spark.functions.det import sum6
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        sum6("l_quantity").alias("sum_qty"),
+    )

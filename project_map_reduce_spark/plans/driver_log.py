@@ -256,6 +256,11 @@ _R11_NEW: list[str] = [
     "q_variant_explode",
     "q_join_null_safe",
     "q_topk_sketch_rollup",
+    "q_explode_outer",
+    "q_groupingsets_df",
+    "q_hof_lambda",
+    "q_jl_projection",
+    "q_stream_to_table",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

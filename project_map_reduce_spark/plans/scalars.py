@@ -400,3 +400,57 @@ def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY key
         """
     )
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+               ) - 1 AS INT) AS pos
+        FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT c.c_custkey, b.pos, b.o_orderkey
+    FROM customer c LEFT JOIN big b ON b.o_custkey = c.c_custkey
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q178: OUTER generator semantics (``posexplode_outer``) — the
+    null-preserving half of the explode family (Q37 uses the inner
+    form, which silently DROPS parents with empty/null arrays — the
+    lost-rows bug class of Q176's plain-equality join, here for
+    generators): each customer carries the sorted array of their
+    rare high-value orders; most arrays are EMPTY, and the outer
+    explode must keep those customers as a single (null pos, null
+    order) row — the oracle's LEFT JOIN against the ranked order set
+    is the relational statement of exactly that contract, so any
+    dropped empty-array parent or a nondeterministic array order
+    breaks the row count or the pos hash.
+
+    Determinism note: ``collect_list`` order is partition-dependent,
+    so the array is ``array_sort``-ed before exploding — pos is then
+    the rank by o_orderkey on both engines.
+
+    Scale shape: one shuffle to build the per-customer array (small:
+    the filter keeps ~1% of orders), one broadcast-or-SMJ left join
+    onto customer, then the generate is a narrow row-multiplier. At
+    100 TB you'd skip the array materialization and write the
+    oracle's join directly — the query exists to pin the generator
+    semantic, and says so.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    arrs = o.groupBy(F.col("o_custkey").alias("c2")).agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("oks")
+    )
+    joined = c.join(arrs, c["c_custkey"] == arrs["c2"], "left")
+    return joined.select(
+        "c_custkey",
+        F.posexplode_outer("oks"),
+    ).select(
+        "c_custkey",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").alias("o_orderkey"),
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from project_map_reduce_spark.functions.det import r6d
 from project_map_reduce_spark.operators.kmeans import lloyd
 from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
@@ -547,4 +548,164 @@ def q_typo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= _TYPO_K)
         .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+@register(
+    "q_hof_lambda",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+                AS INT) AS n_pos,
+           round(sqrt(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               'sum')), 6) AS l2_norm,
+           list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x > 0.9),
+               'bool_or') AS any_gt,
+           list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) <= 1.0),
+               'bool_and') AS all_le1,
+           round(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 2.0 + 1.0),
+               'sum'), 6) AS affine_sum
+    FROM embeddings
+    """,
+)
+def q_hof_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q180: the LAMBDA higher-order-function battery over the
+    embedding arrays — ``filter`` / ``transform`` / ``aggregate`` /
+    ``exists`` / ``forall`` in one projection (the inventory uses HOFs
+    piecemeal — Q58's fold, Q55's filter, the classifiers' folds —
+    this pins the full lambda surface against DuckDB's list_* twins):
+    positive-component count, L2 norm (transform-square then
+    aggregate-sum then sqrt — the brute-force-cosine building block of
+    Q45), existence and universal predicates, and an affine fold.
+    Every lambda runs interpreted JVM-side (HOFs sit OUTSIDE
+    whole-stage codegen — the measured 10-40x note in README applies),
+    but zero Python and zero shuffle: one narrow projection.
+
+    Determinism: float32 inputs are cast to double FIRST on both
+    sides, folds run in list order on both engines, round-6 absorbs
+    last-ulp libm drift.
+
+    Scale shape: narrow map over the vector column — the HOF cost is
+    per-row CPU; at 100 TB the vectorized pandas_udf twin (Q49 class)
+    wins the constant factor, which is the documented trade this query
+    exists to teach alongside the similarity family's real kernels.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    zero = F.lit(0.0)
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        r6d(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(v, lambda x: x * x), zero, lambda a, x: a + x
+                )
+            ),
+            "l2_norm",
+        ),
+        F.exists(v, lambda x: x > 0.9).alias("any_gt"),
+        F.forall(v, lambda x: F.abs(x) <= 1.0).alias("all_le1"),
+        r6d(
+            F.aggregate(
+                F.transform(v, lambda x: x * 2.0 + 1.0),
+                zero,
+                lambda a, x: a + x,
+            ),
+            "affine_sum",
+        ),
+    )
+
+
+@register(
+    "q_jl_projection",
+    oracle="""
+    WITH m AS (
+        SELECT i.range AS i, j.range AS j,
+               CASE WHEN substring(md5(i.range || ':' || j.range), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(64) i, range(8) j
+    ),
+    e AS (
+        SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS val
+        FROM embeddings, generate_series(1, 64) AS t(i)
+    )
+    SELECT e.vec_id,
+           CAST(m.j AS INT) AS dim,
+           round(sum(e.val * m.s) / sqrt(8.0), 6) AS proj
+    FROM e JOIN m ON m.i = e.i
+    GROUP BY e.vec_id, m.j
+    """,
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q182: Johnson-Lindenstrauss RANDOM PROJECTION of the embedding
+    corpus, 64 -> 8 dims — the dimensionality-reduction step a
+    100 TB embedding pipeline runs before ANN/dedup (cheaper distance
+    kernels, smaller indexes; JL guarantees distance preservation
+    within eps for k = O(log n / eps^2)). The projection matrix is the
+    classic Achlioptas +-1 sign matrix derived DETERMINISTICALLY from
+    md5(i:j) — both engines compute the identical matrix from the same
+    hash (no RNG, no seed plumbing), which is what makes a randomized-
+    algorithm query hash-checkable end to end: Spark folds each output
+    dim as a zip_with/aggregate over the sign row (JVM HOFs, zero
+    Python, zero shuffle — narrow map), the oracle rebuilds the same
+    matrix relationally (UNNEST WITH ORDINALITY x range-join) and must
+    land on the same 6-dp doubles.
+
+    Scale shape: O(rows x 64 x 8) multiply-adds in a single narrow
+    projection; the matrix is plan-side literal (512 signs), never
+    shuffled; output is 8 doubles per row ( /sqrt(k) normalization
+    keeps expected norms comparable). At 100 TB the same expression
+    rides the ingest scan; the vectorized twin is a pandas_udf matmul
+    (numpy BLAS) when k grows past HOF-interpreter economics — the
+    Q49-class trade, documented not hidden.
+    """
+    import hashlib
+
+    dims_in, dims_out = 64, 8
+    signs = [
+        [
+            1.0
+            if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] in "02468ace"
+            else -1.0
+            for i in range(dims_in)
+        ]
+        for j in range(dims_out)
+    ]
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    zero = F.lit(0.0)
+    norm = F.lit(dims_out**0.5)
+    proj_cols = [
+        F.struct(
+            F.lit(j).alias("dim"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(s) for s in signs[j]]),
+                        lambda x, s: x * s,
+                    ),
+                    zero,
+                    lambda a, x: a + x,
+                )
+                / norm,
+                6,
+            ).alias("proj"),
+        )
+        for j in range(dims_out)
+    ]
+    return (
+        e.select("vec_id", F.explode(F.array(*proj_cols)).alias("p"))
+        .select(
+            "vec_id",
+            F.col("p.dim").cast("int").alias("dim"),
+            F.col("p.proj").alias("proj"),
+        )
     )

@@ -676,3 +676,85 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="event_type string, n_events bigint, sum_value double",
     )
+
+
+@register(
+    "q_stream_to_table",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q181: ``writeStream.toTable`` — the MANAGED-TABLE streaming sink
+    (the path-sink family is covered by Q90/Q123/Q163; this is the
+    catalog form: the stream CREATES the table, the metastore tracks
+    it, and downstream consumers address it by NAME — the production
+    pattern that lets a streaming job and its batch readers share one
+    catalog entry instead of a path convention). Three staged
+    micro-batches of events flow availableNow into the managed table;
+    the read-back is ``spark.read.table`` and the aggregate must equal
+    the oracle's batch aggregate over the raw parquet — a dropped or
+    double-appended epoch breaks the hash (exactly-once for the
+    file-format table sink comes from the same per-batchId transaction
+    log as the path sink).
+
+    Scale shape: the sink write is ordinary distributed parquet
+    append; the catalog op is O(1) metadata. The table is DROPPED
+    after the O(types) aggregate is collected (scratch hygiene: a
+    re-run must start from CREATE, which is itself part of what the
+    toTable contract covers).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from project_map_reduce_spark.plans.streaming_shaped import (
+        _await_finite_stream,
+        _stage_batches,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="q_stream_to_table_")
+    table = f"pmrs_stream_tbl_{uuid.uuid4().hex[:8]}"
+    try:
+        src = _stage_batches(tmp, tuple(
+            (f"c{i}", ev.where(F.col("event_id") % 3 == i))
+            for i in range(3)
+        ))
+        q = (
+            spark.readStream.schema(
+                "event_id bigint, event_type string, "
+                "user_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .toTable(table)
+        )
+        _await_finite_stream(q, "q_stream_to_table")
+        rows = (
+            spark.read.table(table)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum6("value").alias("sum_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="event_type string, n_events bigint, sum_value double, "
+        "n_users bigint",
+    )

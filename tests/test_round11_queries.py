@@ -356,3 +356,69 @@ def test_topk_sketch_rollup_merges_states_not_rescans(spark, sf_dir):
         )
     ).first()[0]
     assert n < 1000
+
+
+def test_explode_outer_preserves_empty_array_parents(spark, sf_dir):
+    """Q178: every customer appears at least once — the inner-explode
+    form would drop the (majority) empty-array customers."""
+    df = entries()["q_explode_outer"].fn(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    assert df.select("c_custkey").distinct().count() == c.count()
+    assert df.where(F.col("pos").isNull()).count() > 0
+
+
+def test_groupingsets_df_expand_plan(spark, sf_dir):
+    """Q179: one Expand node (3 sets), one aggregate pair — the API
+    must spell Q19's plan, not a union of three aggregates."""
+    plan = _plan(spark, sf_dir, "q_groupingsets_df")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Expand") == 1, tree
+    assert "Union" not in tree, tree
+
+
+def test_hof_lambda_no_python_no_shuffle(spark, sf_dir):
+    """Q180: pure narrow JVM projection — no Exchange, no Python."""
+    plan = _plan(spark, sf_dir, "q_hof_lambda")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Python" not in tree, tree
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """Q182's reason to exist: the JL guarantee. For a sample of vector
+    pairs, the projected squared distance (/k-normalized ±1 matrix)
+    approximates the original squared distance — check the median
+    distortion is within a loose band (k=8 is small, so per-pair
+    bounds are weak; the MEDIAN over pairs is stable)."""
+    import itertools
+    import math
+
+    e = load(spark, sf_dir, "embeddings").limit(12).collect()
+    p = {
+        r["vec_id"]: {}
+        for r in e
+    }
+    proj = entries()["q_jl_projection"].fn(spark, sf_dir).collect()
+    for r in proj:
+        if r["vec_id"] in p:
+            p[r["vec_id"]][r["dim"]] = r["proj"]
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in e}
+    ratios = []
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        d_orig = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+        if d_orig == 0 or len(p[a]) < 8 or len(p[b]) < 8:
+            continue
+        d_proj = sum((p[a][j] - p[b][j]) ** 2 for j in range(8))
+        ratios.append(d_proj / d_orig)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.4 < med < 2.5, (med, len(ratios))
+
+
+def test_stream_to_table_drops_scratch_table(spark, sf_dir):
+    """Q181: the managed scratch table must not leak into the catalog
+    after the query returns."""
+    before = {t.name for t in spark.catalog.listTables()}
+    entries()["q_stream_to_table"].fn(spark, sf_dir).collect()
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("pmrs_stream_tbl_")}
