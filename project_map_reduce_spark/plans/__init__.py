@@ -87,11 +87,9 @@ _DRIVER_WINDOW = [
     "q_pagerank",
     "q_quality_classifier_trained",
     "q_typo_join",
-    "q_embedding_quantize",
-    "q_hll_rollup",
-    "q_kll_rollup",
-    # -- NEW this round (r11) — displaced the sixteen r8-tail entries
-    #    (q_heavy_hitters, q_profile_approx, q_join_bloom, q_join_range,
+    # -- NEW this round (r11) — displaced the nineteen r8-tail entries
+    #    (q_embedding_quantize, q_hll_rollup, q_kll_rollup,
+    #    q_heavy_hitters, q_profile_approx, q_join_bloom, q_join_range,
     #    q_dedup_substring_removal,
     #    q_job_pipeline, q_timeseries_fill, q_time_rollup, q_scalar_subquery,
     #    q_source_quota, q_profile_columns, q_pivot_status,
@@ -113,6 +111,9 @@ _DRIVER_WINDOW = [
     "q_hof_lambda",  # NEW (r11): lambda HOF battery vs list_* twins
     "q_jl_projection",  # NEW (r11): deterministic JL random projection
     "q_stream_to_table",  # NEW (r11): managed-table streaming sink
+    "q_setops_all",  # NEW (r11): INTERSECT ALL / EXCEPT ALL multisets
+    "q_limit_offset",  # NEW (r11): LIMIT/OFFSET pagination semantics
+    "q_array_functions",  # NEW (r11): array-algebra battery
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

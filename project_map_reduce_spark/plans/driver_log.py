@@ -261,6 +261,9 @@ _R11_NEW: list[str] = [
     "q_hof_lambda",
     "q_jl_projection",
     "q_stream_to_table",
+    "q_setops_all",
+    "q_limit_offset",
+    "q_array_functions",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -454,3 +454,72 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.col("col").alias("o_orderkey"),
     )
+
+
+@register(
+    "q_array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               range(1, CAST(l_quantity AS BIGINT) % 5 + 3) AS a,
+               [2, 4, 6] AS b
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
+               AS union_sorted,
+           array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> list_contains(b, x)))), ',')
+               AS intersect_sorted,
+           array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))), ',')
+               AS except_sorted,
+           list_contains(a, 4)                       AS has_four,
+           CAST(coalesce(list_position(a, 2), 0) AS INT) AS pos_two,
+           CAST(len(a) AS INT)                       AS a_len,
+           CAST(list_max(a) AS BIGINT)               AS a_max,
+           array_to_string(a[2:3], ',')              AS mid_slice,
+           array_to_string(flatten([a, b]), ',')     AS flat
+    FROM t
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q185: the ARRAY-function battery (union / intersect / except /
+    contains / position / size / max / slice / flatten over
+    ``sequence``-built arrays) — Q37 covers split+explode; this pins
+    the array ALGEBRA against DuckDB's list_* twins. Set-valued
+    results are canonicalized ``array_join(array_sort(...))`` strings
+    because the two engines' set-op ORDER guarantees differ (Spark
+    preserves first-occurrence order, DuckDB's list_distinct does
+    not) — sorting before the hash pins the CONTENTS, which is the
+    portable contract; 1-based list_position and 1-based slice
+    semantics agree by construction and an off-by-one breaks the
+    hash.
+
+    Scale shape: pure narrow codegen'd projection, zero shuffle, zero
+    Python — the array kernels ride the scan like every Q33-Q38
+    battery.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = F.sequence(
+        F.lit(1).cast("bigint"),
+        (F.col("l_quantity").cast("bigint") % 5 + 2),
+    )
+    b = F.array(F.lit(2), F.lit(4), F.lit(6)).cast("array<bigint>")
+    t = li.select("l_orderkey", "l_linenumber", a.alias("a"), b.alias("b"))
+    j = lambda c: F.array_join(F.array_sort(c), ",")  # noqa: E731
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        j(F.array_union("a", "b")).alias("union_sorted"),
+        j(F.array_intersect("a", "b")).alias("intersect_sorted"),
+        j(F.array_except("a", "b")).alias("except_sorted"),
+        F.array_contains("a", 4).alias("has_four"),
+        F.coalesce(
+            F.array_position("a", 2), F.lit(0)
+        ).cast("int").alias("pos_two"),
+        F.size("a").alias("a_len"),
+        F.array_max("a").alias("a_max"),
+        F.array_join(F.slice("a", 2, 2), ",").alias("mid_slice"),
+        F.array_join(F.flatten(F.array("a", "b")), ",").alias("flat"),
+    )

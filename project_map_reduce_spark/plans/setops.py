@@ -133,3 +133,53 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum6("value").alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_setops_all",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey % 500 AS v FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+        SELECT o_orderkey % 500 AS v FROM orders
+        WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT 'intersect_all' AS op, v FROM (
+        SELECT v FROM a INTERSECT ALL SELECT v FROM b
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, v FROM (
+        SELECT v FROM a EXCEPT ALL SELECT v FROM b
+    )
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q183: MULTISET set operations — ``intersectAll`` / ``exceptAll``
+    (SQL INTERSECT ALL / EXCEPT ALL), the bag-semantics half the
+    B.7 family lacked (Q31/Q32 are the DISTINCT forms): the inputs
+    carry real duplicates (orderkey mod 500 per priority class), and
+    the ALL forms must keep min(m, n) copies in the intersection and
+    max(0, m - n) copies in the difference — semantics a
+    distinct-then-join emulation silently collapses, which is exactly
+    what the raw multiset output hash catches (the driver's value
+    hash counts duplicate rows).
+
+    Scale shape: both compile to one hash exchange per side with a
+    count-matching join underneath (no global distinct) — same
+    shuffle budget as the DISTINCT forms, the multiplicity bookkeeping
+    rides the aggregation.
+    """
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        (F.col("o_orderkey") % 500).alias("v")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        (F.col("o_orderkey") % 500).alias("v")
+    )
+    return a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "v"
+    ).unionAll(
+        a.exceptAll(b).select(F.lit("except_all").alias("op"), "v")
+    )

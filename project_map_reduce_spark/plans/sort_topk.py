@@ -92,3 +92,37 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "q_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q184: LIMIT/OFFSET pagination (Spark 3.4+ ``DataFrame.offset``) —
+    page 3 of the deterministic balance ranking (unique-key tiebreak,
+    the B.6 convention). The hash checks the exact page boundary: an
+    off-by-one in the skip, or an engine that applies offset before
+    the sort, shifts every row.
+
+    Scale shape: Catalyst folds this to a single GlobalLimit(60) over
+    TakeOrdered partial limits — each partition ships at most
+    offset+limit rows, so the cost grows with the PAGE DEPTH, not the
+    table. That is also the documented trap: page N costs O(N·page)
+    — deep pagination at 100 TB uses keyset continuation
+    (WHERE (bal, key) < last_seen ORDER BY ... LIMIT page), which
+    stays O(page) at any depth; this query pins the offset semantics
+    the keyset form replaces.
+    """
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .offset(40)
+        .limit(20)
+    )

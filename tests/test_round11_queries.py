@@ -422,3 +422,23 @@ def test_stream_to_table_drops_scratch_table(spark, sf_dir):
     entries()["q_stream_to_table"].fn(spark, sf_dir).collect()
     after = {t.name for t in spark.catalog.listTables()}
     assert not {t for t in after - before if t.startswith("pmrs_stream_tbl_")}
+
+
+def test_setops_all_keeps_multiplicities(spark):
+    """Q183's bag semantics on a known multiset: a={1,1,2,3}, b={1,2,2}
+    -> intersectAll {1,2}, exceptAll {1,3}."""
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "v int")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "v int")
+    ia = sorted(r["v"] for r in a.intersectAll(b).collect())
+    ea = sorted(r["v"] for r in a.exceptAll(b).collect())
+    assert ia == [1, 2] and ea == [1, 3]
+
+
+def test_limit_offset_page_algebra(spark, sf_dir):
+    """Q184: pages partition the prefix — page2 rows = rows 41-60 of
+    the bare top-60, disjoint from the top-40."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ordered = c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    top60 = [r["c_custkey"] for r in ordered.limit(60).collect()]
+    page = [r["c_custkey"] for r in ordered.offset(40).limit(20).collect()]
+    assert page == top60[40:60]
