@@ -81,3 +81,18 @@ def test_grid_loads_only_at_its_own_scale_factor():
     assert bench._load_grid(grid_sf)  # non-empty at the grid's sf
     assert bench._load_grid(grid_sf * 10) == {}
     assert bench._load_grid(None) == {}
+
+
+def test_grid_covers_registry_exactly():
+    """Every registered query must carry a BASELINE_GRID floor (the 2x
+    gate is meaningless for a query without a reference), and the grid
+    must not carry ghosts of renamed/removed queries; the summary
+    fields must stay consistent with the entries."""
+    g = json.load(open("BASELINE_GRID.json"))
+    reg = set(entries())
+    grid = set(g["queries"])
+    assert grid == reg, (sorted(reg - grid), sorted(grid - reg))
+    assert g["n_queries"] == len(g["queries"])
+    assert abs(g["total_min_sec"] - sum(g["queries"].values())) < 0.5, (
+        g["total_min_sec"], round(sum(g["queries"].values()), 2)
+    )
