@@ -64,9 +64,14 @@ _DRIVER_WINDOW = [
     "q_transpose",
     # -- then 34 slots from the round-8 cohort (the oldest remaining
     #    signal; ceiling = staleness_ceiling(len(registry)) rounds —
-    #    renegotiated in r11, see plans/driver_log.py docstring — so
-    #    the 16 r8-cohort queries left outside this round are seated
-    #    in r12 at the ceiling). Drift-prone plan machinery first:
+    #    renegotiated in r11, see plans/driver_log.py docstring).
+    #    R12 OBLIGATION: every r8-cohort query outside THIS window
+    #    must seat in r12 — that is the 16 never-windowed entries
+    #    PLUS all tail entries displaced by r11-new queries below
+    #    (35 total at round-11 close; see the displaced list in the
+    #    next comment block) — leaving at most 15 slots for r12-new
+    #    before the deferred-list mechanism kicks in.
+    #    Drift-prone plan machinery first:
     #    real streaming jobs, merge/sink machinery, iterative model
     #    fits, mergeable sketches. New round-11 queries displace
     #    entries from the TAIL of this block as they land (new

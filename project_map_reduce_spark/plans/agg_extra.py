@@ -633,22 +633,35 @@ def q_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cap = 10_000
-    n_items = ev.select(F.countDistinct("item")).first()[0]
-    if n_items >= cap:  # the exactness premise, guarded loud
-        raise ValueError(
-            f"q_topk_sketch_rollup: {n_items} distinct items >= sketch "
-            f"capacity {cap} — counts would go approximate; raise cap or "
-            f"switch to the Q131 invariant contract"
-        )
     daily = ev.groupBy("event_type", "day").agg(
         F.expr(f"approx_top_k_accumulate(item, {cap})").alias("st")
     )
     merged = daily.groupBy("event_type").agg(
         F.expr("approx_top_k_combine(st)").alias("st")
     )
-    exploded = merged.select(
+    # The exactness premise, guarded loud IN-PLAN (no second scan of
+    # events — an earlier draft ran a standalone countDistinct job,
+    # doubling scan I/O): a merged sketch tracking its full capacity
+    # may have evicted, so its estimates could be approximate — raise
+    # at execution instead of hashing approximate counts.
+    est = merged.select(
         "event_type",
-        F.explode(F.expr(f"approx_top_k_estimate(st, {cap})")).alias("e"),
+        F.expr(f"approx_top_k_estimate(st, {cap})").alias("est"),
+    ).select(
+        "event_type",
+        F.when(F.size("est") < cap, F.col("est")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"q_topk_sketch_rollup: sketch at capacity {cap} — "
+                    "counts may be approximate; raise cap or switch to "
+                    "the Q131 invariant contract"
+                )
+            )
+        ).alias("est"),
+    )
+    exploded = est.select(
+        "event_type",
+        F.explode("est").alias("e"),
     ).select(
         "event_type",
         F.col("e.item").alias("item"),

@@ -595,8 +595,18 @@ def q_hof_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins the constant factor, which is the documented trade this query
     exists to teach alongside the similarity family's real kernels.
     """
-    e = load(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # Materialize the float->double cast ONCE in a projection below:
+    # HOFs run interpreted (no whole-stage codegen, no common-subexpr
+    # elimination), so splicing the transform into each of the five
+    # consumers would re-evaluate the 64-element cast 5x per row; the
+    # non-cheap alias survives CollapseProject.
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vd"
+        ),
+    )
+    v = F.col("vd")
     zero = F.lit(0.0)
     return e.select(
         "vec_id",
@@ -678,8 +688,16 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for j in range(dims_out)
     ]
-    e = load(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # Same single-evaluation discipline as Q180: the cast-transform is
+    # materialized once below the 8 fold expressions (8x re-evaluation
+    # of an interpreted 64-element cast otherwise).
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vd"
+        ),
+    )
+    v = F.col("vd")
     zero = F.lit(0.0)
     norm = F.lit(dims_out**0.5)
     proj_cols = [

@@ -64,14 +64,27 @@ def _line_hash(line: str) -> int:
 # arithmetic (a bare subtraction would coerce through double and lose
 # low bits); the CASE then reinterprets bit-identically as signed
 # int64. Equivalence with the Python _line_hash is test-pinned.
-LINE_HASH_SQL = (
-    "CAST((CASE WHEN u >= 9223372036854775808"
-    " THEN u - 18446744073709551616 ELSE u END) AS BIGINT)"
-    .replace(
-        "u",
-        "CAST(conv(substring(md5(value), 1, 16), 16, 10) AS DECIMAL(20,0))",
-    )
+_UNSIGNED64 = (
+    "CAST(conv(substring(md5(value), 1, 16), 16, 10) AS DECIMAL(20,0))"
 )
+LINE_HASH_SQL = (
+    f"CAST((CASE WHEN {_UNSIGNED64} >= 9223372036854775808"
+    f" THEN {_UNSIGNED64} - 18446744073709551616"
+    f" ELSE {_UNSIGNED64} END) AS BIGINT)"
+)
+
+
+def _render_cell(v) -> str:
+    """ONE cell-rendering contract for every writer lane: None -> '',
+    binary normalized through bytes() (the row lane receives bytearray
+    from Spark's Row converter while Arrow's to_pylist yields bytes —
+    str() of the two differs), everything else str(). All three
+    writers MUST call this so the lanes' artifacts stay byte-equal."""
+    if v is None:
+        return ""
+    if isinstance(v, (bytes, bytearray)):
+        return str(bytes(v))
+    return str(v)
 
 
 class _ReportWriter(DataSourceWriter):
@@ -95,7 +108,7 @@ class _ReportWriter(DataSourceWriter):
         tmp = os.path.join(self._path, f".{fname}.inprogress")
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
-                line = "\t".join("" if v is None else str(v) for v in row)
+                line = "\t".join(_render_cell(v) for v in row)
                 f.write(line + "\n")
                 n += 1
                 xor ^= _line_hash(line)
@@ -181,7 +194,7 @@ class _ReportStreamWriter(DataSourceStreamWriter):
         tmp = os.path.join(self._path, f".{fname}.inprogress")
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
-                line = "\t".join("" if v is None else str(v) for v in row)
+                line = "\t".join(_render_cell(v) for v in row)
                 f.write(line + "\n")
                 n += 1
                 xor ^= _line_hash(line)
@@ -240,9 +253,7 @@ class _ReportStreamArrowWriter(DataSourceStreamArrowWriter):
                     continue
                 cols = [arr.to_pylist() for arr in batch.columns]
                 for vals in zip(*cols):
-                    line = "\t".join(
-                        "" if v is None else str(v) for v in vals
-                    )
+                    line = "\t".join(_render_cell(v) for v in vals)
                     f.write(line + "\n")
                     xor ^= _line_hash(line)
                 n += batch.num_rows

@@ -793,8 +793,9 @@ def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
     deliberately NULL-bearing (nullable int64, string, double columns —
     ADVICE r10): a pandas-mediated render would write 'nan' for nulls
     and '5.0' for a null-promoted int64 where the row lane writes ''
-    and '5', so the xor comparison pins the None/int64-preserving
-    Arrow-array render, not just the happy path."""
+    and '5', and an un-normalized BINARY column renders bytearray(...)
+    in the row lane vs b'...' in the Arrow lane — so the xor comparison
+    pins the shared _render_cell contract, not just the happy path."""
     import glob
     import os
 
@@ -810,6 +811,8 @@ def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
         "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 END AS k",
         "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('x', id) END AS sn",
         "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id * 0.5 AS DOUBLE) END AS vn",
+        "CASE WHEN id % 13 = 0 THEN NULL"
+        " ELSE encode(concat('b', id), 'utf-8') END AS bn",
     ).coalesce(1).write.parquet(f"{tmp_path}/a")
     (part,) = glob.glob(f"{tmp_path}/a/part-*.parquet")
     os.rename(part, f"{src}/b0.parquet")
@@ -817,7 +820,7 @@ def test_pyds_stream_sink_arrow_lane_equivalent(spark, tmp_path):
     def run(out, arrow):
         q = (spark.readStream
              .schema("id bigint, s string, v double, k bigint, "
-                     "sn string, vn double")
+                     "sn string, vn double, bn binary")
              .parquet(src)
              .writeStream.format("pmrs_report")
              .option("path", out).option("arrow", str(arrow).lower())
