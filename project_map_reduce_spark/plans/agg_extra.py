@@ -614,9 +614,13 @@ def q_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash contract: the datasketches frequent-items sketch is EXACT
     while distinct items <= maxItemsTracked (no eviction ever
     happens) — ~390 buckets at sf10 vs 10k capacity, and the premise
-    is guarded LOUD engine-side (a fixture exceeding capacity raises
-    instead of silently going approximate), so the estimated counts
-    equal the oracle's exact group-by. Selection determinism is OURS,
+    is guarded LOUD in-plan by MASS CONSERVATION (sum of estimated
+    counts == true row count, carried through the same aggregation
+    tree — the sound detector: an over-capacity sketch returns only
+    its guaranteed heavy hitters, so estimate WIDTH shrinks rather
+    than hitting cap, but evictions always lose count mass; both
+    directions canary-tested), so the estimated counts equal the
+    oracle's exact group-by. Selection determinism is OURS,
     not the sketch's: the estimate is exploded at full width and
     re-ranked by the (count DESC, item) window, so a tie at the
     top-5 boundary resolves identically in both engines. At 100 TB
@@ -634,27 +638,40 @@ def q_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cap = 10_000
     daily = ev.groupBy("event_type", "day").agg(
-        F.expr(f"approx_top_k_accumulate(item, {cap})").alias("st")
+        F.expr(f"approx_top_k_accumulate(item, {cap})").alias("st"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
     merged = daily.groupBy("event_type").agg(
-        F.expr("approx_top_k_combine(st)").alias("st")
+        F.expr("approx_top_k_combine(st)").alias("st"),
+        F.sum("n_rows").alias("n_rows"),
     )
     # The exactness premise, guarded loud IN-PLAN (no second scan of
     # events — an earlier draft ran a standalone countDistinct job,
-    # doubling scan I/O): a merged sketch tracking its full capacity
-    # may have evicted, so its estimates could be approximate — raise
-    # at execution instead of hashing approximate counts.
+    # doubling scan I/O). The sound detector is MASS, not width: an
+    # over-capacity frequent-items sketch returns only its GUARANTEED
+    # heavy hitters (possibly zero items), so the estimate width can
+    # shrink, never hit cap — but evictions always LOSE count mass,
+    # so "sum of estimated counts == true row count" holds iff the
+    # sketch stayed exact (every item tracked, every count exact).
+    # The true count rides the same aggregation tree for free.
+    est_mass = F.aggregate(
+        F.col("est"),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x["count"],
+    )
     est = merged.select(
         "event_type",
+        "n_rows",
         F.expr(f"approx_top_k_estimate(st, {cap})").alias("est"),
     ).select(
         "event_type",
-        F.when(F.size("est") < cap, F.col("est")).otherwise(
+        F.when(est_mass == F.col("n_rows"), F.col("est")).otherwise(
             F.raise_error(
                 F.lit(
-                    f"q_topk_sketch_rollup: sketch at capacity {cap} — "
-                    "counts may be approximate; raise cap or switch to "
-                    "the Q131 invariant contract"
+                    f"q_topk_sketch_rollup: merged sketch lost count "
+                    f"mass — over capacity {cap}, counts would be "
+                    "approximate; raise cap or switch to the Q131 "
+                    "invariant contract"
                 )
             )
         ).alias("est"),

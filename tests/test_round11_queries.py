@@ -356,6 +356,27 @@ def test_topk_sketch_rollup_merges_states_not_rescans(spark, sf_dir):
         )
     ).first()[0]
     assert n < 1000
+    # and the mass-conservation guard really fires when a sketch IS
+    # over capacity (estimate WIDTH cannot detect it — an over-cap
+    # frequent-items sketch returns only guaranteed heavy hitters,
+    # possibly zero items; lost count mass is the sound signal)
+    small = spark.range(1000).selectExpr("CAST(id % 50 AS STRING) AS item")
+    m = small.agg(
+        F.expr("approx_top_k_accumulate(item, 10)").alias("st"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    mass = F.aggregate(
+        F.col("est"), F.lit(0).cast("bigint"), lambda a, x: a + x["count"]
+    )
+    guarded = m.select(
+        "n_rows", F.expr("approx_top_k_estimate(st, 10)").alias("est")
+    ).select(
+        F.when(mass == F.col("n_rows"), F.col("est"))
+        .otherwise(F.raise_error(F.lit("lost count mass")))
+        .alias("est")
+    )
+    with pytest.raises(Exception, match="lost count mass"):
+        guarded.collect()
 
 
 def test_explode_outer_preserves_empty_array_parents(spark, sf_dir):
