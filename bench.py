@@ -83,6 +83,20 @@ _SLOW_WINDOW_LEN = 3
 # The driver keeps the last 2000 chars of output; leave headroom for
 # the trailing newline and any interleaved stderr flush.
 _LINE_BUDGET = 1900
+# Pre-flight host gate (VERDICT r11 item 4): round 11 produced four
+# total-bench runs spanning 202-245 s purely on ambient steal (8 s ->
+# 890 s across the day), so a committed record's calmness was luck.
+# Before the sweep starts, the gate samples the host steal RATE over
+# _GATE_SAMPLE_SEC windows and defers the run until the rate drops
+# under _GATE_STEAL_RATE (fraction of wall) or _GATE_TIMEOUT_SEC is
+# spent waiting — making a committed record a calm-window record by
+# construction, not by retry. The per-run poison logic stays as the
+# in-sweep defense (a storm can still START mid-sweep). Skippable for
+# quick iteration with SPARK_GRAFT_NO_GATE=1; timeout overridable via
+# SPARK_GRAFT_GATE_TIMEOUT_SEC.
+_GATE_SAMPLE_SEC = 5.0
+_GATE_STEAL_RATE = 0.02
+_GATE_TIMEOUT_SEC = 900.0
 
 
 def _steal_sec() -> float:
@@ -93,6 +107,56 @@ def _steal_sec() -> float:
         return int(fields[8]) / os.sysconf("SC_CLK_TCK")
     except Exception:  # noqa: BLE001
         return 0.0
+
+
+def _host_gate(
+    sample_sec: float = _GATE_SAMPLE_SEC,
+    steal_rate: float = _GATE_STEAL_RATE,
+    timeout_sec: float | None = None,
+    _sleep=time.sleep,
+    _steal=None,
+    _clock=time.perf_counter,
+) -> dict:
+    """Block until the host's steal rate over a ``sample_sec`` window is
+    under ``steal_rate``, or ``timeout_sec`` is exhausted. Returns a
+    small dict for the bench artifact: ``waited_sec`` (total deferral),
+    ``samples`` (list of observed per-window rates, capped at the last
+    8 for the record), and ``calm`` (False only on timeout — the sweep
+    proceeds regardless, flagged, so a permanently-stormy day still
+    produces a diagnosable record instead of no record)."""
+    if os.environ.get("SPARK_GRAFT_NO_GATE"):
+        return {"waited_sec": 0.0, "samples": [], "calm": True, "skipped": True}
+    if timeout_sec is None:
+        timeout_sec = float(
+            os.environ.get("SPARK_GRAFT_GATE_TIMEOUT_SEC", _GATE_TIMEOUT_SEC)
+        )
+    steal = _steal or _steal_sec
+    waited = 0.0
+    rates: list[float] = []
+    while True:
+        s0, t0 = steal(), _clock()
+        _sleep(sample_sec)
+        dt = _clock() - t0
+        rate = (steal() - s0) / dt if dt > 0 else 0.0
+        waited += dt
+        rates.append(round(rate, 4))
+        if rate <= steal_rate:
+            return {
+                "waited_sec": round(waited, 1),
+                "samples": rates[-8:],
+                "calm": True,
+            }
+        print(
+            f"bench: host gate — steal rate {rate:.1%} over {dt:.1f}s window, "
+            f"deferring ({waited:.0f}s/{timeout_sec:.0f}s)",
+            file=sys.stderr,
+        )
+        if waited >= timeout_sec:
+            return {
+                "waited_sec": round(waited, 1),
+                "samples": rates[-8:],
+                "calm": False,
+            }
 
 
 def _measure(fn, spark, sf_dir) -> tuple[float, int, bool]:
@@ -199,6 +263,15 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Gate BEFORE session startup so JVM boot doesn't inflate the
+    # sampled windows with its own CPU burn.
+    gate = _host_gate()
+    if not gate["calm"]:
+        print(
+            "bench: host gate timed out still stormy — proceeding flagged",
+            file=sys.stderr,
+        )
+
     spark = get_spark("bench")
     # Warmup: force one full scan plus a small aggregate so the JVM,
     # whole-stage-codegen compiler, and shuffle machinery are all hot —
@@ -271,6 +344,7 @@ def main() -> int:
         "steal_sec": round(_steal_sec() - steal0, 1),
         "poisoned": poisoned,
         "slow_window_remeasured": remeasured,
+        "host_gate": gate,
     }
 
     # Durable full record, independent of the driver's capture window.

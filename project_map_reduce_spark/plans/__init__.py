@@ -41,84 +41,72 @@ from project_map_reduce_spark.plans import (  # noqa: F401
 )
 
 _DRIVER_WINDOW = [
-    # -- round-11 rotation (VERDICT r10 item 1): the 16 round-10
-    #    OVERFLOW queries seat first — they have NO driver artifact at
-    #    all yet (declared in plans/driver_log.py::_R10_NEW_DEFERRED;
-    #    jv10-parity- and pytest-green since round 10) and receive
-    #    their first authoritative DuckDB-oracle signal this round.
-    "q_file_provenance",
-    "q_stream_outer_join",
-    "q_udtf_table_arg",
-    "q_dynamic_overwrite",
-    "q_union_by_name",
-    "q_listagg",
-    "q_sql_ergonomics",
-    "q_try_arith",
-    "q_jdbc_roundtrip",
-    "q_rate_source",
-    "q_pyds_sink",
-    "q_agg_pushdown",
-    "q_pyds_stream_sink",
-    "q_cogroup_asof",
-    "q_sql_udf",
-    "q_transpose",
-    # -- then 34 slots from the round-8 cohort (the oldest remaining
-    #    signal; ceiling = staleness_ceiling(len(registry)) rounds —
-    #    renegotiated in r11, see plans/driver_log.py docstring).
-    #    R12 OBLIGATION: every r8-cohort query outside THIS window
-    #    must seat in r12 — that is the 16 never-windowed entries
-    #    PLUS all tail entries displaced by r11-new queries below
-    #    (35 total at round-11 close; see the displaced list in the
-    #    next comment block) — leaving at most 15 slots for r12-new
-    #    before the deferred-list mechanism kicks in.
-    #    Drift-prone plan machinery first:
-    #    real streaming jobs, merge/sink machinery, iterative model
-    #    fits, mergeable sketches. New round-11 queries displace
-    #    entries from the TAIL of this block as they land (new
-    #    queries are in-window from birth; the displaced r8 queries
-    #    rotate in next round at the ceiling).
-    "q_stream_dedup_watermark",
-    "q_stream_enrich",
-    "q_stream_sessions",
-    "q_join_interval_stream",
-    "q_scd2_merge",
-    "q_cdc_apply",
-    "q_mv_incremental",
-    "q_compact_small_files",
-    "q_schema_evolution",
-    "q_zorder_prune",
-    "q_cluster_prune",
-    "q_partition_prune",
-    "q_pagerank",
-    "q_quality_classifier_trained",
-    "q_typo_join",
-    # -- NEW this round (r11) — displaced the nineteen r8-tail entries
-    #    (q_embedding_quantize, q_hll_rollup, q_kll_rollup,
-    #    q_heavy_hitters, q_profile_approx, q_join_bloom, q_join_range,
-    #    q_dedup_substring_removal,
-    #    q_job_pipeline, q_timeseries_fill, q_time_rollup, q_scalar_subquery,
-    #    q_source_quota, q_profile_columns, q_pivot_status,
-    #    q_token_count, q_length_deciles, q_value_histogram,
-    #    q_zscore_outliers), which seat in r12:
-    "q_map_in_arrow",  # NEW (r11): Arrow-native mapInArrow batch lane
-    "q_apply_in_arrow",  # NEW (r11): Arrow-native grouped-map lane
-    "q_cogroup_in_arrow",  # NEW (r11): Arrow-native cogrouped lane
-    "q_lateral_join_df",  # NEW (r11): DataFrame.lateralJoin decorrelation
-    "q_subquery_df",  # NEW (r11): exists()/scalar() subquery expressions
-    "q_regr_stats",  # NEW (r11): ANSI linear-regression aggregates
-    "q_bitmap_distinct",  # NEW (r11): exact-distinct bitmap rollup
-    "q_agg_modern",  # NEW (r11): count_if/bool/median/percentile_disc/mode
-    "q_variant_explode",  # NEW (r11): VARIANT destructuring TVF
-    "q_join_null_safe",  # NEW (r11): <=> null-safe equi-join semantics
-    "q_topk_sketch_rollup",  # NEW (r11): mergeable top-k sketch-state rollup
-    "q_explode_outer",  # NEW (r11): outer generator null-preservation
-    "q_groupingsets_df",  # NEW (r11): DataFrame.groupingSets API
-    "q_hof_lambda",  # NEW (r11): lambda HOF battery vs list_* twins
-    "q_jl_projection",  # NEW (r11): deterministic JL random projection
-    "q_stream_to_table",  # NEW (r11): managed-table streaming sink
-    "q_setops_all",  # NEW (r11): INTERSECT ALL / EXCEPT ALL multisets
-    "q_limit_offset",  # NEW (r11): LIMIT/OFFSET pagination semantics
-    "q_array_functions",  # NEW (r11): array-algebra battery
+    # -- round-12 rotation (VERDICT r11 item 1): ALL 35 remaining
+    #    r8-cohort queries seat — they are the entire staleness
+    #    obligation under the renegotiated ceiling (ceiling(185)=3;
+    #    their r8 signal would breach 12-3=9 if left outside). Sketch
+    #    rollups and join/prune machinery first, scalar surface after.
+    "q_case_when",
+    "q_dedup_substring_removal",
+    "q_embedding_quantize",
+    "q_filter_predicate",
+    "q_grouped_count",
+    "q_heavy_hitters",
+    "q_hll_rollup",
+    "q_job_pipeline",
+    "q_join_bloom",
+    "q_join_range",
+    "q_json_extract",
+    "q_kll_rollup",
+    "q_length_deciles",
+    "q_minmax_by",
+    "q_pivot_status",
+    "q_profile_approx",
+    "q_profile_columns",
+    "q_scalar_subquery",
+    "q_scan_count",
+    "q_scan_project",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_sort_multi",
+    "q_source_quota",
+    "q_string_agg",
+    "q_time_rollup",
+    "q_timeseries_fill",
+    "q_token_count",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_value_histogram",
+    "q_zscore_outliers",
+    # -- then 15 slots of drift-prone round-9-cohort machinery (real
+    #    streaming jobs, iterative model fits, Arrow-crossing lanes,
+    #    IVF/ANN model queries) pre-paying the r13 obligation. NEW
+    #    round-12 queries displace entries from the TAIL of this
+    #    block as they land (new queries are in-window from birth;
+    #    displaced r9 queries rotate in next round, still inside the
+    #    ceiling: 9 >= 13-3-1+1... i.e. r9 signal hits the ceiling
+    #    exactly at r13, so r13's window must seat whatever r9
+    #    entries remain outside after this round).
+    "q_stream_state_sessions",
+    "q_stream_totals",
+    "q_stream_dedup",
+    "q_stream_mv_refresh",
+    "q_watermark_late",
+    "q_kmeans",
+    "q_tokenize_bpe",
+    "q_dedup_embedding_ivf",
+    "q_semdedup",
+    "q_similarity_ann",
+    "q_dedup_fuzzy",
+    "q_grouped_map",
+    "q_pandas_udf_scalar",
+    "q_audio_features",
+    # -- NEW this round (r12) — each displaces one r9-tail entry
+    #    (displaced so far: q_source_roundtrip), which rotates in r13:
+    "q_keyset_page",  # NEW (r12): keyset continuation twin of Q184
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

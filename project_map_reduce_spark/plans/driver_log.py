@@ -55,16 +55,13 @@ import json
 import re
 from pathlib import Path
 
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 # Queries whose last driver hash predates this round's window, by cohort
 # (cohort = the round whose CORRECTNESS artifact last full-matched them;
 # regenerate with ``derive_driver_rounds`` — the test does).
 _R8_COHORT = [
     "q_case_when",
-    "q_cdc_apply",
-    "q_cluster_prune",
-    "q_compact_small_files",
     "q_dedup_substring_removal",
     "q_embedding_quantize",
     "q_filter_predicate",
@@ -73,43 +70,31 @@ _R8_COHORT = [
     "q_hll_rollup",
     "q_job_pipeline",
     "q_join_bloom",
-    "q_join_interval_stream",
     "q_join_range",
     "q_json_extract",
     "q_kll_rollup",
     "q_length_deciles",
     "q_minmax_by",
-    "q_mv_incremental",
-    "q_pagerank",
-    "q_partition_prune",
     "q_pivot_status",
     "q_profile_approx",
     "q_profile_columns",
-    "q_quality_classifier_trained",
     "q_scalar_subquery",
     "q_scan_count",
     "q_scan_project",
-    "q_scd2_merge",
-    "q_schema_evolution",
     "q_set_except",
     "q_set_intersect",
     "q_set_union_all",
     "q_set_union_distinct",
     "q_sort_multi",
     "q_source_quota",
-    "q_stream_dedup_watermark",
-    "q_stream_enrich",
-    "q_stream_sessions",
     "q_string_agg",
     "q_time_rollup",
     "q_timeseries_fill",
     "q_token_count",
     "q_topk_global",
     "q_topk_per_group",
-    "q_typo_join",
     "q_unpivot",
     "q_value_histogram",
-    "q_zorder_prune",
     "q_zscore_outliers",
 ]
 
@@ -219,59 +204,89 @@ _R10_COHORT = [
     "q_window_rank",
 ]
 
-# Round-10 OVERFLOW, seated this round (VERDICT r10 item 1): born after
-# the r10 window filled, jv-parity- and pytest-verified in round 10, no
-# driver artifact yet. All 16 open the round-11 window below and
-# receive their FIRST driver signal when CORRECTNESS_r11.json lands.
-_R10_NEW_DEFERRED: list[str] = [
-    "q_file_provenance",
-    "q_stream_outer_join",
-    "q_udtf_table_arg",
-    "q_dynamic_overwrite",
-    "q_union_by_name",
-    "q_listagg",
-    "q_sql_ergonomics",
-    "q_try_arith",
-    "q_jdbc_roundtrip",
-    "q_rate_source",
-    "q_pyds_sink",
-    "q_agg_pushdown",
-    "q_pyds_stream_sink",
-    "q_cogroup_asof",
-    "q_sql_udf",
-    "q_transpose",
-]
-
-# Queries introduced in round 11 (in the window from birth; their first
-# driver signal will be CURRENT_ROUND — no artifact carries them yet).
-_R11_NEW: list[str] = [
-    "q_map_in_arrow",
-    "q_apply_in_arrow",
-    "q_cogroup_in_arrow",
-    "q_lateral_join_df",
-    "q_subquery_df",
-    "q_regr_stats",
-    "q_bitmap_distinct",
+# Round-11 cohort: the 50 queries CORRECTNESS_r11.json full-matched —
+# the 16 round-10 overflow queries (first-ever driver signal), the 19
+# round-11-new queries, and the 15 drift-prone r8-cohort entries that
+# opened the r11 window (VERDICT r11 headline: 50/50 pass).
+_R11_COHORT = [
     "q_agg_modern",
-    "q_variant_explode",
-    "q_join_null_safe",
-    "q_topk_sketch_rollup",
+    "q_agg_pushdown",
+    "q_apply_in_arrow",
+    "q_array_functions",
+    "q_bitmap_distinct",
+    "q_cdc_apply",
+    "q_cluster_prune",
+    "q_cogroup_asof",
+    "q_cogroup_in_arrow",
+    "q_compact_small_files",
+    "q_dynamic_overwrite",
     "q_explode_outer",
+    "q_file_provenance",
     "q_groupingsets_df",
     "q_hof_lambda",
+    "q_jdbc_roundtrip",
     "q_jl_projection",
-    "q_stream_to_table",
-    "q_setops_all",
+    "q_join_interval_stream",
+    "q_join_null_safe",
+    "q_lateral_join_df",
     "q_limit_offset",
-    "q_array_functions",
+    "q_listagg",
+    "q_map_in_arrow",
+    "q_mv_incremental",
+    "q_pagerank",
+    "q_partition_prune",
+    "q_pyds_sink",
+    "q_pyds_stream_sink",
+    "q_quality_classifier_trained",
+    "q_rate_source",
+    "q_regr_stats",
+    "q_scd2_merge",
+    "q_schema_evolution",
+    "q_setops_all",
+    "q_sql_ergonomics",
+    "q_sql_udf",
+    "q_stream_dedup_watermark",
+    "q_stream_enrich",
+    "q_stream_outer_join",
+    "q_stream_sessions",
+    "q_stream_to_table",
+    "q_subquery_df",
+    "q_topk_sketch_rollup",
+    "q_transpose",
+    "q_try_arith",
+    "q_typo_join",
+    "q_udtf_table_arg",
+    "q_union_by_name",
+    "q_variant_explode",
+    "q_zorder_prune",
 ]
+
+# Round 11 introduced no overflow (all 19 r11-new queries fit in the
+# window), so nothing is deferred INTO round 12's window beyond the
+# staleness obligation: ALL 35 remaining r8-cohort queries (the entire
+# _R8_COHORT above) must seat this round — they hit the ceiling
+# (staleness_ceiling(185) = 3; 12 - 3 = 9 > 8) otherwise. That leaves
+# 15 window slots, pre-filled with drift-prone r9-cohort machinery and
+# displaced from the tail as round-12-new queries land.
+_R11_NEW_DEFERRED: list[str] = []
+
+# Queries introduced in round 12 (in the window from birth; their first
+# driver signal will be CURRENT_ROUND — no artifact carries them yet).
+_R12_NEW: list[str] = [
+    "q_keyset_page",
+]
+
+# Round-12 OVERFLOW (born after the window filled; carry
+# CURRENT_ROUND + 1 and MUST open the round-13 window).
+_R12_NEW_DEFERRED: list[str] = []
 
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 8 for q in _R8_COHORT},
     **{q: 9 for q in _R9_COHORT},
     **{q: 10 for q in _R10_COHORT},
-    **{q: CURRENT_ROUND for q in _R10_NEW_DEFERRED},
-    **{q: CURRENT_ROUND for q in _R11_NEW},
+    **{q: 11 for q in _R11_COHORT},
+    **{q: CURRENT_ROUND for q in _R12_NEW},
+    **{q: CURRENT_ROUND + 1 for q in _R12_NEW_DEFERRED},
 }
 
 

@@ -126,3 +126,65 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+# Deterministic continuation token for Q186 — in production this is the
+# (sort-key, unique-key) pair of the LAST row of the previous page,
+# carried by the client; a fixed token makes the page hash-checkable.
+_KEYSET_BAL = 5000.0
+_KEYSET_KEY = 750
+_KEYSET_PAGE = 20
+
+
+@register(
+    "q_keyset_page",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal < {_KEYSET_BAL}
+       OR (c_acctbal = {_KEYSET_BAL} AND c_custkey > {_KEYSET_KEY})
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT {_KEYSET_PAGE}
+    """,
+)
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q186: keyset (seek-method) pagination — the 100 TB twin Q184's
+    docstring promises. OFFSET pagination costs O(depth·page) because
+    every partition must ship offset+limit rows; the keyset form turns
+    the continuation into a PREDICATE on the ordered key pair — the
+    next page after last-seen (bal, key) under ORDER BY bal DESC, key
+    ASC is ``bal < last_bal OR (bal = last_bal AND key > last_key)`` —
+    so page N costs exactly what page 1 costs at any depth. Reference
+    anchor: the same line-wise report pagination LocalApp.java:302-343
+    renders by re-scanning from an offset; the keyset form is what
+    that report does when the report is 100 TB.
+
+    Plan-asserted scan-bounded (raise-on-regress, the Q96 discipline):
+    the continuation predicate must reach the parquet scan as a pushed
+    filter (an Or of range/point filters — row groups whose acctbal
+    stats sit entirely above the token are never read), and the
+    sort+limit must fuse to TakeOrderedAndProject (per-partition
+    page-size-row heaps, driver merge) with NO Offset operator
+    anywhere — the two properties that make the cost O(page), not
+    O(depth·page)."""
+    c = load(spark, sf_dir, "customer")
+    page = (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .filter(
+            (F.col("c_acctbal") < _KEYSET_BAL)
+            | (
+                (F.col("c_acctbal") == _KEYSET_BAL)
+                & (F.col("c_custkey") > _KEYSET_KEY)
+            )
+        )
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(_KEYSET_PAGE)
+    )
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    if "PushedFilters: []" in plan or "c_acctbal" not in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]:
+        raise RuntimeError(f"keyset predicate not pushed to scan:\n{plan}")
+    if "TakeOrderedAndProject" not in plan or "Offset" in plan:
+        raise RuntimeError(f"keyset page lost the O(page) plan shape:\n{plan}")
+    return page

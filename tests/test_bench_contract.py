@@ -96,3 +96,55 @@ def test_grid_covers_registry_exactly():
     assert abs(g["total_min_sec"] - sum(g["queries"].values())) < 0.5, (
         g["total_min_sec"], round(sum(g["queries"].values()), 2)
     )
+
+
+def test_host_gate_defers_until_calm_then_releases():
+    """The pre-flight gate (VERDICT r11 item 4) must wait through a
+    storm window and release on the first calm sample; the artifact
+    record must carry the observed rates and total deferral."""
+    # stormy for 2 windows (30% steal rate), then calm
+    steals = iter([0.0, 1.5, 1.5, 3.0, 3.0, 3.05])
+    clock = {"t": 0.0}
+
+    def fake_sleep(sec):
+        clock["t"] += sec
+
+    gate = bench._host_gate(
+        sample_sec=5.0,
+        timeout_sec=60.0,
+        _sleep=fake_sleep,
+        _steal=lambda: next(steals),
+        _clock=lambda: clock["t"],
+    )
+    assert gate["calm"] is True
+    assert len(gate["samples"]) == 3
+    assert gate["samples"][0] > bench._GATE_STEAL_RATE
+    assert gate["samples"][-1] <= bench._GATE_STEAL_RATE
+
+
+def test_host_gate_times_out_flagged_not_forever():
+    """A permanently-stormy host must yield a flagged record, not an
+    infinite deferral: calm=False after the timeout budget."""
+    import itertools
+
+    clock = {"t": 0.0}
+
+    def fake_sleep(sec):
+        clock["t"] += sec
+
+    stormy = itertools.count(step=10.0)  # 10s steal per call -> 100% rate
+    gate = bench._host_gate(
+        sample_sec=5.0,
+        timeout_sec=12.0,
+        _sleep=fake_sleep,
+        _steal=lambda: next(stormy),
+        _clock=lambda: clock["t"],
+    )
+    assert gate["calm"] is False
+    assert gate["waited_sec"] >= 12.0
+
+
+def test_host_gate_env_skip(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_NO_GATE", "1")
+    gate = bench._host_gate(_sleep=lambda s: (_ for _ in ()).throw(AssertionError))
+    assert gate == {"waited_sec": 0.0, "samples": [], "calm": True, "skipped": True}

@@ -560,8 +560,8 @@ def test_driver_window_rotation_debt_bounded():
     from project_map_reduce_spark.plans.driver_log import (
         CURRENT_ROUND,
         DRIVER_ROUNDS,
-        _R10_NEW_DEFERRED,
-        _R11_NEW,
+        _R11_NEW_DEFERRED,
+        _R12_NEW,
         derive_driver_rounds,
         staleness_ceiling,
     )
@@ -581,14 +581,14 @@ def test_driver_window_rotation_debt_bounded():
         if q not in window and r < CURRENT_ROUND - ceiling
     }
     assert not stale, f"rotate these into the window (ceiling={ceiling}): {stale}"
-    missing_new = [q for q in _R11_NEW if q not in window]
+    missing_new = [q for q in _R12_NEW if q not in window]
     assert not missing_new, f"new queries must be in-window from birth: {missing_new}"
-    # Round-10 overflow queries SEAT this round (VERDICT r10 item 1):
-    # all 16 must be inside the round-11 window so the driver's first
-    # authoritative signal for them lands in CORRECTNESS_r11.json.
-    unseated_deferred = [q for q in _R10_NEW_DEFERRED if q not in window]
+    # Overflow queries deferred from the PREVIOUS round must seat in
+    # this round's window (round 11 deferred none, so the list is
+    # empty this round — the assert keeps the mechanism armed).
+    unseated_deferred = [q for q in _R11_NEW_DEFERRED if q not in window]
     assert not unseated_deferred, (
-        f"r10-deferred queries must open the r11 window: {unseated_deferred}"
+        f"r11-deferred queries must open the r12 window: {unseated_deferred}"
     )
 
     # Ledger == evidence: derive every query's last full-match round
@@ -599,13 +599,13 @@ def test_driver_window_rotation_debt_bounded():
         q: (r, derived.get(q))
         for q, r in DRIVER_ROUNDS.items()
         if derived.get(q) != r
-        and not (q in _R11_NEW + _R10_NEW_DEFERRED and q not in derived)
+        and not (q in _R12_NEW + _R11_NEW_DEFERRED and q not in derived)
     }
     assert not drift, f"ledger drifted from CORRECTNESS artifacts (ledger, derived): {drift}"
     # and the new/deferred lists are exactly the set with no artifact yet
     never_verified = reg - set(derived)
-    assert never_verified == set(_R11_NEW) | set(_R10_NEW_DEFERRED), (
+    assert never_verified == set(_R12_NEW) | set(_R11_NEW_DEFERRED), (
         sorted(never_verified),
-        sorted(_R11_NEW),
-        sorted(_R10_NEW_DEFERRED),
+        sorted(_R12_NEW),
+        sorted(_R11_NEW_DEFERRED),
     )
