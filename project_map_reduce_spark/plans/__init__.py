@@ -103,10 +103,11 @@ _DRIVER_WINDOW = [
     "q_dedup_fuzzy",
     "q_grouped_map",
     "q_pandas_udf_scalar",
-    "q_audio_features",
     # -- NEW this round (r12) — each displaces one r9-tail entry
-    #    (displaced so far: q_source_roundtrip), which rotates in r13:
+    #    (displaced so far: q_source_roundtrip, q_audio_features),
+    #    which rotate in r13:
     "q_keyset_page",  # NEW (r12): keyset continuation twin of Q184
+    "q_ann_pq",  # NEW (r12): IVF-PQ ADC search, the vector-ladder capstone
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

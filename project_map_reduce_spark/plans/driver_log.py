@@ -274,6 +274,7 @@ _R11_NEW_DEFERRED: list[str] = []
 # driver signal will be CURRENT_ROUND — no artifact carries them yet).
 _R12_NEW: list[str] = [
     "q_keyset_page",
+    "q_ann_pq",
 ]
 
 # Round-12 OVERFLOW (born after the window filled; carry

@@ -11,6 +11,7 @@ join becomes an equi-join on cell id that Catalyst hash-partitions.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -727,3 +728,423 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.proj").alias("proj"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q187 — IVF-PQ: product-quantized ADC search inside IVF cells
+
+_PQ_M = 4  # subspaces (64 dims -> 4 × 16)
+_PQ_SUB = 16  # dims per subspace
+_PQ_K = 8  # codewords per subspace codebook
+_PQ_ITERS = 2  # Lloyd rounds per subspace (the Q84 discipline)
+
+
+def _pq_oracle() -> str:
+    """DuckDB mirror of the full IVF-PQ pipeline: the Q54 coarse-cell
+    assignment + one kmeans_ctes-shaped training chain PER SUBSPACE
+    (suffix ``_p{m}``, sliced input ``v[lo:hi]``) + position-indexed
+    codebooks + encode/LUT/ADC. Expressible for the same reason
+    q_kmeans is: every stage is a fixed chain of identical dataflow
+    blocks with 6-dp model quantization at each round boundary."""
+    parts = [
+        f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vecs),
+    c AS (
+        SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm
+        FROM n WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+        SELECT n.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                            c.cell_id ASC
+               ) AS arn
+        FROM n CROSS JOIN c
+    ),
+    a AS (SELECT vec_id, cell_id FROM assign WHERE arn = 1)"""
+    ]
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        parts.append(
+            f""",
+    v_p{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs),
+    n_p{m} AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS nv FROM v_p{m}
+    ),
+    cent0_p{m} AS (
+        SELECT CAST(vec_id AS INT) AS cell, v AS c
+        FROM v_p{m} WHERE vec_id < {_PQ_K}
+    )"""
+        )
+        for i in range(1, _PQ_ITERS + 1):
+            parts.append(
+                f""",
+    s{i}_p{m} AS (
+        SELECT n.vec_id, n.v, c.cell,
+               round(n.nv - 2 * list_dot_product(n.v, c.c)
+                     + list_dot_product(c.c, c.c), 6) AS dist2
+        FROM n_p{m} n CROSS JOIN cent{i - 1}_p{m} c
+    ),
+    a{i}_p{m} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+            FROM s{i}_p{m}
+        ) WHERE rn = 1
+    ),
+    e{i}_p{m} AS (
+        SELECT cell, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+               unnest(v) AS x
+        FROM a{i}_p{m}
+    ),
+    m{i}_p{m} AS (
+        SELECT cell, dim, round(avg(x), 6) AS x FROM e{i}_p{m} GROUP BY cell, dim
+    ),
+    cent{i}_p{m} AS (
+        SELECT cell, list(x ORDER BY dim) AS c FROM m{i}_p{m} GROUP BY cell
+    )"""
+            )
+        parts.append(
+            f""",
+    cb_p{m} AS (
+        SELECT cell, c, list_dot_product(c, c) AS cc,
+               row_number() OVER (ORDER BY cell) - 1 AS pos
+        FROM cent{_PQ_ITERS}_p{m}
+    ),
+    encd_p{m} AS (
+        SELECT vec_id, pos AS code FROM (
+            SELECT n.vec_id, cb.pos, row_number() OVER (
+                PARTITION BY n.vec_id
+                ORDER BY round(n.nv - 2 * list_dot_product(n.v, cb.c)
+                               + cb.cc, 6) ASC,
+                         cb.pos ASC) AS rn
+            FROM n_p{m} n CROSS JOIN cb_p{m} cb
+        ) WHERE rn = 1
+    ),
+    lut_p{m} AS (
+        SELECT n.vec_id,
+               list(CAST(round(round(n.nv - 2 * list_dot_product(n.v, cb.c)
+                                     + cb.cc, 6) * 1000000) AS BIGINT)
+                    ORDER BY cb.pos) AS lut
+        FROM n_p{m} n CROSS JOIN cb_p{m} cb
+        WHERE n.vec_id % {_QUERY_MOD} = 0
+        GROUP BY n.vec_id
+    )"""
+        )
+    parts.append(
+        f""",
+    enc AS (
+        SELECT e0.vec_id, e0.code AS c0, e1.code AS c1,
+               e2.code AS c2, e3.code AS c3
+        FROM encd_p0 e0
+        JOIN encd_p1 e1 USING (vec_id)
+        JOIN encd_p2 e2 USING (vec_id)
+        JOIN encd_p3 e3 USING (vec_id)
+    ),
+    q AS (
+        SELECT a.vec_id AS query_id, a.cell_id,
+               l0.lut AS lut0, l1.lut AS lut1, l2.lut AS lut2, l3.lut AS lut3
+        FROM a
+        JOIN lut_p0 l0 ON a.vec_id = l0.vec_id
+        JOIN lut_p1 l1 ON a.vec_id = l1.vec_id
+        JOIN lut_p2 l2 ON a.vec_id = l2.vec_id
+        JOIN lut_p3 l3 ON a.vec_id = l3.vec_id
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               CAST(q.lut0[e.c0 + 1] + q.lut1[e.c1 + 1]
+                    + q.lut2[e.c2 + 1] + q.lut3[e.c3 + 1] AS BIGINT) AS adc_micro
+        FROM q
+        JOIN a ON q.cell_id = a.cell_id AND a.vec_id <> q.query_id
+        JOIN enc e ON e.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_micro ASC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_micro
+    FROM ranked WHERE rank <= {_ANN_K}"""
+    )
+    return "".join(parts)
+
+
+@register("q_ann_pq", oracle=_pq_oracle())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q187: IVF-PQ — the missing rung of the vector ladder (VERDICT
+    r11 item 6) composing Q54's IVF cells with product quantization
+    (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — the index form every 100 TB vector store
+    actually serves, FAISS ``IVFx,PQy``): the 64-dim space splits into
+    {m} subspaces × {s} dims, each with its own {k}-codeword codebook
+    trained by {i} Lloyd rounds (``operators/kmeans.py``, the Q84 fit
+    reused per subspace), every vector compresses to {m} byte-sized
+    codes, and each query scores candidates via ADC — a per-query
+    lookup table of query→codeword distances, so a candidate's
+    approximate distance is {m} table lookups + adds, never a 64-dim
+    float op. Raw-subvector PQ (FAISS ``by_residual=false``), not
+    residual PQ: the hash contract needs the codes to be a pure
+    function of the vector, independent of the IVF assignment stage.
+
+    100 TB shape: codebooks are O(model) driver state (4×8×16 doubles
+    ≈ 4 KB) trained in {i} passes and baked into the plan; encode is
+    ONE Arrow batch crossing per partition (the kmeans._assign
+    pattern — numpy left-to-right accumulation, bit-identical to the
+    SQL fold, with ROUNDING and argmin kept JVM-side); the stored
+    index is {m} small ints per vector (vs 256 bytes of floats — the
+    32× memory drop is why PQ exists); queries broadcast with their
+    O(k·m) integer LUTs and candidates stay cell-restricted, so scan
+    work per query drops n_cells× and scoring never touches a float
+    vector. Determinism: LUT entries are 6-dp-rounded distances in
+    integer MICRO-units (BIGINT), so the ADC sum is exact integer
+    arithmetic on both engines — no float-sum-order drift — and every
+    argmin tie breaks on codeword position. Recall vs the exact
+    within-cell ranking is pinned by
+    tests/test_round12_queries.py::test_ann_pq_recall.
+
+    Reference analog: none — the reference has no vector surface;
+    SURVEY §2 B.10 extension row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n = _vectors(spark, sf_dir)
+
+    # --- coarse IVF assignment (the Q54 block: first {c} vec_ids are
+    #     the cells, max-cosine assignment, broadcast — no shuffle)
+    cents = n.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim_to_cent = F.expr(_DOT.format(a="v", b="cv")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell_id")
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", sim_to_cent)
+        .withColumn("arn", F.row_number().over(wassign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+
+    # --- codebook training: ALL subspaces in the SAME Lloyd pass (the
+    #     FAISS PQ trainer shape — one scan of the data per round
+    #     trains every codebook, not one scan per subspace): explode
+    #     each vector into (m, sub-vector) rows once, then each round
+    #     is one assign-projection + one (m, cell, dim) mean aggregate
+    #     with a single O(M·k·d) driver round-trip. Math is identical
+    #     per subspace to operators/kmeans.lloyd (6-dp model
+    #     quantization per round, dist2 ties on cell id), so the
+    #     per-subspace kmeans_ctes chains in the oracle replay it.
+    slices = F.array(
+        *[F.slice("v", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
+    subrows = (
+        n.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+        .withColumn(
+            "nv",
+            F.aggregate(
+                F.zip_with("sv", "sv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .persist()
+    )
+    seed = n.filter(F.col("vec_id") < _PQ_K).select("vec_id", "v").collect()
+    cents: list[dict[int, list[float]]] = [
+        {
+            int(r["vec_id"]): [
+                float(x)
+                for x in r["v"][m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            ]
+            for r in seed
+        }
+        for m in range(_PQ_M)
+    ]
+
+    def _seq_norm(c: list[float]) -> float:
+        nc = 0.0
+        for x in c:  # sequential — bit-matches the SQL fold
+            nc += x * x
+        return nc
+
+    for _ in range(_PQ_ITERS):
+        cellmats = [
+            np.asarray(
+                [cents[m][c] for c in sorted(cents[m])], dtype=np.float64
+            )
+            for m in range(_PQ_M)
+        ]
+        cellnorms = [
+            [_seq_norm(cents[m][c]) for c in sorted(cents[m])]
+            for m in range(_PQ_M)
+        ]
+
+        @pandas_udf("array<double>")
+        def _train_d2(mcol: pd.Series, sv: pd.Series) -> pd.Series:
+            marr = mcol.to_numpy()
+            vmat = np.asarray(sv.tolist(), dtype=np.float64)
+            out = [None] * len(marr)
+            for m in range(_PQ_M):
+                idx = np.nonzero(marr == m)[0]
+                if idx.size == 0:
+                    continue
+                sub = vmat[idx]
+                mat = cellmats[m]
+                nv = np.zeros(sub.shape[0], dtype=np.float64)
+                dots = np.zeros((sub.shape[0], mat.shape[0]), dtype=np.float64)
+                # Strict left-to-right accumulation, one dimension at
+                # a time — the same IEEE add order as the SQL fold.
+                for j in range(_PQ_SUB):
+                    nv += sub[:, j] * sub[:, j]
+                    dots += sub[:, j, None] * mat[None, :, j]
+                d2 = (
+                    nv[:, None]
+                    - 2.0 * dots
+                    + np.asarray(cellnorms[m])[None, :]
+                )
+                for row, i in enumerate(idx):
+                    out[i] = d2[row]
+            return pd.Series(out)
+
+        cell_case = None
+        for m in range(_PQ_M):
+            choices = [
+                F.struct(
+                    F.round(F.col("__td2").getItem(j), 6).alias("d"),
+                    F.lit(int(c)).cast("int").alias("cell"),
+                )
+                for j, c in enumerate(sorted(cents[m]))
+            ]
+            arm = F.array_min(F.array(*choices)).getField("cell")
+            cell_case = (
+                F.when(F.col("m") == m, arm)
+                if cell_case is None
+                else cell_case.when(F.col("m") == m, arm)
+            )
+        upd = (
+            subrows.withColumn("__td2", _train_d2("m", "sv"))
+            .withColumn("cell", cell_case)
+            .select("m", "cell", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("m", "cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("x"))
+            .collect()
+        )
+        cents = [dict() for _ in range(_PQ_M)]
+        for r in sorted(upd, key=lambda r: (r["m"], r["cell"], r["dim"])):
+            cents[r["m"]].setdefault(int(r["cell"]), []).append(float(r["x"]))
+    subrows.unpersist()
+
+    # Codeword POSITION in the cell-sorted codebook (not the cell id)
+    # is the code on both engines, so an emptied cell shifts nothing.
+    mats = [
+        np.asarray([cents[m][c] for c in sorted(cents[m])], dtype=np.float64)
+        for m in range(_PQ_M)
+    ]
+    norms = [
+        [_seq_norm(cents[m][c]) for c in sorted(cents[m])]
+        for m in range(_PQ_M)
+    ]
+    offs = [0]
+    for m in range(_PQ_M):
+        offs.append(offs[-1] + mats[m].shape[0])
+
+    @pandas_udf("array<double>")
+    def _pq_d2(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vmat = np.asarray(v.tolist(), dtype=np.float64)
+        blocks = []
+        for m in range(_PQ_M):
+            sub = vmat[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            mat = mats[m]
+            nv = np.zeros(sub.shape[0], dtype=np.float64)
+            dots = np.zeros((sub.shape[0], mat.shape[0]), dtype=np.float64)
+            # Strict left-to-right accumulation, one dimension at a
+            # time — the identical IEEE add order as DuckDB's
+            # list_dot_product fold (the kmeans._assign discipline).
+            for j in range(_PQ_SUB):
+                nv += sub[:, j] * sub[:, j]
+                dots += sub[:, j, None] * mat[None, :, j]
+            blocks.append(
+                nv[:, None] - 2.0 * dots + np.asarray(norms[m])[None, :]
+            )
+        d2 = np.concatenate(blocks, axis=1)
+        return pd.Series(list(d2))
+
+    enc = assigned.withColumn("__d2", _pq_d2("v"))
+    for m in range(_PQ_M):
+        k_m = mats[m].shape[0]
+        choices = [
+            F.struct(
+                F.round(F.col("__d2").getItem(offs[m] + j), 6).alias("d"),
+                F.lit(j).cast("int").alias("p"),
+            )
+            for j in range(k_m)
+        ]
+        enc = enc.withColumn(
+            f"c{m}", F.array_min(F.array(*choices)).getField("p")
+        )
+    # The encoded table IS the index — persist it so the query branch
+    # (2% of rows, same encode) reads the cached codes instead of
+    # re-running the IVF window + Arrow crossing. At 100 TB this is
+    # the durable PQ index artifact a vector store writes once.
+    enc = enc.persist()
+    neighbors = enc.select("vec_id", "cell_id", "c0", "c1", "c2", "c3")
+
+    queries = enc.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    for m in range(_PQ_M):
+        k_m = mats[m].shape[0]
+        lut = F.array(
+            *[
+                F.round(
+                    F.round(F.col("__d2").getItem(offs[m] + j), 6) * 1e6
+                ).cast("bigint")
+                for j in range(k_m)
+            ]
+        )
+        queries = queries.withColumn(f"lut{m}", lut)
+    queries = queries.select(
+        F.col("vec_id").alias("query_id"),
+        "cell_id",
+        "lut0",
+        "lut1",
+        "lut2",
+        "lut3",
+    )
+
+    adc = (
+        F.element_at("lut0", F.col("c0") + F.lit(1))
+        + F.element_at("lut1", F.col("c1") + F.lit(1))
+        + F.element_at("lut2", F.col("c2") + F.lit(1))
+        + F.element_at("lut3", F.col("c3") + F.lit(1))
+    ).cast("bigint")
+    scored = (
+        neighbors.join(F.broadcast(queries), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+    )
+
+
+fmt_doc(q_ann_pq, m=_PQ_M, s=_PQ_SUB, k=_PQ_K, i=_PQ_ITERS, c=_N_CELLS)
