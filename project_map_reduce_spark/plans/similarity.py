@@ -589,7 +589,12 @@ def q_hof_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: float32 inputs are cast to double FIRST on both
     sides, folds run in list order on both engines, round-6 absorbs
-    last-ulp libm drift.
+    last-ulp libm drift. Residual boundary risk (ADVICE r11 item 3,
+    accepted under the repo's r6d convention): a fold sum landing
+    within ~1e-9 of a 0.5e-6 rounding boundary can flip the 6th
+    decimal between engines; none of the fixture sums does, and a
+    flaky parity failure here means widening to a tolerance compare,
+    not a code bug.
 
     Scale shape: narrow map over the vector column — the HOF cost is
     per-row CPU; at 100 TB the vectorized pandas_udf twin (Q49 class)

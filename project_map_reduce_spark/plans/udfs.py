@@ -409,11 +409,17 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["pur_id", "user_id", "pur_value", "last_err_id"]
             )
         p = purchases.sort_values(["ts", "event_id"], kind="mergesort")
-        # Rounding contract (ADVICE r10): pandas' .round is HALF_EVEN
-        # on the decimal repr while both engines' round() is half away
-        # from zero — quantize the exact binary expansion of each
-        # double with ROUND_HALF_UP, which is bit-identical to Spark's
-        # F.round and DuckDB's round(x, 6). It must happen HERE, not in
+        # Rounding contract (ADVICE r10, reworded ADVICE r11 item 1):
+        # pandas' .round is HALF_EVEN on the decimal repr while the
+        # engines round half away from zero — quantize the exact
+        # binary expansion of each double with ROUND_HALF_UP, which
+        # matches DuckDB's binary-based round(x, 6) (the oracle this
+        # query hashes against). It is NOT interchangeable with
+        # Spark's F.round, which routes doubles through
+        # BigDecimal.valueOf (shortest-decimal repr): a value whose
+        # shortest repr ends in '5' at the 7th decimal while its
+        # binary expansion sits just below the half rounds down here
+        # and up in F.round. It must happen HERE, not in
         # a Spark expression above the cogroup: Spark 4.1's column
         # pruning mis-prunes the cogroup INPUT frames when any output
         # column is wrapped in an expression (a plain reordering

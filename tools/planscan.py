@@ -32,8 +32,11 @@ buffers are likewise sort-based by Spark's aggregate selection; the
 sorted relation is the narrow (type, day, bucket, id) projection and
 the measured scale curve is flat (1.4 s at sf10, 2.6×/100×) — the
 hash-path alternative IS count(DISTINCT)'s Expand, which the query
-exists to avoid. Current expected total: 13 flagged, all documented
-(mirrors tests/test_plan_audit.py::_BNLJ_ALLOWED).
+exists to avoid. r12 adds a sixth BNLJ: q_ann_pq's coarse IVF
+assignment — the identical 16-row centroid broadcast crossJoin as
+q_similarity_ann (the PQ stages themselves are broadcast equi-joins).
+Current expected total: 14 flagged, all documented (mirrors
+tests/test_plan_audit.py::_BNLJ_ALLOWED).
 
 Usage:
     python tools/planscan.py [--sf-dir /root/testdata/sf0.01]
