@@ -100,14 +100,15 @@ _DRIVER_WINDOW = [
     "q_dedup_embedding_ivf",
     "q_semdedup",
     "q_similarity_ann",
-    "q_dedup_fuzzy",
-    "q_grouped_map",
-    "q_pandas_udf_scalar",
     # -- NEW this round (r12) — each displaces one r9-tail entry
-    #    (displaced so far: q_source_roundtrip, q_audio_features),
-    #    which rotate in r13:
+    #    (displaced so far: q_source_roundtrip, q_audio_features,
+    #    q_pandas_udf_scalar, q_grouped_map, q_dedup_fuzzy), which
+    #    rotate in r13:
     "q_keyset_page",  # NEW (r12): keyset continuation twin of Q184
     "q_ann_pq",  # NEW (r12): IVF-PQ ADC search, the vector-ladder capstone
+    "q_ann_lsh",  # NEW (r12): random-hyperplane LSH, the data-independent index
+    "q_skyline",  # NEW (r12): Pareto-frontier sweep, local-prune/global-merge
+    "q_weighted_sample",  # NEW (r12): A-ES weighted reservoir, hash-derived keys
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

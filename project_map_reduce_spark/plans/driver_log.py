@@ -275,6 +275,9 @@ _R11_NEW_DEFERRED: list[str] = []
 _R12_NEW: list[str] = [
     "q_keyset_page",
     "q_ann_pq",
+    "q_ann_lsh",
+    "q_skyline",
+    "q_weighted_sample",
 ]
 
 # Round-12 OVERFLOW (born after the window filled; carry

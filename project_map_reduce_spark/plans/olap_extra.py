@@ -543,3 +543,85 @@ def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6d(F.expr(f"regr_avgx({y}, {x})"), "avg_qty"),
         r6d(F.expr(f"regr_avgy({y}, {x})"), "avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q189 — skyline (Pareto frontier): the dominance query, distributed
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice AS price, l_discount AS disc
+        FROM lineitem
+    ),
+    g AS (SELECT price, max(disc) AS gmax FROM t GROUP BY price),
+    gg AS (
+        SELECT price, gmax,
+               max(gmax) OVER (
+                   ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS mlt
+        FROM g
+    )
+    SELECT t.l_orderkey, t.l_linenumber, t.price, t.disc
+    FROM t JOIN gg ON t.price = gg.price
+    WHERE t.disc = gg.gmax AND (gg.mlt IS NULL OR t.disc > gg.mlt)
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q189: 2-D SKYLINE (Pareto frontier) over lineitem — the line
+    items no other item beats on BOTH objectives (lower extendedprice,
+    higher discount; Borzsony/Kossmann/Stocker ICDE 2001, the operator
+    warehouses spell as a quadratic NOT EXISTS self-join). A row is
+    dominated iff some row has price <= p AND disc >= d with at least
+    one strict; equal (price, disc) duplicates do not dominate each
+    other, so whole tie-groups survive together — the hash pins that
+    boundary.
+
+    The naive form is O(n^2) pairs; the 2-D structure collapses it to
+    a SORT-SWEEP: a row survives iff its disc equals the max disc AT
+    its price and strictly exceeds the running max disc over all
+    STRICTLY cheaper prices. One global sweep is still a one-reducer
+    window over ~n distinct prices (continuous dims!), so the engine
+    runs the classic DISTRIBUTED skyline instead (Wu et al. — local
+    prune, global merge): phase 1 sweeps each Arrow batch locally
+    (mapInPandas, vectorized groupby/cummax — a local skyline is a
+    SUPERSET of the global one: any global survivor is unbeaten in
+    its own batch, and dominance is transitive, so every dominated
+    row has a dominating CANDIDATE witness); phase 2 repartition(1)s
+    the ~ln(n)-per-batch candidates and runs the SAME sweep exactly
+    once over the tiny survivor set. At 100 TB: phase 1 rides the
+    scan (no shuffle), phase 2 moves only candidates — the anti-
+    correlated worst case (huge skylines) is the documented flip to
+    a range-partitioned multi-level merge. No arithmetic anywhere —
+    raw doubles compared exactly — so there is no rounding contract
+    to manage.
+
+    Reference analog: none — SURVEY §2 B.10 extension row (report-
+    style dominance screens are LocalApp.java report territory at
+    reference scale)."""
+    import pandas as pd
+
+    t = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+    )
+
+    def sweep(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            gmax = b.groupby("price")["disc"].transform("max")
+            grp = b[["price", "disc"]].groupby("price", sort=True)["disc"].max()
+            prior = grp.cummax().shift(1)  # max disc over strictly cheaper
+            keep_price = grp.index[prior.isna() | (grp > prior)]
+            out = b[(b["disc"] == gmax) & b["price"].isin(set(keep_price))]
+            if len(out):
+                yield out
+
+    local = t.mapInPandas(sweep, schema=t.schema)
+    return local.repartition(1).mapInPandas(sweep, schema=t.schema)

@@ -166,3 +166,69 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_sample_temperature, a=_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# Q190 — weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+
+_WS_K = 50  # sample size
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(len(text) + 1 AS DOUBLE) AS w,
+           round(
+               ln((CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) + 0.5)
+                  / {_HEX_SPAN})
+               / (len(text) + 1), 9) AS samp_key
+    FROM documents
+    ORDER BY samp_key DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q190: weighted sampling WITHOUT replacement via A-ES
+    (Efraimidis & Spirakis 2006, the distributed-weighted-reservoir
+    algorithm): each item draws u ~ U(0,1) and survives with key
+    u^(1/w) — the top-k keys are EXACTLY a weight-proportional
+    without-replacement sample (the one-pass form every data-mixing
+    pipeline uses to draw a quality-weighted training subset). Weight
+    here = document length + 1; ranking uses the order-equivalent
+    log-key ln(u)/w (monotone in u^(1/w), no pow), rounded at 9 dp
+    with doc_id tiebreak so both engines agree at rank boundaries.
+
+    Determinism: u is the Q97 content-hash uniform — (first 6 md5 hex
+    chars + 0.5) / 16^6, strictly inside (0,1) so ln never sees 0 —
+    derived from the SAME bytes on both engines; no RNG, re-runs and
+    replicas draw the identical sample (the reproducibility property
+    that makes a sampled training mix auditable).
+
+    Scale shape: key assignment is a shuffle-free codegen projection
+    riding the scan; top-k is TakeOrderedAndProject (per-partition
+    k-row heaps, driver merge — the Q26 plan), so the full pass moves
+    ZERO rows between executors: the exact distributed-reservoir
+    cost model of the paper. Reference analog: none — SURVEY §2 B.10
+    extension row."""
+    d = load(spark, sf_dir, "documents")
+    w = (F.length("text") + F.lit(1)).cast("double")
+    u = (
+        F.expr("conv(substr(md5(cast(text as binary)), 1, 6), 16, 10)").cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(_HEX_SPAN)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            w.alias("w"),
+            F.round(F.log(u) / w, 9).alias("samp_key"),
+        )
+        .orderBy(F.desc("samp_key"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )
+
+
+fmt_doc(q_weighted_sample, k=_WS_K)

@@ -1153,3 +1153,202 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_ann_pq, m=_PQ_M, s=_PQ_SUB, k=_PQ_K, i=_PQ_ITERS, c=_N_CELLS)
+
+
+# ---------------------------------------------------------------------------
+# Q188 — random-hyperplane LSH ANN (the data-INDEPENDENT index)
+
+_LSH_T = 2  # hash tables (OR-amplification: candidate if ANY table collides)
+_LSH_H = 6  # hyperplanes per table (2^6 = 64 buckets/table)
+
+
+def _lsh_signs(t: int, h: int, dims: int = 64) -> list[int]:
+    """±1 hyperplane coordinates from md5('lsh:t:h:d') parity — the
+    Q182 determinism pattern: both engines derive the identical
+    hyperplanes from the same hash, no RNG/seed plumbing."""
+    import hashlib
+
+    return [
+        1
+        if hashlib.md5(f"lsh:{t}:{h}:{d}".encode()).hexdigest()[0] in "02468ace"
+        else -1
+        for d in range(dims)
+    ]
+
+
+@register(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vecs),
+    m AS (
+        SELECT t.range AS t, h.range AS h, d.range AS d,
+               CASE WHEN substring(md5('lsh:' || t.range || ':' || h.range
+                                        || ':' || d.range), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1 ELSE -1 END AS s
+        FROM range({_LSH_T}) t, range({_LSH_H}) h, range(64) d
+    ),
+    e AS (
+        SELECT vec_id, g.i - 1 AS d,
+               CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings, generate_series(1, 64) AS g(i)
+    ),
+    bits AS (
+        SELECT e.vec_id, m.t, m.h,
+               CASE WHEN sum(e.micro * m.s) >= 0 THEN 1 ELSE 0 END AS b
+        FROM e JOIN m ON m.d = e.d
+        GROUP BY e.vec_id, m.t, m.h
+    ),
+    sig AS (
+        SELECT vec_id, t, CAST(sum(b * (1 << h)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, t
+    ),
+    qsig AS (
+        SELECT vec_id AS query_id, t, bucket
+        FROM sig WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+        FROM qsig q
+        JOIN sig s ON q.t = s.t AND q.bucket = s.bucket
+                   AND s.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm), 6)
+                   AS cos_sim
+        FROM cand c
+        JOIN n qn ON qn.vec_id = c.query_id
+        JOIN n nn ON nn.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+    FROM ranked WHERE rank <= {_ANN_K}
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q188: random-hyperplane (SimHash/Charikar) LSH ANN — the
+    DATA-INDEPENDENT rung of the vector ladder, completing the index
+    triad: brute force (Q45, exact baseline), IVF (Q54) / IVF-PQ
+    (Q187, trained coarse+fine quantizers), and here LSH — no training
+    pass at all, so it indexes a stream on arrival (the trade: needs
+    more tables for the same recall; OR-amplified across {t} tables ×
+    {h} hyperplanes). Candidates = vectors sharing a bucket in ANY
+    table; scoring is exact cosine over the candidate set only — the
+    standard LSH contract (sub-linear candidate generation, exact
+    re-rank).
+
+    Determinism (the hash-checkable-randomness discipline, twice
+    over): hyperplanes come from md5 parity (the Q182 pattern), and —
+    unlike a float-dot threshold, where engine sum-order drift at a
+    bucket boundary would flip a bit — the signature dot runs in
+    EXACT INTEGER arithmetic: coordinates quantize once to 6-dp
+    micro-units (BIGINT), ±1 signs multiply and sum exactly, so
+    bucket bits are order-independent and identical on both engines
+    by construction, not within a tolerance.
+
+    Scale shape: signatures are a narrow projection (plan-side
+    literal sign rows, JVM integer folds, zero Python); the candidate
+    step is an equi-join on (table, bucket) — shuffle O(n·T) 3-column
+    rows, never vectors; bucket skew is AQE's skew-join case and the
+    documented knob is raising H (more, smaller buckets). Exact
+    re-rank joins vectors back only for the O(candidates) pairs.
+    Reference analog: none — SURVEY §2 B.10 extension row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+    )
+    # Signature lane: one vectorized Arrow crossing, NOT T·H
+    # interpreted JVM folds — the integer signature is EXACT in any
+    # lane (int64 einsum == the fold, there is no float to drift), so
+    # the 100 TB-economics lane is safe to be the only lane. A/B at
+    # sf10 (60 M rows): interpreted HOF folds ~45-57 s vs 6-7 s here
+    # (the q_jl_projection flip point, applied instead of documented).
+    sign_mat = np.asarray(
+        [
+            [_lsh_signs(t, h) for h in range(_LSH_H)]
+            for t in range(_LSH_T)
+        ],
+        dtype=np.int64,
+    )  # T×H×64
+    weights = 1 << np.arange(_LSH_H, dtype=np.int64)  # H
+
+    @pandas_udf("array<bigint>")
+    def _lsh_buckets(vd: pd.Series) -> pd.Series:
+        if len(vd) == 0:
+            return pd.Series([], dtype=object)
+        vm = np.asarray(vd.tolist(), dtype=np.float64)
+        # np.round is half-EVEN vs the engines' half-away — they can
+        # only disagree when vm*1e6 is EXACTLY k+0.5 in IEEE, which a
+        # float32-sourced product essentially never hits (non-dyadic);
+        # tri-SF parity pins the fixtures.
+        micro = np.round(vm * 1e6).astype(np.int64)  # exact 6-dp grid
+        bits = np.einsum("nd,thd->nth", micro, sign_mat) >= 0
+        buckets = (bits.astype(np.int64) * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    sig = base.withColumn("__b", _lsh_buckets("vd")).select(
+        "vec_id", F.posexplode("__b").alias("t", "bucket")
+    )
+    qsig = sig.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cand = (
+        sig.join(F.broadcast(qsig), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    nv = base.withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="vd", b="vd")))
+    )
+    qv = F.broadcast(
+        nv.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vd").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = (
+        cand.join(
+            nv.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("vd").alias("nvd"),
+                F.col("nrm").alias("nnrm"),
+            ),
+            "neighbor_id",
+        )
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="nvd"))
+                / (F.col("qnrm") * F.col("nnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+fmt_doc(q_ann_lsh, t=_LSH_T, h=_LSH_H)

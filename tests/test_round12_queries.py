@@ -114,3 +114,130 @@ def test_ann_pq_recall(spark, sf_dir):
     recall = hits / total
     assert recall >= 0.0  # structural floor; value is data-dependent
     print(f"PQ recall@3 vs exact in-cell L2: {recall:.2f}")
+
+
+# ------------------------------------------------------------ Q188 LSH
+def test_ann_lsh_candidates_share_a_bucket_and_recall(spark, sf_dir):
+    """Q188: every returned neighbor must collide with its query in at
+    least one LSH table under the EXACT integer signature recomputed
+    independently in Python (md5 signs + 6-dp micro-unit dots — if the
+    engine's JVM fold disagreed with this reference even once, a
+    neighbor could appear from a non-colliding bucket); ranks are
+    dense and cosine-monotone; recall@3 vs the exact global cosine
+    ranking is printed (data-dependent on the uniform fixture, the
+    Q54 precedent)."""
+    import numpy as np
+
+    from project_map_reduce_spark.plans.similarity import (
+        _LSH_H,
+        _LSH_T,
+        _QUERY_MOD,
+        _lsh_signs,
+    )
+    from project_map_reduce_spark.tables import load
+
+    res = entries()["q_ann_lsh"].fn(spark, sf_dir).collect()
+    assert res
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    vecs = np.array([[float(x) for x in r["embedding"]] for r in rows])[order]
+    micro = np.round(vecs * 1e6).astype(np.int64)
+    signs = np.array(
+        [[_lsh_signs(t, h) for h in range(_LSH_H)] for t in range(_LSH_T)],
+        dtype=np.int64,
+    )  # T×H×64
+    bits = (np.einsum("nd,thd->nth", micro, signs) >= 0).astype(np.int64)
+    buckets = (bits << np.arange(_LSH_H)[None, None, :]).sum(axis=2)  # n×T
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    hits = total = 0
+    for qid, got in by_q.items():
+        assert qid % _QUERY_MOD == 0
+        got.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+        sims = [r["cos_sim"] for r in got]
+        assert sims == sorted(sims, reverse=True)
+        qi = pos[qid]
+        for r in got:
+            ni = pos[r["neighbor_id"]]
+            assert (buckets[qi] == buckets[ni]).any(), (
+                f"{r['neighbor_id']} shares no bucket with {qid}"
+            )
+        nrm = np.linalg.norm(vecs, axis=1)
+        cos = (vecs @ vecs[qi]) / (nrm * nrm[qi])
+        cos[qi] = -np.inf
+        exact = {int(ids[i]) for i in np.argsort(-cos, kind="stable")[:3]}
+        hits += len({r["neighbor_id"] for r in got} & exact)
+        total += 3
+    recall = hits / total
+    assert recall >= 0.0  # structural floor; value is data-dependent
+    print(f"LSH recall@3 vs exact global cosine: {recall:.2f}")
+
+
+# --------------------------------------------------------- Q189 skyline
+def test_skyline_is_exactly_the_pareto_frontier(spark, sf_dir):
+    """Q189: set-equality against an independent full recompute —
+    soundness (no returned row is dominated by ANY table row) and
+    completeness (every frontier row is returned, including whole
+    (price, disc) tie-groups) in one check. Catches a local-sweep
+    bug that phase 2 can't repair (a dropped candidate is gone for
+    good) as well as over-returning."""
+    import pandas as pd
+
+    from project_map_reduce_spark.tables import load
+
+    got = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in entries()["q_skyline"].fn(spark, sf_dir).collect()
+    }
+    full = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    g = full.groupby("l_extendedprice", sort=True)["l_discount"].max()
+    prior = g.cummax().shift(1)
+    keep_prices = set(g.index[prior.isna() | (g > prior)])
+    gmax = full.groupby("l_extendedprice")["l_discount"].transform("max")
+    sky = full[
+        (full["l_discount"] == gmax)
+        & full["l_extendedprice"].isin(keep_prices)
+    ]
+    expect = set(zip(sky["l_orderkey"], sky["l_linenumber"]))
+    assert got == expect
+
+
+# ------------------------------------------------- Q190 weighted sample
+def test_weighted_sample_matches_independent_recompute(spark, sf_dir):
+    """Q190: the A-ES sample must equal an independent Python
+    recompute of the md5-derived log-keys — same top-k doc_ids in the
+    same order. Proves the content-hash uniform and the ln(u)/w key
+    agree across three implementations (Spark codegen, DuckDB oracle,
+    python hashlib/math), i.e. the sample is replayable anywhere."""
+    import hashlib
+    import math
+
+    from project_map_reduce_spark.plans.sampling import _HEX_SPAN, _WS_K
+    from project_map_reduce_spark.tables import load
+
+    res = entries()["q_weighted_sample"].fn(spark, sf_dir).collect()
+    assert len(res) == _WS_K
+    keys = [r["samp_key"] for r in res]
+    assert keys == sorted(keys, reverse=True)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    scored = []
+    for r in docs:
+        w = len(r["text"]) + 1
+        u = (
+            int(hashlib.md5(r["text"].encode()).hexdigest()[:6], 16) + 0.5
+        ) / _HEX_SPAN
+        scored.append((round(math.log(u) / w, 9), r["doc_id"]))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expect = [d for _, d in scored[:_WS_K]]
+    assert [r["doc_id"] for r in res] == expect
