@@ -98,17 +98,17 @@ _DRIVER_WINDOW = [
     "q_kmeans",
     "q_tokenize_bpe",
     "q_dedup_embedding_ivf",
-    "q_semdedup",
-    "q_similarity_ann",
     # -- NEW this round (r12) — each displaces one r9-tail entry
     #    (displaced so far: q_source_roundtrip, q_audio_features,
-    #    q_pandas_udf_scalar, q_grouped_map, q_dedup_fuzzy), which
-    #    rotate in r13:
+    #    q_pandas_udf_scalar, q_grouped_map, q_dedup_fuzzy, q_semdedup,
+    #    q_similarity_ann), which rotate in r13:
     "q_keyset_page",  # NEW (r12): keyset continuation twin of Q184
     "q_ann_pq",  # NEW (r12): IVF-PQ ADC search, the vector-ladder capstone
     "q_ann_lsh",  # NEW (r12): random-hyperplane LSH, the data-independent index
     "q_skyline",  # NEW (r12): Pareto-frontier sweep, local-prune/global-merge
     "q_weighted_sample",  # NEW (r12): A-ES weighted reservoir, hash-derived keys
+    "q_bm25",  # NEW (r12): BM25 ranked retrieval, zero-shuffle scoring pass
+    "q_pmi_bigrams",  # NEW (r12): PMI collocation mining
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

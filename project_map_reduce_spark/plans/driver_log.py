@@ -278,6 +278,8 @@ _R12_NEW: list[str] = [
     "q_ann_lsh",
     "q_skyline",
     "q_weighted_sample",
+    "q_bm25",
+    "q_pmi_bigrams",
 ]
 
 # Round-12 OVERFLOW (born after the window filled; carry

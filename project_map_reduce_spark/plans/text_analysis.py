@@ -781,3 +781,243 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_tokenize_bpe, m=_BPE_M, k=_BPE_K)
+
+
+# ---------------------------------------------------------------------------
+# Q191 — BM25 retrieval scoring (Robertson-Sparck Jones / Lucene form)
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_TOP = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
+        f" * (t.tf{i} / (t.tf{i} + {_BM25_K1}"
+        f" * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    t AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+               {tf_cols}
+        FROM base
+    ),
+    s AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               count(*) AS n,
+               {df_cols}
+        FROM t
+    )
+    SELECT t.doc_id, round({score}, 6) AS bm25
+    FROM t, s
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT {_BM25_TOP}
+    """
+
+
+@register("q_bm25", oracle=_bm25_oracle())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q191: BM25 ranked retrieval (Robertson & Sparck Jones
+    probabilistic weighting in the Lucene/+1-idf form, k1={k1},
+    b={b}) for the fixed query {q} — the scorer every retrieval
+    stack (and every RAG pipeline selecting training/context
+    documents) actually runs, completing the text-relevance ladder
+    above Q47's raw TF-IDF: idf_t = ln((N-df+0.5)/(df+0.5)+1),
+    score = Σ idf_t · tf/(tf + k1·(1-b+b·dl/avgdl)).
+
+    Plan shape — the corpus is NEVER shuffled: per-term tf and doc
+    length are narrow filter-size expressions riding the scan; the
+    corpus statistics (N, avgdl, per-term df) are ONE tiny aggregate
+    collected to the driver (O(|query|) values — the Q103
+    aggregate-then-literal pattern, which also keeps the 1-row
+    totals out of a BNLJ crossJoin, the q_text_tfidf adjudication
+    this query deliberately avoids); idf folds into plan literals
+    and scoring + top-{top} is a projection into
+    TakeOrderedAndProject per-partition heaps. At 100 TB that is
+    one pass, zero corpus shuffle, O(pages) driver merge.
+
+    Determinism: tf/dl/df are integers; avgdl is an exact-integer
+    sum divided once (order-independent); the only cross-engine
+    drift surface is ln()'s last ulp (engine bakes python
+    math.log literals, oracle runs DuckDB ln), absorbed by the
+    6-dp score round with doc_id tiebreak — the r6d convention.
+
+    Reference analog: none — SURVEY §2 B.10 extension row."""
+    import math
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+
+    def _tf(term: str):
+        # closure, NOT a default arg: a two-parameter lambda would be
+        # called as (element, index) by F.filter
+        return F.size(F.filter("toks", lambda x: x == term))
+
+    tfs = d.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            _tf(t).cast("double").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tfs.agg(
+        F.sum("dl").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).collect()[0]
+    n, avgdl = int(stats["n"]), float(stats["tot"]) / int(stats["n"])
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = math.log((n - int(stats[f"df{i}"]) + 0.5)
+                       / (int(stats[f"df{i}"]) + 0.5) + 1)
+        tf = F.col(f"tf{i}")
+        term = F.lit(idf) * (
+            tf
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1)
+                    - F.lit(_BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        tfs.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+
+
+fmt_doc(
+    q_bm25, k1=_BM25_K1, b=_BM25_B, q=list(_BM25_TERMS), top=_BM25_TOP
+)
+
+
+# ---------------------------------------------------------------------------
+# Q192 — bigram PMI collocations
+
+_PMI_MIN = 5  # minimum bigram count for a stable estimate
+_PMI_TOP = 20
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    uni AS (
+        SELECT unnest(toks) AS tok FROM base
+    ),
+    cx AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    big AS (
+        -- constant series bound (DuckDB rejects lateral column args
+        -- in table functions); 512 >= any fixture doc's token count,
+        -- asserted by the max-dl guard in the round-12 tests
+        SELECT toks[g.i] AS x, toks[g.i + 1] AS y
+        FROM base, generate_series(1, 512) AS g(i)
+        WHERE g.i <= len(toks) - 1
+    ),
+    cxy AS (
+        SELECT x, y, count(*) AS n_xy FROM big GROUP BY x, y
+        HAVING count(*) >= {_PMI_MIN}
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM uni) AS n_tok,
+               (SELECT count(*) FROM big) AS n_big
+    )
+    SELECT c.x, c.y, c.n_xy,
+           round(ln((CAST(c.n_xy AS DOUBLE) * t.n_tok * t.n_tok)
+                    / (CAST(t.n_big AS DOUBLE) * a.c * b.c)), 6) AS pmi
+    FROM cxy c
+    JOIN cx a ON a.tok = c.x
+    JOIN cx b ON b.tok = c.y
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, c.x, c.y
+    LIMIT {_PMI_TOP}
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q192: pointwise-mutual-information collocation mining (Church
+    & Hanks 1990) — the top-{top} token bigrams whose co-occurrence
+    beats the independence prediction, PMI = ln(p(xy)/(p(x)p(y))) =
+    ln(c_xy·N²/(M·c_x·c_y)), floored at {m} occurrences (the
+    standard stability cut). The phrase detector every tokenizer/
+    vocabulary pipeline runs before merging multiword units (and the
+    statistic behind word2vec's phrase pass).
+
+    Plan shape: ONE explode pass feeds both the bigram aggregate
+    (shuffle O(distinct bigrams) — the HAVING floor prunes the long
+    tail map-side partials first) and the unigram aggregate (shuffle
+    O(vocab)); the two scalar totals collect via one tiny aggregate
+    each (aggregate-then-literal, keeping the 1-row totals out of a
+    BNLJ crossJoin — the Q191/Q103 discipline); unigram counts join
+    back BROADCAST (a vocabulary fits any executor); final top-{top}
+    is TakeOrderedAndProject. Determinism: every count is exact
+    integer; the PMI argument is a fixed double expression over
+    integers (same op order both engines — doubles FIRST so no
+    bigint overflow at scale), ln's last ulp absorbed at 6 dp with
+    the full (x, y) tiebreak.
+
+    Reference analog: none — SURVEY §2 B.10 extension row."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    uni = d.select(F.explode("toks").alias("tok"))
+    cx = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    big = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+            )
+        ).alias("b")
+    ).select("b.x", "b.y")
+    cxy = (
+        big.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= _PMI_MIN)
+    )
+    n_tok = uni.count()
+    n_big = big.count()
+    ax = cx.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    by = cx.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_xy").cast("double") * F.lit(n_tok) * F.lit(n_tok))
+            / (F.lit(float(n_big)) * F.col("c_x") * F.col("c_y"))
+        ),
+        6,
+    )
+    return (
+        cxy.join(F.broadcast(ax), "x")
+        .join(F.broadcast(by), "y")
+        .select("x", "y", "n_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(_PMI_TOP)
+    )
+
+
+fmt_doc(q_pmi_bigrams, top=_PMI_TOP, m=_PMI_MIN)

@@ -241,3 +241,92 @@ def test_weighted_sample_matches_independent_recompute(spark, sf_dir):
     scored.sort(key=lambda t: (-t[0], t[1]))
     expect = [d for _, d in scored[:_WS_K]]
     assert [r["doc_id"] for r in res] == expect
+
+
+# -------------------------------------------------------------- Q191 BM25
+def test_bm25_plan_never_shuffles_the_corpus_and_agrees_with_reference(
+    spark, sf_dir
+):
+    """Q191: the scoring pass must plan as TakeOrderedAndProject with
+    no Exchange between the documents scan and the heap (the
+    zero-corpus-shuffle contract); scores must match an independent
+    python BM25 over the same stats."""
+    import math
+
+    from project_map_reduce_spark.plans.text_analysis import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOP,
+    )
+    from project_map_reduce_spark.tables import load
+
+    df = entries()["q_bm25"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # stats collected pre-plan; scan -> heap
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in _BM25_TERMS
+    }
+    scored = []
+    for d, tk in toks.items():
+        s = 0.0
+        for t in _BM25_TERMS:
+            tf = tk.count(t)
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)
+            s += idf * (
+                tf / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(tk) / avgdl))
+            )
+        scored.append((round(s, 6), d))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    expect = [(d, s) for s, d in scored[:_BM25_TOP]]
+    got = [(r["doc_id"], r["bm25"]) for r in df.collect()]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-9, (gd, gs, es)
+
+
+# ---------------------------------------------------------- Q192 PMI
+def test_pmi_bigrams_reference_recompute_and_series_bound(spark, sf_dir):
+    """Q192: top-20 PMI list must equal an independent python
+    recompute (counts + formula + tiebreaks); and the oracle's
+    constant generate_series bound (512) must dominate the longest
+    fixture document — the guard the SQL comment promises."""
+    import math
+    from collections import Counter
+
+    from project_map_reduce_spark.plans.text_analysis import _PMI_MIN, _PMI_TOP
+    from project_map_reduce_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    all_toks = [r["text"].split(" ") for r in docs]
+    assert max(len(t) for t in all_toks) <= 512
+    cx: Counter = Counter()
+    cxy: Counter = Counter()
+    for tk in all_toks:
+        cx.update(tk)
+        cxy.update(zip(tk, tk[1:]))
+    n_tok = sum(cx.values())
+    n_big = sum(cxy.values())
+    scored = [
+        (
+            round(math.log((c * n_tok * n_tok) / (float(n_big) * cx[x] * cx[y])), 6),
+            x,
+            y,
+            c,
+        )
+        for (x, y), c in cxy.items()
+        if c >= _PMI_MIN
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [(x, y, c) for _, x, y, c in scored[:_PMI_TOP]]
+    got = [
+        (r["x"], r["y"], r["n_xy"])
+        for r in entries()["q_pmi_bigrams"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
