@@ -548,6 +548,26 @@ def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q189 — skyline (Pareto frontier): the dominance query, distributed
 
+def pareto_sweep(batches):
+    """One sort-sweep pass of the 2-D skyline rule over pandas batches
+    (columns ``price`` minimized, ``disc`` maximized, others carried):
+    keep a row iff its disc equals the max AT its price and strictly
+    exceeds the running max over all cheaper prices. Used as BOTH
+    phases of q_skyline (local prune per batch, then the exact pass
+    over gathered candidates) and property-tested against the brute
+    dominance definition in tests/test_properties.py."""
+    for b in batches:
+        if len(b) == 0:
+            continue
+        gmax = b.groupby("price")["disc"].transform("max")
+        grp = b[["price", "disc"]].groupby("price", sort=True)["disc"].max()
+        prior = grp.cummax().shift(1)  # max disc over strictly cheaper
+        keep_price = grp.index[prior.isna() | (grp > prior)]
+        out = b[(b["disc"] == gmax) & b["price"].isin(set(keep_price))]
+        if len(out):
+            yield out
+
+
 @register(
     "q_skyline",
     oracle="""
@@ -602,26 +622,11 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none — SURVEY §2 B.10 extension row (report-
     style dominance screens are LocalApp.java report territory at
     reference scale)."""
-    import pandas as pd
-
     t = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_extendedprice").alias("price"),
         F.col("l_discount").alias("disc"),
     )
-
-    def sweep(batches):
-        for b in batches:
-            if len(b) == 0:
-                continue
-            gmax = b.groupby("price")["disc"].transform("max")
-            grp = b[["price", "disc"]].groupby("price", sort=True)["disc"].max()
-            prior = grp.cummax().shift(1)  # max disc over strictly cheaper
-            keep_price = grp.index[prior.isna() | (grp > prior)]
-            out = b[(b["disc"] == gmax) & b["price"].isin(set(keep_price))]
-            if len(out):
-                yield out
-
-    local = t.mapInPandas(sweep, schema=t.schema)
-    return local.repartition(1).mapInPandas(sweep, schema=t.schema)
+    local = t.mapInPandas(pareto_sweep, schema=t.schema)
+    return local.repartition(1).mapInPandas(pareto_sweep, schema=t.schema)

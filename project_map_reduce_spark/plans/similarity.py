@@ -1176,6 +1176,43 @@ def _lsh_signs(t: int, h: int, dims: int = 64) -> list[int]:
     ]
 
 
+def lsh_bucket_udf():
+    """The signature lane: one vectorized Arrow crossing, NOT T·H
+    interpreted JVM folds — the integer signature is EXACT in any
+    lane (int64 einsum == the fold, there is no float to drift), so
+    the 100 TB-economics lane is safe to be the only lane. A/B at
+    sf10 (60 M rows): interpreted HOF folds ~45-57 s vs 6-7 s here
+    (the q_jl_projection flip point, applied instead of documented).
+    Returns a fresh pandas_udf mapping a double-array column to the
+    array of per-table bucket ids; module-scope so the property test
+    can drive it over arbitrary vectors
+    (tests/test_properties.py::test_lsh_buckets_match_integer_spec)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sign_mat = np.asarray(
+        [[_lsh_signs(t, h) for h in range(_LSH_H)] for t in range(_LSH_T)],
+        dtype=np.int64,
+    )  # T×H×64
+    weights = 1 << np.arange(_LSH_H, dtype=np.int64)  # H
+
+    @pandas_udf("array<bigint>")
+    def _lsh_buckets(vd: pd.Series) -> pd.Series:
+        if len(vd) == 0:
+            return pd.Series([], dtype=object)
+        vm = np.asarray(vd.tolist(), dtype=np.float64)
+        # np.round is half-EVEN vs the engines' half-away — they can
+        # only disagree when vm*1e6 is EXACTLY k+0.5 in IEEE, which a
+        # float32-sourced product essentially never hits (non-dyadic);
+        # tri-SF parity pins the fixtures.
+        micro = np.round(vm * 1e6).astype(np.int64)  # exact 6-dp grid
+        bits = np.einsum("nd,thd->nth", micro, sign_mat) >= 0
+        buckets = (bits.astype(np.int64) * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return _lsh_buckets
+
+
 @register(
     "q_ann_lsh",
     oracle=f"""
@@ -1263,43 +1300,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented knob is raising H (more, smaller buckets). Exact
     re-rank joins vectors back only for the O(candidates) pairs.
     Reference analog: none — SURVEY §2 B.10 extension row."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
     )
-    # Signature lane: one vectorized Arrow crossing, NOT T·H
-    # interpreted JVM folds — the integer signature is EXACT in any
-    # lane (int64 einsum == the fold, there is no float to drift), so
-    # the 100 TB-economics lane is safe to be the only lane. A/B at
-    # sf10 (60 M rows): interpreted HOF folds ~45-57 s vs 6-7 s here
-    # (the q_jl_projection flip point, applied instead of documented).
-    sign_mat = np.asarray(
-        [
-            [_lsh_signs(t, h) for h in range(_LSH_H)]
-            for t in range(_LSH_T)
-        ],
-        dtype=np.int64,
-    )  # T×H×64
-    weights = 1 << np.arange(_LSH_H, dtype=np.int64)  # H
-
-    @pandas_udf("array<bigint>")
-    def _lsh_buckets(vd: pd.Series) -> pd.Series:
-        if len(vd) == 0:
-            return pd.Series([], dtype=object)
-        vm = np.asarray(vd.tolist(), dtype=np.float64)
-        # np.round is half-EVEN vs the engines' half-away — they can
-        # only disagree when vm*1e6 is EXACTLY k+0.5 in IEEE, which a
-        # float32-sourced product essentially never hits (non-dyadic);
-        # tri-SF parity pins the fixtures.
-        micro = np.round(vm * 1e6).astype(np.int64)  # exact 6-dp grid
-        bits = np.einsum("nd,thd->nth", micro, sign_mat) >= 0
-        buckets = (bits.astype(np.int64) * weights[None, None, :]).sum(axis=2)
-        return pd.Series(list(buckets))
-
-    sig = base.withColumn("__b", _lsh_buckets("vd")).select(
+    sig = base.withColumn("__b", lsh_bucket_udf()("vd")).select(
         "vec_id", F.posexplode("__b").alias("t", "bucket")
     )
     qsig = sig.filter(F.col("vec_id") % _QUERY_MOD == 0).select(

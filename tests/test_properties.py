@@ -625,3 +625,96 @@ def test_bitmap_distinct_equals_exact_on_any_ids(spark, ids):
         .collect()
     )
     assert got["n"] == len(set(ids))
+
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # price grid (ties likely)
+        st.integers(min_value=0, max_value=9),   # disc grid
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(points=_points, cut=st.integers(min_value=1, max_value=29))
+@settings(**_SETTINGS)
+def test_pareto_sweep_two_phase_equals_brute_dominance(points, cut):
+    """Skyline law (Q189): local-sweep-per-chunk then one global sweep
+    must equal the brute O(n^2) dominance definition for ANY point set
+    and ANY chunking — including duplicate points (tie-groups survive
+    whole) and single-phase degenerate chunks. This is the property
+    that makes phase-1 pruning SAFE: a dominated row always has a
+    dominating candidate witness."""
+    import pandas as pd
+
+    from project_map_reduce_spark.plans.olap_extra import pareto_sweep
+
+    df = pd.DataFrame(
+        {
+            "rid": range(len(points)),
+            "price": [float(p) for p, _ in points],
+            "disc": [float(d) for _, d in points],
+        }
+    )
+    chunks = [df.iloc[: min(cut, len(df))], df.iloc[min(cut, len(df)):]]
+    local = pd.concat(list(pareto_sweep(iter(chunks))), ignore_index=True)
+    final = pd.concat(list(pareto_sweep(iter([local]))), ignore_index=True)
+    got = set(final["rid"])
+
+    brute = set()
+    for i, (p, d) in enumerate(points):
+        dominated = any(
+            (p2 <= p and d2 >= d and (p2 < p or d2 > d))
+            for j, (p2, d2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            brute.add(i)
+    assert got == brute
+
+
+_vec64 = st.lists(
+    st.floats(
+        min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=64,
+    max_size=64,
+)
+
+
+@given(vecs=st.lists(_vec64, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_lsh_buckets_match_integer_spec(spark, vecs):
+    """LSH law (Q188): the Arrow einsum lane must equal the integer
+    signature SPEC — md5-derived ±1 signs dotted with 6-dp micro-unit
+    quantized coordinates, bit b set iff the exact integer sum is
+    >= 0 — for arbitrary vectors, including near-boundary values the
+    fixture never produces. Exactness is the point: there is no
+    tolerance in this comparison."""
+    from project_map_reduce_spark.plans.similarity import (
+        _LSH_H,
+        _LSH_T,
+        _lsh_signs,
+        lsh_bucket_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, vd array<double>"
+    )
+    got = {
+        r["vec_id"]: list(r["b"])
+        for r in df.select("vec_id", lsh_bucket_udf()("vd").alias("b")).collect()
+    }
+    for i, v in enumerate(vecs):
+        # spec: python ints, exact
+        micro = [round(x * 1e6) for x in v]
+        expect = []
+        for t in range(_LSH_T):
+            bucket = 0
+            for h in range(_LSH_H):
+                s = _lsh_signs(t, h)
+                if sum(m * sj for m, sj in zip(micro, s)) >= 0:
+                    bucket |= 1 << h
+            expect.append(bucket)
+        assert got[i] == expect, (i, got[i], expect)
