@@ -96,12 +96,11 @@ _DRIVER_WINDOW = [
     "q_stream_mv_refresh",
     "q_watermark_late",
     "q_kmeans",
-    "q_tokenize_bpe",
-    "q_dedup_embedding_ivf",
     # -- NEW this round (r12) — each displaces one r9-tail entry
     #    (displaced so far: q_source_roundtrip, q_audio_features,
     #    q_pandas_udf_scalar, q_grouped_map, q_dedup_fuzzy, q_semdedup,
-    #    q_similarity_ann), which rotate in r13:
+    #    q_similarity_ann, q_dedup_embedding_ivf, q_tokenize_bpe),
+    #    which rotate in r13 (the whole r9 cohort seats then anyway):
     "q_keyset_page",  # NEW (r12): keyset continuation twin of Q184
     "q_ann_pq",  # NEW (r12): IVF-PQ ADC search, the vector-ladder capstone
     "q_ann_lsh",  # NEW (r12): random-hyperplane LSH, the data-independent index
@@ -109,6 +108,8 @@ _DRIVER_WINDOW = [
     "q_weighted_sample",  # NEW (r12): A-ES weighted reservoir, hash-derived keys
     "q_bm25",  # NEW (r12): BM25 ranked retrieval, zero-shuffle scoring pass
     "q_pmi_bigrams",  # NEW (r12): PMI collocation mining
+    "q_markov_transitions",  # NEW (r12): clickstream transition matrix
+    "q_anomaly_mad",  # NEW (r12): robust median/MAD outlier screen
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

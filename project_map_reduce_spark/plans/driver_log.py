@@ -280,6 +280,8 @@ _R12_NEW: list[str] = [
     "q_weighted_sample",
     "q_bm25",
     "q_pmi_bigrams",
+    "q_markov_transitions",
+    "q_anomaly_mad",
 ]
 
 # Round-12 OVERFLOW (born after the window filled; carry

@@ -15,11 +15,11 @@ stream, no self-join wider than one row per user per stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import SUM6, sum6
-from project_map_reduce_spark.registry import register
+from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.tables import load
 
 
@@ -346,3 +346,155 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_hours_to_convert"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q193 — first-order Markov transition matrix over event streams
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, count(*) AS n_trans
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outs AS (SELECT cur, sum(n_trans) AS n_out FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n_trans,
+           round(CAST(p.n_trans AS DOUBLE) / o.n_out, 6) AS p_trans
+    FROM pairs p JOIN outs o ON p.cur = o.cur
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q193: first-order Markov transition matrix of user behavior —
+    P(next event type | current) estimated from every consecutive
+    event pair per user (the clickstream model behind next-action
+    prediction, funnel leak detection, and bot-vs-human screens; the
+    sequence twin of Q73's fixed funnel and Q115's attribution).
+    Deterministic sequencing: (ts, event_id) ordering — same-timestamp
+    pairs can't flip between runs or engines.
+
+    Plan shape: ONE hash partition on user_id feeds the lead() window
+    (per-user sort inside partitions — no global sort); the pair
+    aggregate collapses map-side to O(types²) rows; the denominator
+    join re-aggregates THE PAIR RELATION (never a second pass over
+    events) and broadcasts. Probability = exact-integer ratio rounded
+    at 6 dp — both engines divide the same two BIGINTs. At 100 TB the
+    only event-sized exchange is the user_id partition, which every
+    sessionization query in the inventory already shares.
+
+    Reference analog: none — SURVEY §2 B.10 extension row."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    outs = pairs.groupBy("cur").agg(F.sum("n_trans").alias("n_out"))
+    return pairs.join(F.broadcast(outs), "cur").select(
+        "cur",
+        "nxt",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.col("n_out"), 6
+        ).alias("p_trans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q194 — robust (median/MAD) outlier screen, the Q83 twin
+
+_MAD_C = 0.6745  # Phi^-1(0.75): makes MAD consistent with sigma under normality
+_MAD_CUT = 3.5  # Iglewicz-Hoaglin modified-z threshold
+
+
+@register(
+    "q_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    ),
+    rz AS (
+        SELECT e.event_type,
+               CASE WHEN d.mad <> 0
+                    THEN round(abs({_MAD_C} * (e.value - m.med) / d.mad), 6)
+               END AS arz
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE arz > {_MAD_CUT}) AS BIGINT)
+               AS n_outliers,
+           round(max(arz), 6) AS max_abs_rz
+    FROM rz GROUP BY event_type
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q194: ROBUST outlier screen — modified z-score over median/MAD
+    (Iglewicz & Hoaglin: |{c}·(x−med)/MAD| > {cut}) per event type,
+    the breakdown-resistant twin of Q83's mean/σ gate: one fat-tailed
+    batch inflates σ and HIDES its own outliers (masking), while the
+    median and MAD have 50% breakdown, which is why data-quality
+    monitors screen metrics this way.
+
+    Plan shape: the Q83 aggregate-then-broadcast skeleton TWICE (the
+    price of robustness is a second pass — med must exist before
+    |x−med| can rank): tiny per-type medians broadcast onto the
+    stream, tiny per-type MADs broadcast back again, final
+    partial+final count aggregate. Per-type exact `percentile` is the
+    test-SF oracle-checkable form; at 100 TB both medians flip to
+    approx_percentile / KLL (Q75's declared drop-in, Q130's sketch).
+    Cross-engine: Spark `percentile` and DuckDB `quantile_cont` share
+    linear interpolation (the Q65 contract); the modified z rounds at
+    6 dp before the threshold compare and a constant-valued type
+    (MAD = 0) NULLs out on both engines (the Q83 guard).
+
+    Reference analog: none — SURVEY §2 B.10 extension row."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+    )
+    rz = F.when(
+        F.col("mad") != 0,
+        F.round(
+            F.abs(F.lit(_MAD_C) * (F.col("value") - F.col("med")) / F.col("mad")),
+            6,
+        ),
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .select("event_type", rz.alias("arz"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("arz") > _MAD_CUT, 1)).alias("n_outliers"),
+            F.round(F.max("arz"), 6).alias("max_abs_rz"),
+        )
+    )
+
+
+fmt_doc(q_anomaly_mad, c=_MAD_C, cut=_MAD_CUT)

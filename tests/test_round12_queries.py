@@ -330,3 +330,57 @@ def test_pmi_bigrams_reference_recompute_and_series_bound(spark, sf_dir):
         for r in entries()["q_pmi_bigrams"].fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+# ---------------------------------------------- Q193 Markov transitions
+def test_markov_rows_sum_to_one_and_match_pair_recount(spark, sf_dir):
+    """Q193: per-cur probabilities must sum to 1 (row-stochastic
+    matrix — the law an off-by-one in the lead() frame or a dropped
+    NULL-tail pair breaks), and transition counts must equal an
+    independent per-user bigram recount."""
+    from collections import Counter, defaultdict
+
+    from project_map_reduce_spark.tables import load
+
+    res = entries()["q_markov_transitions"].fn(spark, sf_dir).collect()
+    by_cur: dict[str, float] = defaultdict(float)
+    for r in res:
+        by_cur[r["cur"]] += r["p_trans"]
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-4, (cur, total)
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict[int, list] = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pairs: Counter = Counter()
+    for s in seqs.values():
+        s.sort()
+        types = [t for _, _, t in s]
+        pairs.update(zip(types, types[1:]))
+    got = {(r["cur"], r["nxt"]): r["n_trans"] for r in res}
+    assert got == dict(pairs)
+
+
+# ------------------------------------------------- Q194 MAD outliers
+def test_anomaly_mad_is_masking_resistant_vs_sigma(spark, sf_dir):
+    """Q194 vs Q83 on a synthetic masking scenario: one extreme point
+    inflates sigma enough that the mean/sigma gate under-flags a
+    second, moderate outlier, while the median/MAD gate still flags
+    both — the robustness property that justifies the second pass.
+    Built from a literal frame so the law is data-independent."""
+    import statistics
+
+    vals = [10.0] * 40 + [12.0] * 40 + [40.0, 1000.0]
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    mu = statistics.mean(vals)
+    sigma = statistics.pstdev(vals)
+    mad_flags = sum(1 for v in vals if abs(0.6745 * (v - med) / mad) > 3.5)
+    z_flags = sum(1 for v in vals if abs((v - mu) / sigma) > 3.0)
+    assert mad_flags >= 2  # both 40.0 and 1000.0
+    assert z_flags <= 1  # sigma inflated by 1000.0 masks 40.0
