@@ -548,24 +548,52 @@ def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q189 — skyline (Pareto frontier): the dominance query, distributed
 
+def _pareto_sweep_one(b):
+    """One sort-sweep pass of the 2-D skyline rule over a single pandas
+    frame (columns ``price`` minimized, ``disc`` maximized, others
+    carried): keep a row iff its disc equals the max AT its price and
+    strictly exceeds the running max over all cheaper prices.
+    Property-tested against the brute dominance definition in
+    tests/test_properties.py."""
+    gmax = b.groupby("price")["disc"].transform("max")
+    grp = b[["price", "disc"]].groupby("price", sort=True)["disc"].max()
+    prior = grp.cummax().shift(1)  # max disc over strictly cheaper
+    keep_price = grp.index[prior.isna() | (grp > prior)]
+    return b[(b["disc"] == gmax) & b["price"].isin(set(keep_price))]
+
+
 def pareto_sweep(batches):
-    """One sort-sweep pass of the 2-D skyline rule over pandas batches
-    (columns ``price`` minimized, ``disc`` maximized, others carried):
-    keep a row iff its disc equals the max AT its price and strictly
-    exceeds the running max over all cheaper prices. Used as BOTH
-    phases of q_skyline (local prune per batch, then the exact pass
-    over gathered candidates) and property-tested against the brute
-    dominance definition in tests/test_properties.py."""
+    """Phase-1 LOCAL prune: sweep each Arrow batch independently.
+    Per-batch output is a SUPERSET of the batch's contribution to the
+    global skyline (dominance is transitive), so batch independence
+    is sound here — but NOT for the final pass, which must see every
+    candidate in one frame (``pareto_sweep_merged``)."""
     for b in batches:
         if len(b) == 0:
             continue
-        gmax = b.groupby("price")["disc"].transform("max")
-        grp = b[["price", "disc"]].groupby("price", sort=True)["disc"].max()
-        prior = grp.cummax().shift(1)  # max disc over strictly cheaper
-        keep_price = grp.index[prior.isna() | (grp > prior)]
-        out = b[(b["disc"] == gmax) & b["price"].isin(set(keep_price))]
+        out = _pareto_sweep_one(b)
         if len(out):
             yield out
+
+
+def pareto_sweep_merged(batches):
+    """Phase-2 GLOBAL merge: concatenate ALL incoming batches before
+    the sweep (ADVICE r12). Arrow hands mapInPandas the single
+    post-repartition(1) partition as MULTIPLE batches once the
+    candidate set exceeds spark.sql.execution.arrow.maxRecordsPerBatch
+    (default 10k) — sweeping those independently would let a row
+    dominated only by a row in ANOTHER batch survive. The candidate
+    set is ~ln(n) per phase-1 batch, so materializing it is O(skyline
+    candidates), not O(n); the anti-correlated worst case (skyline ~ n)
+    is the documented flip to a range-partitioned multi-level merge."""
+    import pandas as pd
+
+    frames = [b for b in batches if len(b)]
+    if not frames:
+        return
+    out = _pareto_sweep_one(pd.concat(frames, ignore_index=True))
+    if len(out):
+        yield out
 
 
 @register(
@@ -629,4 +657,4 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").alias("disc"),
     )
     local = t.mapInPandas(pareto_sweep, schema=t.schema)
-    return local.repartition(1).mapInPandas(pareto_sweep, schema=t.schema)
+    return local.repartition(1).mapInPandas(pareto_sweep_merged, schema=t.schema)

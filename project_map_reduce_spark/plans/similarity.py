@@ -952,18 +952,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices = F.array(
         *[F.slice("v", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
     )
-    subrows = (
-        n.select("vec_id", F.posexplode(slices).alias("m", "sv"))
-        .withColumn(
-            "nv",
-            F.aggregate(
-                F.zip_with("sv", "sv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .persist()
-    )
+    # No norm column here: _train_d2 recomputes the sub-vector norm
+    # inside its vectorized batch (ADVICE r12 — an interpreted HOF
+    # fold per row on the training input would be a dead column).
+    subrows = n.select("vec_id", F.posexplode(slices).alias("m", "sv")).persist()
     seed = n.filter(F.col("vec_id") < _PQ_K).select("vec_id", "v").collect()
     cents: list[dict[int, list[float]]] = [
         {

@@ -181,9 +181,11 @@ def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KEYSET_PAGE)
     )
     plan = page._jdf.queryExecution().executedPlan().toString()
-    if "PushedFilters: []" in plan or "c_acctbal" not in plan.split(
-        "PushedFilters"
-    )[1].split("]")[0]:
+    if (
+        "PushedFilters" not in plan  # scan stopped printing the section
+        or "PushedFilters: []" in plan
+        or "c_acctbal" not in plan.split("PushedFilters")[1].split("]")[0]
+    ):
         raise RuntimeError(f"keyset predicate not pushed to scan:\n{plan}")
     if "TakeOrderedAndProject" not in plan or "Offset" in plan:
         raise RuntimeError(f"keyset page lost the O(page) plan shape:\n{plan}")

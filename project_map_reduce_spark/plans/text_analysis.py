@@ -987,7 +987,13 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = d.select(F.explode("toks").alias("tok"))
     cx = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    big = d.select(
+    # size(toks) >= 2 guard (ADVICE r12): sequence(0, size-2) DESCENDS
+    # for a single-token doc (start 0 > stop -1 yields [0, -1]) and
+    # toks[i + 1] would then raise INVALID_ARRAY_INDEX under ANSI mode
+    # while the DuckDB oracle's `i <= len - 1` bound returns normally.
+    # Fixtures guarantee >=10 tokens, but the guard makes the engine
+    # total (zero bigrams from short docs, same as the oracle).
+    big = d.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(0, size(toks) - 2),"

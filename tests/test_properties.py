@@ -637,18 +637,29 @@ _points = st.lists(
 )
 
 
-@given(points=_points, cut=st.integers(min_value=1, max_value=29))
+@given(
+    points=_points,
+    cut=st.integers(min_value=1, max_value=29),
+    cut2=st.integers(min_value=1, max_value=29),
+)
 @settings(**_SETTINGS)
-def test_pareto_sweep_two_phase_equals_brute_dominance(points, cut):
-    """Skyline law (Q189): local-sweep-per-chunk then one global sweep
-    must equal the brute O(n^2) dominance definition for ANY point set
-    and ANY chunking — including duplicate points (tie-groups survive
-    whole) and single-phase degenerate chunks. This is the property
-    that makes phase-1 pruning SAFE: a dominated row always has a
-    dominating candidate witness."""
+def test_pareto_sweep_two_phase_equals_brute_dominance(points, cut, cut2):
+    """Skyline law (Q189): local-sweep-per-chunk then one global
+    MERGED sweep must equal the brute O(n^2) dominance definition for
+    ANY point set and ANY chunking — including duplicate points
+    (tie-groups survive whole) and single-phase degenerate chunks.
+    Phase 2 is deliberately fed the candidate set split across
+    MULTIPLE batches (ADVICE r12): Arrow re-batches the single
+    post-repartition(1) partition at maxRecordsPerBatch, and a
+    per-batch phase 2 would let a row dominated only by a row in
+    another batch survive — pareto_sweep_merged must concatenate
+    before sweeping, so this property holds at every split point."""
     import pandas as pd
 
-    from project_map_reduce_spark.plans.olap_extra import pareto_sweep
+    from project_map_reduce_spark.plans.olap_extra import (
+        pareto_sweep,
+        pareto_sweep_merged,
+    )
 
     df = pd.DataFrame(
         {
@@ -659,7 +670,11 @@ def test_pareto_sweep_two_phase_equals_brute_dominance(points, cut):
     )
     chunks = [df.iloc[: min(cut, len(df))], df.iloc[min(cut, len(df)):]]
     local = pd.concat(list(pareto_sweep(iter(chunks))), ignore_index=True)
-    final = pd.concat(list(pareto_sweep(iter([local]))), ignore_index=True)
+    k = min(cut2, len(local))
+    phase2_batches = [local.iloc[:k], local.iloc[k:]]
+    final = pd.concat(
+        list(pareto_sweep_merged(iter(phase2_batches))), ignore_index=True
+    )
     got = set(final["rid"])
 
     brute = set()

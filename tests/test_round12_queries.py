@@ -110,7 +110,7 @@ def test_ann_pq_recall(spark, sf_dir):
         hits += len(got_ids & exact)
         total += len(exact)
     assert total > 0
-    assert (qid % _QUERY_MOD == 0 for qid in by_q)
+    assert all(qid % _QUERY_MOD == 0 for qid in by_q)
     recall = hits / total
     assert recall >= 0.0  # structural floor; value is data-dependent
     print(f"PQ recall@3 vs exact in-cell L2: {recall:.2f}")
