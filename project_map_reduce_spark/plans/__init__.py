@@ -98,12 +98,17 @@ _DRIVER_WINDOW = [
     #    r10 entries rotate in r14, still inside the ceiling: the r10
     #    signal reaches it only at r14, whose window must seat whatever
     #    r10 entries remain outside after this round).
-    "q_stream_chained_agg",
-    "q_pyds_stream",
-    "q_state_reader_audit",
-    "q_events_session",
-    "q_corrupt_quarantine",
-    "q_source_xml",
+    # -- NEW this round (r13) — each displaces one r10-prefill tail
+    #    entry (displaced: q_source_xml, q_corrupt_quarantine,
+    #    q_events_session, q_state_reader_audit, q_pyds_stream,
+    #    q_stream_chained_agg), which rotate in r14 (the r10 cohort
+    #    seats then anyway):
+    "q_dedup_fuzzy_ledger",  # NEW (r13): MinHash pairs -> components -> keep/remove ledger
+    "q_ann_pq_residual",  # NEW (r13): IVF-PQ on cell residuals (FAISS by_residual form)
+    "q_gap_islands",  # NEW (r13): per-user gaps-and-islands activity runs
+    "q_text_entropy",  # NEW (r13): char-distribution entropy quality screen
+    "q_rfm_segments",  # NEW (r13): recency/frequency/monetary customer segments
+    "q_ohlc_bars",  # NEW (r13): hourly OHLC bars via struct-min/max single agg
 ]
 
 if len(_DRIVER_WINDOW) != 50:  # explicit: `assert` vanishes under -O

@@ -328,10 +328,11 @@ _SIG_DUCK = ", ".join(
 )
 
 
-@register(
-    "q_dedup_fuzzy",
-    oracle=f"""
-    WITH toks AS (
+# The full MinHash-LSH candidate+verify CTE chain, shared by the Q44
+# pair report and the Q195 removal ledger (which resolves the SAME
+# pairs into components — one replayed-permutation pipeline, two
+# hash-checked artifacts).
+_FUZZY_PAIR_CTES = f"""toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     sh AS (
@@ -367,7 +368,13 @@ _SIG_DUCK = ", ".join(
         FROM pairs
         JOIN sh sa ON doc_a = sa.doc_id
         JOIN sh sb ON doc_b = sb.doc_id
-    )
+    )"""
+
+
+@register(
+    "q_dedup_fuzzy",
+    oracle=f"""
+    WITH {_FUZZY_PAIR_CTES}
     SELECT doc_a, doc_b, round(1 - sim, 6) AS jaccard_dist
     FROM scored WHERE sim >= {1 - _FUZZY_MAX_DIST}
     """,
@@ -1329,3 +1336,116 @@ def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_dedup_substring_removal, w=_SUB_W, s=_SUB_S)
+
+
+# ---------------------------------------------------------------------------
+# Q195 — MinHash fuzzy-dedup REMOVAL LEDGER (pairs → components → keep/remove)
+
+
+@register(
+    "q_dedup_fuzzy_ledger",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_PAIR_CTES},
+    fpairs AS (
+        SELECT doc_a, doc_b FROM scored WHERE sim >= {1 - _FUZZY_MAX_DIST}
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM fpairs
+        UNION
+        SELECT doc_b, doc_a FROM fpairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    walk(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, w.lab FROM walk w JOIN edges e ON w.node = e.s
+    ),
+    comp AS (
+        SELECT node, CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    ranked AS (
+        SELECT doc_id, source, cluster_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lab
+    )
+    SELECT source, doc_id, cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           rn > 1 AS removed
+    FROM ranked
+    """,
+)
+def q_dedup_fuzzy_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q195: the MinHash near-dup ladder composed into the REMOVAL
+    LEDGER a training pipeline actually consumes (VERDICT r12 item 4 —
+    the text-side twin of Q135's SemDeDup ledger): Q44's deterministic
+    MinHash-LSH pairs → connected components → one KEEP decision per
+    cluster → a full per-document (source, doc_id, cluster_id,
+    cluster_size, removed) ledger, hash-checked as ONE pipeline
+    against the oracle's replayed-permutation recursive-CTE form.
+
+    Keep rule: within each near-dup cluster the LONGEST document wins
+    (n_chars DESC, ties to the smaller doc_id) — the standard "retain
+    the most complete variant" policy (Lee et al. 2022, Deduplicating
+    Training Data Makes Language Models Better, keep-one-per-cluster);
+    singletons (docs in no surviving LSH pair) are their own clusters
+    and trivially kept, so every removed doc has a kept same-cluster
+    witness (property-tested).
+
+    Plan shape at 100 TB: pair generation inherits Q44's banded LSH
+    doctrine (no all-pairs anywhere); components run min-label
+    propagation over the PAIR graph only (operators/components.py —
+    near-dup components are overwhelmingly tiny, rounds ≤ diameter);
+    the keeper decision is a groupBy over CLUSTERED docs only (min of
+    a (−n_chars, doc_id) struct — no global window over the corpus,
+    the Q119 collapse-first discipline); the corpus-wide ledger is
+    then one LEFT equi-join of documents against the small
+    cluster/keeper relations (broadcast at any realistic dup rate —
+    near-dup clusters are a sliver of the corpus). The only full-width
+    shuffle-free pass is the LSH signature map itself.
+
+    Reference analog: none — SURVEY §2 B.4 extension row (the
+    reference concatenates per-record outputs, Manager.java:287-312;
+    cross-record resolution is engine-level capability it lacks).
+    """
+    from project_map_reduce_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = q_dedup_fuzzy(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # Keeper + size per cluster, computed over CLUSTERED docs only
+    # (small relation) — never a corpus-wide window.
+    cdocs = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    clusters = cdocs.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("n_chars")).alias("neg_len"), F.col("doc_id"))
+        ).getField("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    led = (
+        d.join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .join(F.broadcast(clusters), "cluster_id", "left")
+    )
+    return led.select(
+        "source",
+        "doc_id",
+        "cluster_id",
+        F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.coalesce(
+            F.col("doc_id") != F.col("keeper_id"), F.lit(False)
+        ).alias("removed"),
+    )

@@ -289,7 +289,14 @@ _R12_NEW_DEFERRED: list[str] = []
 # entire remaining r9 cohort (its signal hits the ceiling this round:
 # staleness_ceiling(194) = 3 and 13 - 3 = 10 > 9), so at most 6 new
 # queries may seat here; overflow goes to _R13_NEW_DEFERRED.
-_R13_NEW: list[str] = []
+_R13_NEW: list[str] = [
+    "q_dedup_fuzzy_ledger",
+    "q_ann_pq_residual",
+    "q_gap_islands",
+    "q_text_entropy",
+    "q_rfm_segments",
+    "q_ohlc_bars",
+]
 
 # Round-13 OVERFLOW (born after the window filled; carry
 # CURRENT_ROUND + 1 and MUST open the round-14 window).

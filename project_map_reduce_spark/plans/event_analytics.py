@@ -498,3 +498,167 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_anomaly_mad, c=_MAD_C, cut=_MAD_CUT)
+
+
+# ---------------------------------------------------------------------------
+# Q197 — gaps-and-islands: per-user consecutive-day activity streaks
+
+
+@register(
+    "q_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INT) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor,
+               CAST(count(*) AS BIGINT) AS len,
+               min(day) AS start_day
+        FROM grp GROUP BY user_id, anchor
+    ),
+    best AS (
+        SELECT user_id, len, start_day,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY len DESC, start_day
+               ) AS rn
+        FROM streaks
+    )
+    SELECT s.user_id,
+           CAST(sum(s.len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks,
+           CAST(max(s.len) AS BIGINT) AS max_streak,
+           CAST(min(b.start_day) AS DATE) AS max_streak_start
+    FROM streaks s
+    JOIN (SELECT user_id, start_day FROM best WHERE rn = 1) b
+      USING (user_id)
+    GROUP BY s.user_id
+    """,
+)
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q197: GAPS-AND-ISLANDS — per-user consecutive-day activity
+    streaks via the classic anchor-date trick (day minus its per-user
+    row_number is constant exactly along a run of consecutive days),
+    the canonical SQL idiom for engagement streaks, SLA uptime runs
+    and sensor dropout analysis. Distinct from Q41/Q112's time-gap
+    sessionization: islands here are calendar-granular runs, not
+    inactivity-gap clusters. Output per user: total active days,
+    streak count, longest streak and its start date (ties broken to
+    the earliest start on both engines).
+
+    Plan shape at 100 TB: the DISTINCT (user, day) collapse happens
+    map-side first (partial aggregation shrinks the corpus to at most
+    users × days rows — the only event-sized shuffle, keyed on
+    user_id like every sessionization sibling); the row_number window
+    rides the SAME user_id partitioning (days within a user sort
+    in-partition, never a global sort); streaks and the final rollup
+    are O(islands) aggregates on the same key, so one exchange feeds
+    the whole plan. The longest-streak pick is a struct-min aggregate,
+    not a second window.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+        F.min(F.struct((-F.col("len")).alias("neg"), F.col("start_day")))
+        .getField("start_day")
+        .alias("max_streak_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q200 — OHLC bars: open/high/low/close candles per event type per hour
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+               ts, event_id, value
+        FROM events
+    ),
+    ordered AS (
+        SELECT event_type, bar_ts, value,
+               row_number() OVER (
+                   PARTITION BY event_type, bar_ts
+                   ORDER BY ts, event_id
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, bar_ts
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM pts
+    )
+    SELECT event_type, bar_ts,
+           count(*) AS n_events,
+           round(min(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(min(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS volume
+    FROM ordered
+    GROUP BY event_type, bar_ts
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q200: OHLC BARS — the candlestick aggregation every metrics /
+    market-data warehouse serves: per (event_type, hour) bucket, the
+    first value (open), max (high), min (low), last value (close) and
+    exact-decimal volume. Open/close are ORDER STATISTICS inside an
+    unordered aggregate — the interesting operator shape — resolved
+    engine-side as single struct-min/max aggregates over
+    (ts, event_id, value) (the Q14 struct-max as-of discipline: the
+    unique (ts, event_id) prefix makes the comparison deterministic,
+    value rides as payload), so the whole bar is ONE map-side-combined
+    hash aggregate — no window, no sort, no second pass. The oracle
+    replays open/close with row_number CTEs; volume uses the SUM6
+    exact-decimal template on both sides.
+
+    Plan shape at 100 TB: a single partial+final HashAggregate
+    shuffling O(types × hours) grouped rows — mergeable constant-size
+    state per bar, the same profile as Q15; time-bucketing is a narrow
+    codegen map (date_trunc), so partition pruning on the raw event
+    date still reaches the scan.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from project_map_reduce_spark.functions.det import SUM6, epoch_micros, sum6  # noqa: F401
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("HOUR", F.col("ts")).alias("bar_ts"),
+        epoch_micros("ts").alias("tsm"),
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("tsm", "event_id", "value"))
+    last_s = F.max(F.struct("tsm", "event_id", "value"))
+    return e.groupBy("event_type", "bar_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(first_s.getField("value"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(last_s.getField("value"), 6).alias("close"),
+        sum6("value").alias("volume"),
+    )

@@ -658,3 +658,125 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = t.mapInPandas(pareto_sweep, schema=t.schema)
     return local.repartition(1).mapInPandas(pareto_sweep_merged, schema=t.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q199 — RFM segmentation (recency / frequency / monetary), integer thresholds
+
+_RFM_REF = "1998-12-31"  # fixed analysis date (fixture orders end in 1998)
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '{_RFM_REF}') AS recency_days,
+               count(*) AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(sum(recency_days) AS BIGINT) AS tot_r,
+               CAST(sum(freq) AS BIGINT) AS tot_f,
+               CAST(sum(m_cents) AS BIGINT) AS tot_m
+        FROM cust
+    ),
+    seg AS (
+        SELECT c.o_custkey, c.recency_days, c.freq, c.m_cents,
+               concat(CASE WHEN c.recency_days * t.n <= t.tot_r
+                           THEN 'R' ELSE 'r' END,
+                      CASE WHEN c.freq * t.n >= t.tot_f
+                           THEN 'F' ELSE 'f' END,
+                      CASE WHEN c.m_cents * t.n >= t.tot_m
+                           THEN 'M' ELSE 'm' END) AS segment
+        FROM cust c CROSS JOIN tot t
+    )
+    SELECT segment,
+           count(*) AS n_customers,
+           CAST(sum(freq) AS BIGINT) AS total_orders,
+           round(sum(m_cents) / 100.0, 6) AS total_monetary,
+           CAST(min(recency_days) AS BIGINT) AS min_recency_days,
+           CAST(max(recency_days) AS BIGINT) AS max_recency_days
+    FROM seg GROUP BY segment
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q199: RFM SEGMENTATION — the classic marketing-analytics cube
+    (Hughes 1994): per customer, Recency (days since last order at a
+    fixed analysis date), Frequency (order count) and Monetary (spend),
+    each split at the population mean into high/low, yielding the 8
+    R/F/M segments ('RFM' = recent+frequent+big-spend champions,
+    'rfm' = lapsed one-timers) with per-segment rollups.
+
+    Mean-threshold splits, not ntile quartiles, by design twice over:
+    (1) DETERMINISM — every comparison is exact integer arithmetic
+    (metric × n_customers vs the population total; money pre-quantized
+    to BIGINT cents, the r12 micro-unit doctrine), so no float
+    threshold can round differently across engines; (2) SCALE — ntile
+    needs a GLOBAL rank (one-reducer window over all customers at
+    100 TB), while the mean is one broadcastable aggregate.
+    Overflow bound: cents×customers stays under 2^63 until ~1e8
+    customers × 1e9 cents — past that, promote to DECIMAL.
+
+    Plan shape: orders collapse to the customer grain in ONE map-side-
+    combined hash aggregate (the only orders-sized exchange); the
+    3-scalar population total collects via one tiny aggregate and is
+    baked into the plan as literals (aggregate-then-literal, the
+    Q191/Q103 discipline — no 1-row BNLJ crossJoin); segmentation is a
+    narrow codegen map; the final per-segment rollup moves 8 groups.
+
+    Reference analog: none — SURVEY §2 B.10 extension row (report-
+    grade aggregation is LocalApp.java territory at reference scale).
+    """
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit(_RFM_REF).cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("m_cents"),
+        )
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("recency_days").alias("tot_r"),
+        F.sum("freq").alias("tot_f"),
+        F.sum("m_cents").alias("tot_m"),
+    ).collect()[0]
+    n, tot_r, tot_f, tot_m = (
+        int(tot["n"]),
+        int(tot["tot_r"]),
+        int(tot["tot_f"]),
+        int(tot["tot_m"]),
+    )
+    segment = F.concat(
+        F.when(F.col("recency_days") * n <= tot_r, F.lit("R")).otherwise(
+            F.lit("r")
+        ),
+        F.when(F.col("freq") * n >= tot_f, F.lit("F")).otherwise(F.lit("f")),
+        F.when(F.col("m_cents") * n >= tot_m, F.lit("M")).otherwise(
+            F.lit("m")
+        ),
+    )
+    return (
+        cust.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("freq").alias("total_orders"),
+            F.round(F.sum("m_cents") / F.lit(100.0), 6).alias(
+                "total_monetary"
+            ),
+            F.min("recency_days").cast("bigint").alias("min_recency_days"),
+            F.max("recency_days").cast("bigint").alias("max_recency_days"),
+        )
+    )

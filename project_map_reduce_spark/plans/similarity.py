@@ -744,13 +744,19 @@ _PQ_K = 8  # codewords per subspace codebook
 _PQ_ITERS = 2  # Lloyd rounds per subspace (the Q84 discipline)
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(residual: bool = False) -> str:
     """DuckDB mirror of the full IVF-PQ pipeline: the Q54 coarse-cell
     assignment + one kmeans_ctes-shaped training chain PER SUBSPACE
     (suffix ``_p{m}``, sliced input ``v[lo:hi]``) + position-indexed
     codebooks + encode/LUT/ADC. Expressible for the same reason
     q_kmeans is: every stage is a fixed chain of identical dataflow
-    blocks with 6-dp model quantization at each round boundary."""
+    blocks with 6-dp model quantization at each round boundary.
+
+    ``residual=True`` (Q196) inserts one CTE: the PQ input becomes
+    v − round(cv, 6) element-wise (the vector minus its assigned
+    cell's 6-dp-quantized centroid) — a single IEEE subtract per
+    element, so the residual is exact on both engines and every
+    downstream block is byte-identical to the raw form."""
     parts = [
         f"""
     WITH vecs AS (
@@ -772,11 +778,23 @@ def _pq_oracle() -> str:
     ),
     a AS (SELECT vec_id, cell_id FROM assign WHERE arn = 1)"""
     ]
+    pq_src = "vecs"
+    if residual:
+        pq_src = "rv"
+        parts.append(
+            """,
+    rv AS (
+        SELECT n.vec_id,
+               list_transform(range(1, 65),
+                              i -> n.v[i] - round(c.cv[i], 6)) AS v
+        FROM n JOIN a USING (vec_id) JOIN c USING (cell_id)
+    )"""
+        )
     for m in range(_PQ_M):
         lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
         parts.append(
             f""",
-    v_p{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs),
+    v_p{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {pq_src}),
     n_p{m} AS (
         SELECT vec_id, v, list_dot_product(v, v) AS nv FROM v_p{m}
     ),
@@ -914,6 +932,20 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — the reference has no vector surface;
     SURVEY §2 B.10 extension row."""
+    return _ivf_pq_search(spark, sf_dir, residual=False)
+
+
+def _ivf_pq_search(
+    spark: SparkSession, sf_dir: str, *, residual: bool
+) -> DataFrame:
+    """Shared IVF-PQ engine for Q187 (raw sub-vectors,
+    FAISS ``by_residual=false``) and Q196 (IVF residuals, the FAISS
+    default): coarse cosine assignment → optional residual subtraction
+    against the 6-dp-quantized cell centroid → unified one-pass
+    multi-subspace Lloyd trainer → Arrow encode → integer-LUT
+    broadcast ADC. The residual form differs by exactly one narrow
+    map (v := v − round(cv, 6), element-wise), so codes stay a pure
+    function of (vector, assignment) and the oracle replays them."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -939,6 +971,21 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") == 1)
         .select("vec_id", "v", "cell_id")
     )
+    if residual:
+        # Residual PQ (FAISS by_residual=true): encode v − centroid,
+        # not v — within a cell, residuals occupy a far tighter ball
+        # than raw vectors, so the same codebook budget buys more
+        # precision. Quantizing the centroid to 6 dp first makes each
+        # residual element ONE exact IEEE subtract on both engines.
+        cvq = cents.select(
+            "cell_id",
+            F.transform("cv", lambda x: F.round(x, 6)).alias("cvq"),
+        )
+        assigned = assigned.join(F.broadcast(cvq), "cell_id").select(
+            "vec_id",
+            F.zip_with("v", "cvq", lambda a, b: a - b).alias("v"),
+            "cell_id",
+        )
 
     # --- codebook training: ALL subspaces in the SAME Lloyd pass (the
     #     FAISS PQ trainer shape — one scan of the data per round
@@ -955,8 +1002,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No norm column here: _train_d2 recomputes the sub-vector norm
     # inside its vectorized batch (ADVICE r12 — an interpreted HOF
     # fold per row on the training input would be a dead column).
-    subrows = n.select("vec_id", F.posexplode(slices).alias("m", "sv")).persist()
-    seed = n.filter(F.col("vec_id") < _PQ_K).select("vec_id", "v").collect()
+    # Training input: raw vectors come straight off the scan (no need
+    # to ride the assignment window); residuals inherently do.
+    pqv = assigned.select("vec_id", "v") if residual else n.select("vec_id", "v")
+    subrows = pqv.select("vec_id", F.posexplode(slices).alias("m", "sv")).persist()
+    seed = pqv.filter(F.col("vec_id") < _PQ_K).select("vec_id", "v").collect()
     cents: list[dict[int, list[float]]] = [
         {
             int(r["vec_id"]): [
@@ -1145,6 +1195,43 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_ann_pq, m=_PQ_M, s=_PQ_SUB, k=_PQ_K, i=_PQ_ITERS, c=_N_CELLS)
+
+
+@register("q_ann_pq_residual", oracle=_pq_oracle(residual=True))
+def q_ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q196: RESIDUAL IVF-PQ (VERDICT r12 item 6) — the FAISS default
+    (``by_residual=true``) and the accuracy form real vector stores
+    serve: codes quantize v − c(v), the vector's offset from its
+    assigned cell's centroid, instead of v itself. Within one cell the
+    residuals occupy a much tighter ball than raw vectors, so the same
+    {m}×{k}-codeword budget resolves finer distances — recall vs the
+    exact within-cell ranking is pinned ≥ raw-PQ recall on the fixture
+    (tests/test_round13_queries.py::test_ann_pq_residual_recall).
+
+    Everything is Q187's machinery via ``_ivf_pq_search`` with one
+    extra narrow map: residual = v − round(centroid, 6) element-wise.
+    Quantizing the centroid first makes each residual element a single
+    exact IEEE subtract, so codes remain a pure function of
+    (vector, assignment) and DuckDB replays the whole pipeline —
+    training, encode, LUT, integer ADC — byte-identically (the hash
+    contract Q187's docstring deferred this form over). ADC stays
+    exact-integer; ||q − v||² = ||(q−c) − (v−c)||² within a shared
+    cell, so residual ADC approximates the true distance with no
+    extra correction term.
+
+    100 TB shape: identical to Q187 (O(4 KB) driver model, one Arrow
+    encode crossing, cell-restricted candidates, broadcast integer
+    LUTs) plus one broadcast join against the {c}-row centroid table —
+    free at any scale.
+
+    Reference analog: none — the reference has no vector surface;
+    SURVEY §2 B.10 extension row."""
+    return _ivf_pq_search(spark, sf_dir, residual=True)
+
+
+fmt_doc(
+    q_ann_pq_residual, m=_PQ_M, s=_PQ_SUB, k=_PQ_K, i=_PQ_ITERS, c=_N_CELLS
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1027,3 +1027,130 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_pmi_bigrams, top=_PMI_TOP, m=_PMI_MIN)
+
+
+# ---------------------------------------------------------------------------
+# Q198 — per-document Shannon entropy (token + character), integer micro-units
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents
+    ),
+    tc AS (SELECT doc_id, u, count(*) AS c FROM toks GROUP BY doc_id, u),
+    tn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY doc_id),
+    te AS (
+        SELECT tc.doc_id,
+               CAST(sum(CAST(round(
+                   -(tc.c * 1.0 / tn.n) * ln(tc.c * 1.0 / tn.n) * 1000000
+               ) AS BIGINT)) AS BIGINT) AS micro,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM tc JOIN tn USING (doc_id) GROUP BY tc.doc_id
+    ),
+    chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS u FROM documents
+        WHERE text <> ''
+    ),
+    cc AS (
+        SELECT doc_id, u, count(*) AS c FROM chars
+        WHERE u <> '' GROUP BY doc_id, u
+    ),
+    cn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+    ce AS (
+        SELECT cc.doc_id,
+               CAST(sum(CAST(round(
+                   -(cc.c * 1.0 / cn.n) * ln(cc.c * 1.0 / cn.n) * 1000000
+               ) AS BIGINT)) AS BIGINT) AS micro
+        FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           tn.n AS n_tokens,
+           te.n_types,
+           round(te.micro / 1000000.0, 6) AS token_entropy,
+           round(te.n_types * 1.0 / tn.n, 6) AS type_token_ratio,
+           round(ce.micro / 1000000.0, 6) AS char_entropy
+    FROM documents d
+    JOIN tn USING (doc_id)
+    JOIN te USING (doc_id)
+    JOIN ce USING (doc_id)
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q198: per-document SHANNON ENTROPY over tokens and characters
+    plus type-token ratio — the information-density quality screens a
+    training-data pipeline runs next to Q56's ratio battery and Q70's
+    repetition gate (Gopher/Rae et al. 2021 filter family: low char
+    entropy ⇒ keyboard-mash or template boilerplate; low token
+    entropy with high length ⇒ loops; low TTR ⇒ lexical poverty).
+
+    Determinism is the r12 micro-unit doctrine: each entropy term
+    −p·ln(p) is quantized to an integer micro-unit PER (doc, unit)
+    row and the per-doc sum is then exact integer arithmetic — no
+    float-sum-order drift between engines, unlike a naive
+    round(sum(double), 6). p = c/n is a single IEEE divide of two
+    exact integers on both engines; ln's last-ulp risk is absorbed by
+    the term-level rounding (the q_pmi_bigrams precedent, tri-SF
+    parity-pinned).
+
+    Plan shape at 100 TB: two explode → partial-agg passes (token and
+    char), both shuffling (doc_id, unit) keys with map-side combine —
+    the identical exchange profile as the TF-IDF/BM25 family (volume
+    O(corpus tokens), never more); per-doc totals ride the same
+    doc_id key; the final assembly is a 4-way equi-join on doc_id, no
+    broadcast needed since every relation is already co-partitioned.
+    Spark's split('') yields a trailing '' element (Java split
+    limit=-1) which is filtered symmetrically on both engines.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def entropy_per_doc(unit_col):
+        cnt = unit_col.groupBy("doc_id", "u").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = cnt.groupBy("doc_id").agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+        )
+        p = F.col("c") * F.lit(1.0) / F.col("n")
+        term = F.round(-p * F.log(p) * F.lit(1000000.0)).cast("bigint")
+        return (
+            cnt.join(tot, "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(term).alias("micro"),
+                F.max("n").alias("n"),
+                F.max("n_types").alias("n_types"),
+            )
+        )
+
+    te = entropy_per_doc(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("u"))
+    )
+    ce = entropy_per_doc(
+        d.select("doc_id", F.explode(F.split("text", "")).alias("u")).filter(
+            F.col("u") != ""
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(te, "doc_id")
+        .join(ce.select("doc_id", F.col("micro").alias("cmicro")), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            F.round(F.col("micro") / F.lit(1000000.0), 6).alias(
+                "token_entropy"
+            ),
+            F.round(
+                F.col("n_types") * F.lit(1.0) / F.col("n"), 6
+            ).alias("type_token_ratio"),
+            F.round(F.col("cmicro") / F.lit(1000000.0), 6).alias(
+                "char_entropy"
+            ),
+        )
+    )

@@ -87,6 +87,7 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "q_similarity_ann",
     "q_ann_pq",  # same 16-row centroid broadcast crossJoin as q_similarity_ann
+    "q_ann_pq_residual",  # shares q_ann_pq's centroid-assignment helper
     "q_similarity_topk",
     "q_text_tfidf",
     "q_sample_temperature",  # 1-row n_min scalar broadcast into rates
