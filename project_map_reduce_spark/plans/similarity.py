@@ -779,6 +779,10 @@ def _pq_oracle(residual: bool = False) -> str:
     a AS (SELECT vec_id, cell_id FROM assign WHERE arn = 1)"""
     ]
     pq_src = "vecs"
+    # Residual Lloyd seeds shift past the IVF centroids (whose
+    # residuals are ~0 — coincident seeds degenerate the codebooks);
+    # mirrors the engine's seed_lo rule exactly.
+    seed_lo = _N_CELLS if residual else 0
     if residual:
         pq_src = "rv"
         parts.append(
@@ -800,7 +804,8 @@ def _pq_oracle(residual: bool = False) -> str:
     ),
     cent0_p{m} AS (
         SELECT CAST(vec_id AS INT) AS cell, v AS c
-        FROM v_p{m} WHERE vec_id < {_PQ_K}
+        FROM v_p{m}
+        WHERE vec_id >= {seed_lo} AND vec_id < {seed_lo + _PQ_K}
     )"""
         )
         for i in range(1, _PQ_ITERS + 1):
@@ -1006,7 +1011,16 @@ def _ivf_pq_search(
     # to ride the assignment window); residuals inherently do.
     pqv = assigned.select("vec_id", "v") if residual else n.select("vec_id", "v")
     subrows = pqv.select("vec_id", F.posexplode(slices).alias("m", "sv")).persist()
-    seed = pqv.filter(F.col("vec_id") < _PQ_K).select("vec_id", "v").collect()
+    # Lloyd seeds: first {k} vec_ids — EXCEPT in residual form, where
+    # the first {c} vec_ids ARE the IVF centroids and their residuals
+    # are ~0 vectors; seeding from them collapses every codebook onto
+    # the origin (coincident seeds degenerate Lloyd). Residual seeds
+    # therefore start at vec_id = {c} (first non-centroid vectors),
+    # mirrored exactly in the oracle's cent0 CTE.
+    seed_lo = _N_CELLS if residual else 0
+    seed = pqv.filter(
+        (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + _PQ_K)
+    ).select("vec_id", "v").collect()
     cents: list[dict[int, list[float]]] = [
         {
             int(r["vec_id"]): [
@@ -1205,8 +1219,14 @@ def q_ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned cell's centroid, instead of v itself. Within one cell the
     residuals occupy a much tighter ball than raw vectors, so the same
     {m}×{k}-codeword budget resolves finer distances — recall vs the
-    exact within-cell ranking is pinned ≥ raw-PQ recall on the fixture
-    (tests/test_round13_queries.py::test_ann_pq_residual_recall).
+    exact within-cell ranking is pinned ≥ raw-PQ recall on a CLUSTERED
+    fixture, residual PQ's operating regime
+    (tests/test_round13_queries.py::test_ann_pq_residual_recall);
+    the driver fixture's uniform-random embeddings are the degenerate
+    case where cell structure carries no signal, so no ordering is
+    asserted there. Codebook seeds shift past the IVF centroids
+    (seed_lo = {c}): centroid residuals are ~0, and coincident seeds
+    would collapse every codebook onto the origin.
 
     Everything is Q187's machinery via ``_ivf_pq_search`` with one
     extra narrow map: residual = v − round(centroid, 6) element-wise.
