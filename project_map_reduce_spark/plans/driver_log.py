@@ -300,7 +300,16 @@ _R13_NEW: list[str] = [
 
 # Round-13 OVERFLOW (born after the window filled; carry
 # CURRENT_ROUND + 1 and MUST open the round-14 window).
-_R13_NEW_DEFERRED: list[str] = []
+_R13_NEW_DEFERRED: list[str] = [
+    "q_interval_overlap",
+    "q_gini_spend",
+    "q_benford",
+    "q_autocorr_daily",
+    "q_ngram_coverage",
+    "q_zipf_slope",
+    "q_ks_lengths",
+    "q_cusum_drift",
+]
 
 DRIVER_ROUNDS: dict[str, int] = {
     **{q: 9 for q in _R9_COHORT},

@@ -662,3 +662,114 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(last_s.getField("value"), 6).alias("close"),
         sum6("value").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q201 — interval-overlap peak concurrency (distributed sweep line)
+
+_LEASE_MICROS = 30 * 60 * 1_000_000  # each event holds a 30-min lease
+_CHUNK_MICROS = 3_600_000_000  # 1-hour prefix-sum chunks
+
+
+@register(
+    "q_interval_overlap",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + {_LEASE_MICROS}, -1 FROM events
+    ),
+    run AS (
+        SELECT event_type, t,
+               CAST(sum(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS conc
+        FROM deltas
+    ),
+    peak AS (
+        SELECT event_type, max(conc) AS peak_concurrency
+        FROM run GROUP BY event_type
+    )
+    SELECT r.event_type, p.peak_concurrency,
+           min(r.t) AS peak_at_micros
+    FROM run r
+    JOIN peak p ON r.event_type = p.event_type
+              AND r.conc = p.peak_concurrency
+    GROUP BY r.event_type, p.peak_concurrency
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q201: INTERVAL-OVERLAP peak concurrency — each event holds a
+    30-minute lease; per event type, the maximum number of
+    simultaneously open leases and the earliest instant it is
+    reached. The sweep-line (+1 at start, −1 at end, running sum)
+    is THE capacity-planning query: concurrent sessions, license
+    seats, connection-pool high-water marks.
+
+    Boundary semantics: leases are closed-open — at an instant where
+    one lease ends and another starts, the −1 applies first (delta
+    sorts ascending within a tie), so back-to-back leases never
+    double-count. Times are exact epoch micros (functions/det), the
+    running sum is integer, and the peak instant is min(t) over rows
+    at the peak — all invariant to the engine's ordering of
+    same-(t, delta) rows, so both engines agree bit-for-bit.
+
+    Plan shape at 100 TB — the DISTRIBUTED prefix sum, not the naive
+    one-reducer-per-type window: the running sum decomposes as
+    within-chunk sweep + broadcast chunk-prefix base (hour chunks):
+    phase 1 windows partition on (event_type, chunk) — thousands of
+    well-spread partitions, NO low-cardinality reducer; phase 2's
+    cross-chunk prefix runs over the O(types × hours) chunk-total
+    relation (tiny); the base joins back BROADCAST. The classic
+    parallel scan (Blelloch 1990) as dataflow. The oracle keeps the
+    single-window form — identical results, quadratically simpler to
+    read.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from project_map_reduce_spark.functions.det import epoch_micros
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", epoch_micros("ts").alias("t")
+    )
+    deltas = e.select("event_type", "t", F.lit(1).alias("delta")).unionAll(
+        e.select(
+            "event_type",
+            (F.col("t") + F.lit(_LEASE_MICROS)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    ).withColumn("chunk", F.floor(F.col("t") / F.lit(_CHUNK_MICROS)))
+
+    w_local = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("local", F.sum("delta").over(w_local))
+
+    chunk_tot = deltas.groupBy("event_type", "chunk").agg(
+        F.sum("delta").alias("tot")
+    )
+    w_prefix = (
+        Window.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = chunk_tot.withColumn(
+        "base", F.coalesce(F.sum("tot").over(w_prefix), F.lit(0))
+    ).select("event_type", "chunk", "base")
+
+    run = local.join(
+        F.broadcast(base), ["event_type", "chunk"]
+    ).withColumn("conc", (F.col("base") + F.col("local")).cast("bigint"))
+
+    peak = run.groupBy("event_type").agg(
+        F.max("conc").alias("peak_concurrency")
+    )
+    return (
+        run.join(F.broadcast(peak), "event_type")
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t").alias("peak_at_micros"))
+    )

@@ -780,3 +780,370 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("recency_days").cast("bigint").alias("max_recency_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q202 — Gini concentration of customer spend per market segment
+
+@register(
+    "q_gini_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT c.c_mktsegment AS segment, s.cents,
+               row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY s.cents, s.o_custkey
+               ) AS i
+        FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(cents) AS DOUBLE) / 100, 6) AS total_spend,
+           round(CAST(2 * sum(CAST(i AS HUGEINT) * cents)
+                      - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)
+                      AS DOUBLE)
+                 / CAST(count(*) * CAST(sum(cents) AS HUGEINT) AS DOUBLE),
+                 6) AS gini
+    FROM ranked
+    GROUP BY segment
+    """,
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q202: GINI COEFFICIENT of customer spend per market segment —
+    the inequality/concentration metric every marketplace-health and
+    data-curation dashboard carries (a segment whose revenue is one
+    whale behaves nothing like a uniform one; same statistic screens
+    source-imbalance in training corpora). Computed by the exact
+    rank formula over ascending spend: G = (2·Σi·xᵢ − (n+1)·Σx) /
+    (n·Σx), x sorted asc, ties broken by custkey so the rank — and
+    therefore the statistic — is deterministic on both engines.
+
+    Exactness: spend is BIGINT cents (micro-unit doctrine); the rank
+    weighted sum Σi·xᵢ accumulates in DECIMAL(38,0) (it exceeds int64
+    past ~1e7 customers × 1e8 cents; DuckDB's HUGEINT twin) and the
+    single final division is double-of-exact-integers, rounded 6dp.
+
+    Plan shape at 100 TB: orders collapse to customer grain in ONE
+    map-side-combined hash agg (the only orders-sized exchange); the
+    segment join moves O(customers) rows; the rank window partitions
+    by segment — LOW cardinality, so at true 100 TB the flip is
+    range-partitioned two-phase ranking (rank = within-chunk rank +
+    broadcast chunk-count prefix, the Q201 chunked-prefix pattern) or
+    the KLL-binned approximate Gini (Q130's sketch); at customer
+    grain (orders ≫ customers) the single window is the honest
+    test-SF form. Final agg moves 5 segment rows.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    seg = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    ranked = (
+        spend.join(seg, spend.o_custkey == seg.c_custkey)
+        .withColumn("i", F.row_number().over(w))
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("cents")
+    wsum = F.sum(
+        (F.col("i") * F.col("cents")).cast("decimal(38,0)")
+    )
+    num = (F.lit(2) * wsum).cast("decimal(38,0)") - (
+        (n + F.lit(1)) * s
+    ).cast("decimal(38,0)")
+    den = (n * s).cast("decimal(38,0)")
+    return ranked.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(s.cast("double") / 100, 6).alias("total_spend"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q203 — Benford first-digit screen over order totals
+
+import math as _math
+
+_BENFORD = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+@register(
+    "q_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d.digit,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(count(*) AS DOUBLE) / t.n, 6) AS observed,
+           CAST(CASE d.digit
+               {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD.items())}
+           END AS DOUBLE) AS expected,
+           round(round(CAST(count(*) AS DOUBLE) / t.n, 6)
+                 - CAST(CASE d.digit
+                       {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD.items())}
+                   END AS DOUBLE), 6) AS deviation
+    FROM digits d CROSS JOIN tot t
+    GROUP BY d.digit, t.n
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q203: BENFORD'S LAW first-significant-digit screen over order
+    totals — the classic forensic-accounting / synthetic-data smoke
+    test (Benford 1938; Nigrini 1996 fraud screens): natural
+    multi-scale amounts put digit d first with probability
+    log10(1+1/d); fabricated or truncated feeds drift. The digit
+    histogram doubles as a data-quality canary for ingest pipelines
+    (a silent unit change flips the distribution overnight).
+
+    Determinism: the digit is extracted from the BIGINT cents string
+    (no float formatting anywhere); observed share = one IEEE divide
+    of two exact integers rounded 6dp; the expected shares are
+    PRE-COMPUTED PYTHON LITERALS baked identically into both the plan
+    and the oracle — log10 never runs inside either engine, so
+    last-ulp libm divergence is structurally impossible.
+
+    Plan shape at 100 TB: digit extraction is a narrow codegen map;
+    the count collapses to ≤9 groups map-side (partial+final
+    HashAggregate, the cheapest shuffle an engine can do); the total
+    is aggregate-then-literal (Q191/Q199 discipline). Nothing else
+    moves.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        load(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = int(
+        counts.agg(F.sum("n_orders")).collect()[0][0]
+    )  # aggregate-then-literal: one tiny driver scalar, no 1-row BNLJ
+    expected = F.when(F.col("digit") == 1, F.lit(_BENFORD[1]))
+    for d in range(2, 10):
+        expected = expected.when(F.col("digit") == d, F.lit(_BENFORD[d]))
+    observed = F.round(F.col("n_orders") / F.lit(total), 6)
+    return counts.select(
+        "digit",
+        "n_orders",
+        observed.alias("observed"),
+        expected.alias("expected"),
+        F.round(observed - expected, 6).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q204 — lag-1 autocorrelation of daily order volume per priority
+
+@register(
+    "q_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT o_orderpriority, x,
+               lag(x) OVER (
+                   PARTITION BY o_orderpriority ORDER BY d
+               ) AS prev
+        FROM daily
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(x AS DOUBLE), CAST(prev AS DOUBLE)), 6)
+               AS autocorr_lag1
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY o_orderpriority
+    """,
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q204: LAG-1 AUTOCORRELATION of daily order volume per priority
+    — the first diagnostic of any operational time series (is
+    yesterday's volume informative about today's? near-zero for the
+    synthetic uniform fixture, strongly positive for real demand),
+    and the statistic behind seasonality detection and anomaly
+    baselines (a Q194 sibling over the TIME axis instead of the value
+    axis).
+
+    Determinism: daily totals are exact BIGINT cents; consecutive
+    observed days pair via lag() under the unambiguous (priority, day)
+    order; the correlation itself is Spark's corr ↔ DuckDB's corr
+    rounded 6dp — the Q66-pinned contract (both are Welford-style
+    over identical exact inputs; 6dp absorbs the partial-merge ulp).
+
+    Plan shape at 100 TB: orders collapse to O(priorities × days)
+    daily rows in ONE map-side-combined hash agg — the only
+    orders-sized exchange; the lag window and the final corr both run
+    over that tiny collapsed relation (days ≪ rows), so the window's
+    low-cardinality partitioning is irrelevant to scale. Gap days
+    pair with the next OBSERVED day by declared semantics (the
+    Q113 gap-fill query is the densify step if calendar-true lag is
+    wanted).
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    lagged = daily.withColumn("prev", F.lag("x").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return lagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.corr(F.col("x").cast("double"), F.col("prev").cast("double")),
+            6,
+        ).alias("autocorr_lag1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q208 — CUSUM drift detection over daily order volume
+
+@register(
+    "q_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT o_orderpriority, count(*) AS n, sum(x) AS s
+        FROM daily GROUP BY 1
+    ),
+    walk AS (
+        SELECT d.o_orderpriority, d.d, st.n,
+               CAST(st.n AS HUGEINT) * sum(d.x) OVER (
+                   PARTITION BY d.o_orderpriority ORDER BY d.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - CAST(row_number() OVER (
+                   PARTITION BY d.o_orderpriority ORDER BY d.d
+               ) AS HUGEINT) * st.s AS dev_n
+        FROM daily d JOIN stats st USING (o_orderpriority)
+    ),
+    best AS (
+        SELECT o_orderpriority, n,
+               max(abs(dev_n)) AS mx
+        FROM walk GROUP BY 1, 2
+    )
+    SELECT w.o_orderpriority,
+           CAST(w.n AS BIGINT) AS n_days,
+           round(CAST(b.mx AS DOUBLE) / w.n / 100, 6) AS max_dev,
+           min(w.d) AS dev_day
+    FROM walk w
+    JOIN best b ON w.o_orderpriority = b.o_orderpriority
+               AND abs(w.dev_n) = b.mx
+    GROUP BY w.o_orderpriority, w.n, b.mx
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q208: CUSUM DRIFT SCREEN (Page 1954) — per priority, the
+    maximum absolute deviation of the cumulative daily-volume walk
+    from its mean-rate line, and the earliest day it occurs: the
+    classic change-point detector (a regime shift mid-series bows the
+    walk; stationary noise keeps it near zero) that operational
+    monitoring runs beside Q194's point-outlier screen and Q204's
+    autocorrelation — the three complementary "did the process
+    change?" lenses.
+
+    Exactness: the deviation at day t is Σ₍ᵢ≤ₜ₎xᵢ − t·(S/n), scaled
+    by n to the ALL-INTEGER form n·Σxᵢ − t·S (no rational mean ever
+    floats); cumulative sums are exact cents, the scaled products
+    accumulate in DECIMAL(38,0)/HUGEINT, and the single final divide
+    is rounded 6dp (reported in currency units). The argmax day ties
+    to the earliest on both engines.
+
+    Plan shape at 100 TB: orders collapse to O(priorities × days)
+    daily rows in ONE map-side-combined hash agg (the only
+    orders-sized exchange — the Q204 skeleton); the walk window, the
+    per-priority stats join (broadcast), and both rollups run over
+    the tiny collapsed relation.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    stats = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    d38 = "decimal(38,0)"
+    walk = (
+        daily.join(F.broadcast(stats), "o_orderpriority")
+        .withColumn(
+            "dev_n",
+            F.col("n").cast(d38)
+            * F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(w).cast(d38) * F.col("s"),
+        )
+        .select("o_orderpriority", "d", "n", F.abs("dev_n").alias("adev"))
+    )
+    best = walk.groupBy("o_orderpriority").agg(F.max("adev").alias("mx"))
+    return (
+        walk.join(F.broadcast(best), "o_orderpriority")
+        .filter(F.col("adev") == F.col("mx"))
+        .groupBy("o_orderpriority", "n", "mx")
+        .agg(F.min("d").alias("dev_day"))
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(
+                F.col("mx").cast("double") / F.col("n") / 100, 6
+            ).alias("max_dev"),
+            "dev_day",
+        )
+    )

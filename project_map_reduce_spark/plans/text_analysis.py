@@ -1154,3 +1154,309 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q205 — vocabulary coverage curve (top-k token mass)
+
+_COVERAGE_KS = (100, 1000, 10000)
+
+
+@register(
+    "q_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok) AS r,
+               sum(c) OVER (
+                   ORDER BY c DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM counts
+    ),
+    tot AS (SELECT sum(c) AS n, count(*) AS vocab FROM counts)
+    SELECT k,
+           CAST(least(k, t.vocab) AS BIGINT) AS n_vocab_used,
+           CAST(max(r2.cum) AS BIGINT) AS covered_tokens,
+           round(CAST(max(r2.cum) AS DOUBLE) / t.n, 6) AS coverage
+    FROM (VALUES {', '.join(f'({k})' for k in _COVERAGE_KS)}) ks(k)
+    CROSS JOIN tot t
+    JOIN ranked r2 ON r2.r <= ks.k
+    GROUP BY k, t.n, t.vocab
+    """,
+)
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q205: VOCABULARY COVERAGE CURVE — the fraction of all corpus
+    tokens covered by the top-k most frequent types (k = 100 / 1000 /
+    10000), the first statistic a tokenizer or vocabulary budget
+    decision reads (BPE vocab sizing, OOV-rate planning, the
+    Zipf-mass complement of Q122's trained merges).
+
+    Determinism: integer token counts; the rank order is
+    (count DESC, token) — fully tied-down; coverage is one exact
+    integer divide rounded 6dp.
+
+    Plan shape at 100 TB: the explode pass collapses map-side to
+    O(vocab) counted types (the TF-IDF exchange profile); the rank +
+    cumulative-mass window runs over the O(vocab) relation ONLY —
+    vocab is millions at web scale (fine for one reducer); if it
+    ever isn't, the Q201 chunked-prefix decomposition applies
+    verbatim (count-descending range partition + broadcast chunk
+    prefix). Totals are aggregate-then-literal; the k-probe relation
+    is 3 literal rows joined broadcast.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = toks.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    ).collect()[0]
+    n_tokens, vocab = int(tot["n"]), int(tot["vocab"])
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = toks.withColumn("r", F.row_number().over(w)).withColumn(
+        "cum",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # One conditional aggregate (no join, no BNLJ): max(cum | r<=k)
+    # per probe point, then stack the 3 scalars into rows.
+    agg = ranked.agg(
+        *[
+            F.max(F.when(F.col("r") <= k, F.col("cum")))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in _COVERAGE_KS
+        ]
+    )
+    stacked = agg.selectExpr(
+        "stack({n}, {args}) as (k, covered_tokens)".format(
+            n=len(_COVERAGE_KS),
+            args=", ".join(f"{k}, c{k}" for k in _COVERAGE_KS),
+        )
+    )
+    return stacked.select(
+        "k",
+        F.least(F.col("k"), F.lit(vocab)).cast("bigint").alias(
+            "n_vocab_used"
+        ),
+        "covered_tokens",
+        F.round(F.col("covered_tokens") / F.lit(n_tokens), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q206 — Zipf slope of the token frequency distribution
+
+
+@register(
+    "q_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC, tok))
+                          * 1000000) AS BIGINT) AS lr,
+               CAST(round(ln(c) * 1000000) AS BIGINT) AS lf
+        FROM counts
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(CAST(lr AS HUGEINT)) AS sx,
+               sum(CAST(lf AS HUGEINT)) AS sy,
+               sum(CAST(lr AS HUGEINT) * lf) AS sxy,
+               sum(CAST(lr AS HUGEINT) * lr) AS sxx
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q206: ZIPF SLOPE — the least-squares slope of ln(frequency) on
+    ln(rank) over the full vocabulary, the corpus-health statistic
+    behind "does this scrape look like natural language?" (natural
+    text sits near −1; template spam and mode-collapsed synthetic
+    data bend it; Zipf 1949, Piantadosi 2014 review). Complements
+    Q205's coverage mass with the distribution's SHAPE.
+
+    Determinism is the Q198 micro-unit doctrine end-to-end: ln(rank)
+    and ln(count) are each quantized to integer micro-units PER VOCAB
+    ROW (term-level rounding absorbs libm's last ulp — the
+    q_pmi_bigrams precedent), the regression moments are exact
+    DECIMAL(38,0)/HUGEINT integer sums, and the slope is ONE double
+    division of exact integers rounded 6dp.
+
+    Plan shape at 100 TB: explode collapses map-side to O(vocab);
+    the rank window is the same O(vocab) single pass as Q205 (same
+    documented chunked-prefix flip); moments are one 5-scalar
+    aggregate. Nothing corpus-sized moves after the first collapse.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    micro = F.lit(1_000_000.0)
+    ranked = counts.select(
+        F.round(F.log(F.row_number().over(w)) * micro)
+        .cast("bigint")
+        .alias("lr"),
+        F.round(F.log("c") * micro).cast("bigint").alias("lf"),
+    )
+    d38 = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lr").cast(d38)).alias("sx"),
+        F.sum(F.col("lf").cast(d38)).alias("sy"),
+        F.sum((F.col("lr") * F.col("lf")).cast(d38)).alias("sxy"),
+        F.sum((F.col("lr") * F.col("lr")).cast(d38)).alias("sxx"),
+    )
+    n = F.col("n").cast(d38)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q207 — two-sample KS distance of doc-length distributions per source
+
+
+@register(
+    "q_ks_lengths",
+    oracle="""
+    WITH src AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    lens AS (SELECT v, sum(c) AS g FROM src GROUP BY v),
+    names AS (SELECT source, sum(c) AS ns FROM src GROUP BY source),
+    tot AS (SELECT sum(c) AS n FROM src),
+    grid AS (
+        SELECT nm.source, nm.ns, gl.v, gl.g, COALESCE(s.c, 0) AS c
+        FROM names nm
+        CROSS JOIN lens gl
+        LEFT JOIN src s ON s.source = nm.source AND s.v = gl.v
+    ),
+    ecdf AS (
+        SELECT source, ns, v,
+               sum(c) OVER (
+                   PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cs,
+               sum(g) OVER (
+                   PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cg
+        FROM grid
+    )
+    SELECT e.source,
+           CAST(e.ns AS BIGINT) AS n_docs,
+           round(CAST(max(abs(CAST(e.cs AS HUGEINT) * (t.n - e.ns)
+                               - CAST(e.cg - e.cs AS HUGEINT) * e.ns))
+                      AS DOUBLE)
+                 / (CAST(e.ns AS DOUBLE) * (t.n - e.ns)), 6) AS ks_d
+    FROM ecdf e CROSS JOIN tot t
+    GROUP BY e.source, e.ns, t.n
+    """,
+)
+def q_ks_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q207: per-source two-sample KOLMOGOROV-SMIRNOV distance between
+    the source's doc-length distribution and the REST of the corpus —
+    the drift/contamination screen a curation pipeline runs per feed
+    (a source whose length ECDF diverges is truncating, padding, or
+    duplicating; KS is the standard distribution-free test).
+
+    Exactness: D = max over the pooled value grid of
+    |cs/ns − cr/nr|, evaluated as the INTEGER cross-product form
+    |cs·nr − cr·ns| (no per-point float ECDFs — one double divide at
+    the very end, rounded 6dp). Cross products accumulate in
+    DECIMAL(38,0)/HUGEINT (int64 dies past ~3e9 × 3e9 docs).
+
+    Plan shape at 100 TB: documents collapse map-side to the
+    O(sources × distinct-lengths) count grid FIRST — the only
+    corpus-sized exchange; the evaluation grid is sources ×
+    distinct-lengths (bounded: lengths are physically capped), built
+    by broadcasting the O(distinct-lengths) global relation; ECDFs
+    are per-source cumulative windows over that grid (well-spread —
+    one partition per source, each O(distinct-lengths) rows); the
+    final max collapses to O(sources). The all-pairs source-vs-source
+    matrix is the documented extension (same grid, pair the cumsums).
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    glob = src.groupBy("v").agg(F.sum("c").alias("g"))
+    names = src.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_total = int(glob.agg(F.sum("g")).collect()[0][0])
+    grid = (
+        names.crossJoin(F.broadcast(glob))
+        .join(src, ["source", "v"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d38 = "decimal(38,0)"
+    ecdf = grid.select(
+        "source",
+        "ns",
+        F.sum("c").over(w).alias("cs"),
+        F.sum("g").over(w).alias("cg"),
+    )
+    # |cs·nr − cr·ns| with nr = N − ns, cr = cg − cs — the exact
+    # integer cross-product form of |ECDF_src − ECDF_rest|.
+    num = F.abs(
+        F.col("cs").cast(d38) * (F.lit(n_total) - F.col("ns"))
+        - (F.col("cg") - F.col("cs")).cast(d38) * F.col("ns")
+    )
+    return ecdf.groupBy("source", "ns").agg(
+        F.max(num).alias("mx")
+    ).select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("mx").cast("double")
+            / (
+                F.col("ns").cast("double")
+                * (F.lit(n_total) - F.col("ns"))
+            ),
+            6,
+        ).alias("ks_d"),
+    )

@@ -92,6 +92,7 @@ _BNLJ_ALLOWED = {
     "q_text_tfidf",
     "q_sample_temperature",  # 1-row n_min scalar broadcast into rates
     "q_heavy_hitters",  # 1-row sketch map broadcast into the top-10 judge
+    "q_ks_lengths",  # sources × broadcast O(distinct-lengths) ECDF grid
 }
 
 

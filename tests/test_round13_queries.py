@@ -311,3 +311,194 @@ def test_fuzzy_ledger_broadcasts_the_cluster_relation(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------- Q201 interval overlap (wave 2)
+def test_interval_overlap_matches_simple_sweep(spark, sf_dir):
+    """Q201's chunked two-phase prefix sum must equal the textbook
+    single-pass sweep line recomputed in Python — pins the chunk
+    decomposition algebra (base + local == global running sum) and
+    the closed-open boundary rule (-1 before +1 at an instant)."""
+    from project_map_reduce_spark.plans.event_analytics import _LEASE_MICROS
+
+    from project_map_reduce_spark.functions.det import epoch_micros
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", epoch_micros("ts").alias("t")
+    )
+    deltas = defaultdict(list)
+    for r in ev.collect():
+        deltas[r["event_type"]].append((r["t"], 1))
+        deltas[r["event_type"]].append((r["t"] + _LEASE_MICROS, -1))
+    expect = {}
+    for et, ds in deltas.items():
+        run = peak = 0
+        peak_at = None
+        for t, d in sorted(ds):
+            run += d
+            if run > peak:
+                peak, peak_at = run, t
+        expect[et] = (peak, peak_at)
+    got = {
+        r["event_type"]: (r["peak_concurrency"], r["peak_at_micros"])
+        for r in entries()["q_interval_overlap"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------ Q202 Gini (wave 2)
+def test_gini_spend_matches_bruteforce(spark, sf_dir):
+    """Q202 vs the rank-formula Gini recomputed in Python from raw
+    cents — pins the exact-integer algebra and the (cents, custkey)
+    tie order; also bounds: 0 <= G < 1 for non-negative spend."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = defaultdict(int)
+    for r in o.collect():
+        spend[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in c.collect()}
+    by_seg = defaultdict(list)
+    for k, v in spend.items():
+        by_seg[seg_of[k]].append((v, k))
+    got = {
+        r["segment"]: r
+        for r in entries()["q_gini_spend"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_seg)
+    for seg, xs in by_seg.items():
+        xs.sort()
+        n = len(xs)
+        s = sum(v for v, _ in xs)
+        w = sum((i + 1) * v for i, (v, _) in enumerate(xs))
+        gini = (2 * w - (n + 1) * s) / (n * s)
+        r = got[seg]
+        assert r["n_customers"] == n
+        assert abs(r["gini"] - round(gini, 6)) < 1e-9
+        assert 0.0 <= r["gini"] < 1.0
+
+
+# --------------------------------------------- Q203 Benford (wave 2)
+def test_benford_reconciles_and_shares_sum_to_one(spark, sf_dir):
+    import math
+
+    rows = entries()["q_benford"].fn(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    o = load(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["expected"] == round(math.log10(1 + 1 / r["digit"]), 6)
+        assert abs(r["deviation"] - round(r["observed"] - r["expected"], 6)) < 1e-9
+
+
+# ----------------------------------------- Q204 autocorr (wave 2)
+def test_autocorr_daily_bounds_and_pair_counts(spark, sf_dir):
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.col("o_orderdate").cast("date"))
+        .count()
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    n_days = {r["o_orderpriority"]: r["count"] for r in daily}
+    for r in entries()["q_autocorr_daily"].fn(spark, sf_dir).collect():
+        assert r["n_pairs"] == n_days[r["o_orderpriority"]] - 1
+        assert -1.0 <= r["autocorr_lag1"] <= 1.0
+
+
+# ------------------------------------- Q205/Q206 vocab stats (wave 3)
+def test_ngram_coverage_matches_bruteforce_topk(spark, sf_dir):
+    from collections import Counter
+
+    cnt = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        cnt.update(r["text"].split(" "))
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = {r["k"]: r for r in entries()["q_ngram_coverage"].fn(spark, sf_dir).collect()}
+    prev = 0
+    for k in sorted(rows):
+        r = rows[k]
+        covered = sum(c for _, c in ordered[:k])
+        assert r["covered_tokens"] == covered
+        assert r["n_vocab_used"] == min(k, len(ordered))
+        assert abs(r["coverage"] - round(covered / total, 6)) < 1e-9
+        assert r["covered_tokens"] >= prev
+        prev = r["covered_tokens"]
+
+
+def test_zipf_slope_matches_bruteforce(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    cnt = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        cnt.update(r["text"].split(" "))
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (round(math.log(i + 1) * 1e6), round(math.log(c) * 1e6))
+        for i, (_, c) in enumerate(ordered)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    [r] = entries()["q_zipf_slope"].fn(spark, sf_dir).collect()
+    assert r["n_vocab"] == n
+    assert abs(r["zipf_slope"] - round(slope, 6)) < 1e-9
+    assert r["zipf_slope"] < 0  # frequency falls with rank
+
+
+# ------------------------------------------- Q207 KS drift (wave 3)
+def test_ks_lengths_matches_bruteforce(spark, sf_dir):
+    lens = defaultdict(list)
+    for r in load(spark, sf_dir, "documents").select("source", "n_chars").collect():
+        lens[r["source"]].append(r["n_chars"])
+    all_vals = sorted({v for xs in lens.values() for v in xs})
+    total = sum(len(xs) for xs in lens.values())
+    got = {r["source"]: r for r in entries()["q_ks_lengths"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(lens)
+    for src, xs in lens.items():
+        ns, nr = len(xs), total - len(xs)
+        rest = [v for s2, ys in lens.items() if s2 != src for v in ys]
+        best = 0
+        for v in all_vals:
+            cs = sum(1 for x in xs if x <= v)
+            cr = sum(1 for x in rest if x <= v)
+            best = max(best, abs(cs * nr - cr * ns))
+        r = got[src]
+        assert r["n_docs"] == ns
+        assert abs(r["ks_d"] - round(best / (ns * nr), 6)) < 1e-9
+        assert 0.0 <= r["ks_d"] <= 1.0
+
+
+# ------------------------------------------- Q208 CUSUM (wave 3)
+def test_cusum_drift_matches_bruteforce(spark, sf_dir):
+    daily = defaultdict(dict)
+    for r in (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+        .collect()
+    ):
+        daily[r["o_orderpriority"]][r["d"]] = r["x"]
+    got = {r["o_orderpriority"]: r for r in entries()["q_cusum_drift"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for prio, series in daily.items():
+        days = sorted(series)
+        n = len(days)
+        s = sum(series.values())
+        cum = 0
+        best, best_day = -1, None
+        for t, d in enumerate(days, start=1):
+            cum += series[d]
+            dev = abs(n * cum - t * s)
+            if dev > best:
+                best, best_day = dev, d
+        r = got[prio]
+        assert r["n_days"] == n
+        assert abs(r["max_dev"] - round(best / n / 100, 6)) < 1e-9
+        assert r["dev_day"] == best_day

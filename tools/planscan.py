@@ -35,7 +35,18 @@ hash-path alternative IS count(DISTINCT)'s Expand, which the query
 exists to avoid. r12 adds a sixth BNLJ: q_ann_pq's coarse IVF
 assignment — the identical 16-row centroid broadcast crossJoin as
 q_similarity_ann (the PQ stages themselves are broadcast equi-joins).
-Current expected total: 14 flagged, all documented (mirrors
+r13 adds five: q_ann_pq_residual (BNLJ — the shared _ivf_pq_search
+16-row centroid crossJoin, identical to q_ann_pq's); q_ks_lengths
+(BNLJ — sources × broadcast O(distinct-lengths) ECDF grid, bounded by
+physical length caps); and three struct-buffer SortAggregates in the
+q_minmax_by/q_cdc_apply class (struct min/max has no hash-agg
+fast path by Spark's aggregate selection): q_dedup_fuzzy_ledger's
+keeper pick runs over CLUSTERED docs only (O(clustered) ≪ corpus),
+q_gap_islands' longest-streak pick runs over O(islands), and
+q_ohlc_bars' open/close struct-min/max is the single-shuffle
+mergeable form whose alternative — the oracle's two row_number
+windows — costs two full sorts instead of one.
+Current expected total: 19 flagged, all documented (mirrors
 tests/test_plan_audit.py::_BNLJ_ALLOWED).
 
 Usage:
