@@ -309,6 +309,13 @@ _R13_NEW_DEFERRED: list[str] = [
     "q_zipf_slope",
     "q_ks_lengths",
     "q_cusum_drift",
+    "q_freq_itemsets",
+    "q_aging_buckets",
+    "q_rolling_anomaly",
+    "q_seasonality_dow",
+    "q_window_funnel",
+    "q_audience_overlap",
+    "q_wilson_ci",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -773,3 +773,541 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "peak_concurrency")
         .agg(F.min("t").alias("peak_at_micros"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q211 — rolling-window z-score anomalies (local baseline)
+
+_ROLL_WINDOW = 7  # prior observed days in the local baseline
+_ROLL_Z_MICRO = 3_000_000  # |z| > 3.0 in 6-dp micro-units
+
+
+@register(
+    "q_rolling_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, d, x,
+               datediff('day', DATE '2024-01-01', d) AS di
+        FROM daily
+    ),
+    walk AS (
+        SELECT event_type, d, x,
+               count(x) OVER w AS nw,
+               sum(CAST(x AS HUGEINT)) OVER w AS s,
+               sum(CAST(x AS HUGEINT) * x) OVER w AS ss
+        FROM idx
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY di
+            RANGE BETWEEN {_ROLL_WINDOW} PRECEDING AND 1 PRECEDING
+        )
+    ),
+    scored AS (
+        SELECT event_type, d,
+               CAST(round(
+                   (x - CAST(s AS DOUBLE) / nw)
+                   / sqrt((ss - CAST(s AS DOUBLE) * s / nw) / (nw - 1))
+                   * 1000000) AS BIGINT) AS z_micro
+        FROM walk
+        WHERE nw >= 3
+          AND (ss - CAST(s AS DOUBLE) * s / nw) / (nw - 1) > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(count(*) FILTER (WHERE abs(z_micro) > {_ROLL_Z_MICRO})
+                AS BIGINT) AS n_flagged,
+           round(CAST(max(abs(z_micro)) AS DOUBLE) / 1000000, 6)
+               AS max_abs_z
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q211: ROLLING-WINDOW z-score anomalies — each day's total value
+    per event type scored against the mean/std of the PRIOR 7 observed
+    days (a trailing local baseline; |z| > 3 flags): the adaptive
+    twin of Q194's global median/MAD screen and the operational form
+    monitoring systems actually run (a slow drift re-baselines
+    itself; a step change fires). Warm-up rule: at least 3 prior
+    days and positive variance, or the day is unscored.
+
+    Determinism: daily totals are exact micro-unit BIGINTs; window
+    moments (n, Σx, Σx²) are exact HUGEINT/DECIMAL(38,0) sums over a
+    RANGE frame keyed on an INTEGER day index (calendar-true: a gap
+    day shrinks the window rather than silently stretching it); z is
+    one double expression of exact integers, quantized to micro-units
+    BEFORE the flag compare and the max — so the 3.0 threshold can
+    never flip on a ulp.
+
+    Plan shape at 100 TB: events collapse to O(types × days) in ONE
+    map-side-combined hash agg (the only event-sized exchange); the
+    RANGE window and both rollups run over the tiny daily relation —
+    the Q204/Q208 skeleton.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 1_000_000).cast("bigint")
+            ).alias("x")
+        )
+        .withColumn(
+            "di", F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-_ROLL_WINDOW, -1)
+    )
+    d38 = "decimal(38,0)"
+    walk = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.count("x").over(w).alias("nw"),
+        F.sum(F.col("x").cast(d38)).over(w).alias("s"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).over(w).alias("ss"),
+    )
+    var_num = F.col("ss").cast("double") - F.col("s").cast(
+        "double"
+    ) * F.col("s").cast("double") / F.col("nw")
+    z_micro = F.round(
+        (F.col("x") - F.col("s").cast("double") / F.col("nw"))
+        / F.sqrt(var_num / (F.col("nw") - 1))
+        * 1_000_000
+    ).cast("bigint")
+    scored = walk.filter(
+        (F.col("nw") >= 3) & (var_num / (F.col("nw") - 1) > 0)
+    ).select("event_type", z_micro.alias("z_micro"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            (F.abs(F.col("z_micro")) > _ROLL_Z_MICRO).cast("bigint")
+        ).alias("n_flagged"),
+        F.round(
+            F.max(F.abs("z_micro")).cast("double") / 1_000_000, 6
+        ).alias("max_abs_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q212 — day-of-week seasonality screen (chi-square uniformity)
+
+
+@register(
+    "q_seasonality_dow",
+    oracle="""
+    WITH dow AS (
+        SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dw,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(c) AS n, sum(CAST(c AS HUGEINT) * c) AS ssq
+        FROM dow GROUP BY 1
+    ),
+    peak AS (
+        SELECT event_type, dw AS peak_dow
+        FROM (
+            SELECT event_type, dw,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY c DESC, dw
+                   ) AS rn
+            FROM dow
+        ) WHERE rn = 1
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n_events,
+           round(CAST(7 * t.ssq - CAST(t.n AS HUGEINT) * t.n AS DOUBLE)
+                 / t.n, 6) AS chi2,
+           CAST(p.peak_dow AS INT) AS peak_dow
+    FROM tot t JOIN peak p USING (event_type)
+    """,
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q212: DAY-OF-WEEK SEASONALITY screen — per event type, the
+    chi-square statistic of the weekday histogram against uniformity
+    (dof = 6) plus the peak weekday: the weekly-rhythm detector run
+    beside Q211's rolling screen (human traffic has a pulse; bot
+    traffic and synthetic replays are flat — high vs near-zero chi²),
+    and the Benford-style closed-form test over the TIME dimension.
+
+    Exactness: with e = n/7, Σ(o−e)²/e algebraically collapses to
+    (7·Σo² − n²)/n — counts stay integers end-to-end (Σo² in
+    DECIMAL(38,0)/HUGEINT) and ONE double divide is rounded 6dp; no
+    per-cell float expectation ever materializes (the Q203
+    discipline). Weekday = Sunday-start 1..7 on both engines
+    (DuckDB's 0-based dayofweek is shifted in the oracle); peak ties
+    to the smaller weekday.
+
+    Plan shape at 100 TB: events collapse map-side to O(types × 7)
+    — the cheapest possible shuffle; everything downstream moves
+    ≤7 rows per type.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    dow = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).alias("dw"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    tot = dow.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("ssq"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("dw"))
+    peak = (
+        dow.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("dw").cast("int").alias("peak_dow"))
+    )
+    return tot.join(peak, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(
+            (
+                F.lit(7) * F.col("ssq")
+                - F.col("n").cast(d38) * F.col("n")
+            ).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("chi2"),
+        "peak_dow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q213 — time-window funnel (windowFunnel semantics over Q73's chain)
+
+_FUNNEL_WINDOW_MICROS = 24 * 3600 * 1_000_000  # 24h from the anchor step
+
+
+@register(
+    "q_window_funnel",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+        SELECT user_id, min(t) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.t) AS t2, min(s1.t1) AS t1
+        FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                        AND e.t > s1.t1
+                        AND e.t <= s1.t1 + {_FUNNEL_WINDOW_MICROS}
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.t) AS t3, min(s2.t1) AS t1
+        FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                        AND e.t > s2.t2
+                        AND e.t <= s2.t1 + {_FUNNEL_WINDOW_MICROS}
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    staged AS (
+        SELECT s1.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS funnel_stage,
+               s3.t3 - s3.t1 AS complete_micros
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT funnel_stage,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(complete_micros) AS DOUBLE)
+                 / count(complete_micros) / 3600000000.0, 6)
+               AS avg_hours_to_complete
+    FROM staged
+    GROUP BY funnel_stage
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q213: TIME-WINDOW FUNNEL (the ClickHouse ``windowFunnel``
+    semantic, earliest-anchor greedy form): view → click → purchase
+    where every later step must land within 24 HOURS of the user's
+    first view — Q73's unbounded chain with the window constraint
+    that turns "eventually converted" into "converted in-session",
+    the form growth analytics actually reports. Declared semantics:
+    the anchor is the EARLIEST view and each step greedily takes its
+    earliest qualifying event (deterministic; the any-chain-maximal
+    variant is a per-user sequential scan — the documented
+    applyInPandas escalation if ever needed).
+
+    Plan shape at 100 TB: the step filter prunes to 3 event types at
+    the scan; each stage is a keyed equi-join + map-side-combined min
+    aggregate on user_id — three passes over the FILTERED relation,
+    all shuffles on the same user_id key (co-partitioned, AQE reuses
+    the exchange); the stage rollup moves ≤3 rows. Exactness: epoch
+    micros end-to-end; avg completion converts exact integer micro
+    sums with ONE divide, rounded 6dp.
+
+    Reference analog: none — SURVEY §2 B.10 extension row (Q73's
+    windowed twin).
+    """
+    from project_map_reduce_spark.functions.det import epoch_micros
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", epoch_micros("ts").alias("t"))
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("t") > F.col("t1"))
+            & (F.col("t") <= F.col("t1") + F.lit(_FUNNEL_WINDOW_MICROS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2", "t1"), "user_id")
+        .filter(
+            (F.col("t") > F.col("t2"))
+            & (F.col("t") <= F.col("t1") + F.lit(_FUNNEL_WINDOW_MICROS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"), F.min("t1").alias("t1a"))
+    )
+    staged = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(
+            s3.select(
+                "user_id", (F.col("t3") - F.col("t1a")).alias("cm")
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            F.when(F.col("cm").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("funnel_stage"),
+            "cm",
+        )
+    )
+    return staged.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum("cm").cast("double")
+            / F.count("cm")
+            / 3_600_000_000.0,
+            6,
+        ).alias("avg_hours_to_complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q214 — pairwise audience overlap (Jaccard between event-type cohorts)
+
+
+@register(
+    "q_audience_overlap",
+    oracle="""
+    WITH au AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (SELECT event_type, count(*) AS n FROM au GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM au a JOIN au b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           round(CAST(i.n_both AS DOUBLE)
+                 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q214: AUDIENCE OVERLAP MATRIX — Jaccard similarity between the
+    user cohorts of every event-type pair (do clickers purchase? are
+    error-hitters a subset of signups?) — the audience-segmentation
+    primitive behind campaign planning and cannibalization analysis;
+    the EXACT small-cardinality twin of the MinHash estimate Q44
+    applies to documents (same statistic, set sizes here allow
+    exactness).
+
+    Plan shape at 100 TB: events collapse map-side to the DISTINCT
+    (type, user) relation — the only event-sized exchange; the
+    intersection self-join keys on user_id (co-partitioned, fan-out
+    bounded by types-per-user ≤ |types|); pair counts are
+    O(types²); sizes join broadcast. Exactness: integer counts, one
+    divide at 6dp.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    au = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = au.alias("a")
+    b = au.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q215 — daily conversion rate with Wilson confidence interval
+
+_WILSON_Z = 1.959964  # 95% two-sided, baked as an identical literal
+
+
+@register(
+    "q_wilson_ci",
+    oracle=f"""
+    WITH clickers AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        WHERE event_type = 'click'
+    ),
+    buyers AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    counts AS (
+        SELECT c.d,
+               count(*) AS n,
+               count(b.user_id) AS k
+        FROM clickers c
+        LEFT JOIN buyers b ON c.d = b.d AND c.user_id = b.user_id
+        GROUP BY c.d
+    )
+    SELECT d,
+           CAST(n AS BIGINT) AS n_clickers,
+           CAST(k AS BIGINT) AS n_converted,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round((CAST(k AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  - {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_low,
+           round((CAST(k AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  + {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_high
+    FROM counts
+    """,
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q215: DAILY CONVERSION RATE with a WILSON 95% interval — per
+    day, the fraction of distinct clicking users who also purchased
+    that day, with the score interval (Wilson 1927) every A/B and
+    funnel dashboard should use instead of the Wald interval (which
+    collapses at small n and rate extremes). The z constant is baked
+    as an IDENTICAL literal in plan and oracle (the Q203 discipline —
+    no inverse-normal ever evaluated in-engine).
+
+    Determinism: k and n are exact distinct-user counts; rate and
+    both bounds are single double expressions of exact integers with
+    the SAME operation order on both engines, rounded 6dp (the
+    Q202/Q211 formula class).
+
+    Plan shape at 100 TB: two map-side DISTINCT collapses of the
+    type-filtered scan (pruned at the parquet reader), one
+    co-partitioned (day, user) equi-join, and a day-grain aggregate
+    — shuffle O(users × days) at most. The closed-form interval
+    is a narrow codegen map over O(days) rows.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    ev = load(spark, sf_dir, "events")
+    clickers = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .withColumn("bought", F.lit(1))
+    )
+    counts = (
+        clickers.join(buyers, ["d", "user_id"], "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("bought").alias("k"),
+        )
+    )
+    z = F.lit(_WILSON_Z)
+    p = F.col("k").cast("double") / F.col("n")
+    nn = F.col("n")
+    center = p + z * z / (2 * nn)
+    half = z * F.sqrt(p * (1 - p) / nn + z * z / (4.0 * nn * nn))
+    denom = 1 + z * z / nn
+    return counts.select(
+        "d",
+        F.col("n").cast("bigint").alias("n_clickers"),
+        F.col("k").cast("bigint").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    )

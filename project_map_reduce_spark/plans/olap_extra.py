@@ -861,12 +861,14 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     s = F.sum("cents")
     wsum = F.sum(
-        (F.col("i") * F.col("cents")).cast("decimal(38,0)")
+        F.col("i").cast("decimal(38,0)") * F.col("cents")
     )
-    num = (F.lit(2) * wsum).cast("decimal(38,0)") - (
-        (n + F.lit(1)) * s
-    ).cast("decimal(38,0)")
-    den = (n * s).cast("decimal(38,0)")
+    # every product runs in DECIMAL(38,0): n*s overflows int64 past
+    # ~3e6 customers x 1e14 total cents (it did, at the sf10 probe)
+    nD = n.cast("decimal(38,0)")
+    sD = s.cast("decimal(38,0)")
+    num = F.lit(2) * wsum - (nD + F.lit(1)) * sD
+    den = nD * sD
     return ranked.groupBy(
         F.col("c_mktsegment").alias("segment")
     ).agg(
@@ -1145,5 +1147,182 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("mx").cast("double") / F.col("n") / 100, 6
             ).alias("max_dev"),
             "dev_day",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q209 — frequent itemset pairs with lift (market-basket affinity)
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP = 20
+
+
+@register(
+    "q_freq_itemsets",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    part_cnt AS (
+        SELECT l_partkey, count(*) AS c FROM items GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           round(CAST(support AS DOUBLE) * t.n / (ca.c * cb.c), 6)
+               AS lift
+    FROM pairs p
+    CROSS JOIN n_orders t
+    JOIN part_cnt ca ON p.part_a = ca.l_partkey
+    JOIN part_cnt cb ON p.part_b = cb.l_partkey
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {_BASKET_TOP}
+    """,
+)
+def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q209: FREQUENT ITEMSET PAIRS + LIFT — the market-basket
+    affinity miner (Agrawal-Srikant 1994's 2-itemset stage, the one
+    that carries every "bought together" feature): pairs of parts
+    co-occurring in an order, support-floored, ranked by support,
+    scored by lift = P(ab)/(P(a)P(b)) — the Q192 PMI statistic over
+    BASKETS instead of token windows.
+
+    Pair generation is a SELF-EQUI-JOIN on the order key over the
+    distinct (order, part) relation with part_a < part_b — fan-out
+    bounded by items-per-order² (physically capped at basket size;
+    13 max in the fixture), NEVER corpus²; the classic a-priori
+    observation that frequent pairs live inside baskets. Lift joins
+    the O(parts) count relation twice (broadcast — a parts dimension
+    fits any executor); N is aggregate-then-literal; top-20 is
+    TakeOrderedAndProject. Determinism: integer supports, one double
+    expression of exact integers rounded 6dp, full (support desc,
+    part_a, part_b) tie order.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support") * F.lit(n_orders) / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q210 — accounts-receivable aging buckets
+
+_AGING_REF = "2024-06-30"  # fixed analysis date (the Q199 _RFM_REF pattern)
+
+
+@register(
+    "q_aging_buckets",
+    oracle=f"""
+    WITH aged AS (
+        SELECT o_orderstatus,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        DATE '{_AGING_REF}') AS age,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) <= DATE '{_AGING_REF}'
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age <= 30 THEN '0-30'
+                WHEN age <= 60 THEN '31-60'
+                WHEN age <= 90 THEN '61-90'
+                ELSE '90+' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(cents) AS DOUBLE) / 100, 6) AS total_value
+    FROM aged
+    GROUP BY 1, 2
+    """,
+)
+def q_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q210: AGING BUCKETS — the accounts-receivable report every
+    finance warehouse serves (0-30/31-60/61-90/90+ days outstanding
+    per order status at a fixed analysis date), and the template for
+    any fixed-boundary age/recency bucketing (data-freshness SLAs,
+    cache-tier assignment). Fixed date literal (the Q199 pattern) so
+    replays are deterministic; the date filter prunes future orders
+    at the scan (PushedFilters).
+
+    Plan shape at 100 TB: one narrow codegen map (datediff + CASE)
+    feeding one partial+final HashAggregate over statuses × 4 buckets
+    — the Q15 profile; exact BIGINT cents.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    age = F.datediff(
+        F.lit(_AGING_REF).cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 30, F.lit("0-30"))
+        .when(age <= 60, F.lit("31-60"))
+        .when(age <= 90, F.lit("61-90"))
+        .otherwise(F.lit("90+"))
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").cast("date") <= F.lit(_AGING_REF).cast("date")
+        )
+        .select(
+            "o_orderstatus",
+            bucket.alias("bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100, 6).alias(
+                "total_value"
+            ),
         )
     )

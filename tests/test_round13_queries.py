@@ -502,3 +502,224 @@ def test_cusum_drift_matches_bruteforce(spark, sf_dir):
         assert r["n_days"] == n
         assert abs(r["max_dev"] - round(best / n / 100, 6)) < 1e-9
         assert r["dev_day"] == best_day
+
+
+# ------------------------------------------- Q209 itemsets (wave 4)
+def test_freq_itemsets_supports_match_bruteforce(spark, sf_dir):
+    """Q209 vs a brute-force basket-pair count — pins the distinct
+    (order, part) collapse, the a<b pair orientation, the support
+    floor, and the lift algebra."""
+    from itertools import combinations
+
+    baskets = defaultdict(set)
+    for r in load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect():
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    support = defaultdict(int)
+    part_cnt = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            part_cnt[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    n = len(baskets)
+    rows = entries()["q_freq_itemsets"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    seen = set()
+    for r in rows:
+        key = (r["part_a"], r["part_b"])
+        assert key not in seen
+        seen.add(key)
+        assert r["part_a"] < r["part_b"]
+        assert support[key] == r["support"] >= 2
+        lift = r["support"] * n / (part_cnt[r["part_a"]] * part_cnt[r["part_b"]])
+        assert abs(r["lift"] - round(lift, 6)) < 1e-9
+    # the returned set is exactly the top-20 under the declared order
+    ordered = sorted(
+        ((s, a, b) for (a, b), s in support.items() if s >= 2),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[: len(rows)]
+    assert [(r["support"], r["part_a"], r["part_b"]) for r in rows] == ordered
+
+
+# --------------------------------------------- Q210 aging (wave 4)
+def test_aging_buckets_reconcile(spark, sf_dir):
+    from datetime import date
+
+    rows = entries()["q_aging_buckets"].fn(spark, sf_dir).collect()
+    assert {r["bucket"] for r in rows} <= {"0-30", "31-60", "61-90", "90+"}
+    o = load(spark, sf_dir, "orders")
+    n_eligible = o.filter(
+        F.col("o_orderdate").cast("date") <= F.lit("2024-06-30").cast("date")
+    ).count()
+    assert sum(r["n_orders"] for r in rows) == n_eligible
+
+
+# ------------------------------------- Q211 rolling anomaly (wave 4)
+def test_rolling_anomaly_matches_bruteforce(spark, sf_dir):
+    """Q211 vs an independent trailing-window z computation — pins the
+    RANGE-frame day arithmetic (gaps shrink the window), the warm-up
+    rule, and the micro-unit quantize-before-compare contract."""
+    import math
+
+    daily = defaultdict(dict)
+    for r in (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("x"))
+        .collect()
+    ):
+        daily[r["event_type"]][r["d"]] = r["x"]
+    got = {r["event_type"]: r for r in entries()["q_rolling_anomaly"].fn(spark, sf_dir).collect()}
+    for et, series in daily.items():
+        days = sorted(series)
+        zs = []
+        for d in days:
+            wnd = [series[p] for p in days if 1 <= (d - p).days <= 7]
+            nw = len(wnd)
+            if nw < 3:
+                continue
+            s, ss = sum(wnd), sum(v * v for v in wnd)
+            var = (ss - float(s) * s / nw) / (nw - 1)
+            if var <= 0:
+                continue
+            zs.append(round((series[d] - float(s) / nw) / math.sqrt(var) * 1e6))
+        if not zs:
+            assert et not in got
+            continue
+        r = got[et]
+        assert r["n_scored"] == len(zs)
+        assert r["n_flagged"] == sum(1 for z in zs if abs(z) > 3_000_000)
+        assert abs(r["max_abs_z"] - round(max(abs(z) for z in zs) / 1e6, 6)) < 1e-9
+
+
+# ----------------------------------- Q212 DOW seasonality (wave 4)
+def test_seasonality_dow_closed_form(spark, sf_dir):
+    """Q212's algebraic collapse (7·Σo² − n²)/n must equal the
+    textbook Σ(o−e)²/e — pins the closed form, plus peak-day and
+    reconciliation invariants."""
+    dow = defaultdict(lambda: defaultdict(int))
+    for r in load(spark, sf_dir, "events").select("event_type", "ts").collect():
+        # Python: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        dw = (r["ts"].date().weekday() + 1) % 7 + 1
+        dow[r["event_type"]][dw] += 1
+    got = {r["event_type"]: r for r in entries()["q_seasonality_dow"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(dow)
+    for et, cells in dow.items():
+        n = sum(cells.values())
+        e = n / 7
+        chi2 = sum((cells.get(d, 0) - e) ** 2 / e for d in range(1, 8))
+        r = got[et]
+        assert r["n_events"] == n
+        assert abs(r["chi2"] - round(chi2, 6)) < 1e-6
+        peak = min(sorted(cells), key=lambda d: (-cells[d], d))
+        assert r["peak_dow"] == peak
+
+
+# ------------------------------------------ Q213 window funnel (wave 5)
+def test_window_funnel_matches_bruteforce_greedy(spark, sf_dir):
+    """Q213 vs an independent greedy-earliest windowed funnel walk —
+    pins the 24h anchor-window rule at BOTH later steps and the
+    strict t ordering; also the windowed stage count can never exceed
+    Q73's unbounded stage for the same user."""
+    from project_map_reduce_spark.plans.event_analytics import (
+        _FUNNEL_WINDOW_MICROS,
+    )
+    from project_map_reduce_spark.functions.det import epoch_micros
+
+    ev = defaultdict(lambda: defaultdict(list))
+    for r in (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", epoch_micros("ts").alias("t"))
+        .collect()
+    ):
+        ev[r["user_id"]][r["event_type"]].append(r["t"])
+    stages = defaultdict(int)
+    hours = []
+    for uid, types in ev.items():
+        views = sorted(types.get("view", []))
+        if not views:
+            continue
+        t1 = views[0]
+        deadline = t1 + _FUNNEL_WINDOW_MICROS
+        t2 = min(
+            (t for t in types.get("click", []) if t1 < t <= deadline),
+            default=None,
+        )
+        stage = 1
+        cm = None
+        if t2 is not None:
+            stage = 2
+            t3 = min(
+                (t for t in types.get("purchase", []) if t2 < t <= deadline),
+                default=None,
+            )
+            if t3 is not None:
+                stage = 3
+                cm = t3 - t1
+        stages[stage] += 1
+        if cm is not None:
+            hours.append(cm)
+    got = {
+        r["funnel_stage"]: r
+        for r in entries()["q_window_funnel"].fn(spark, sf_dir).collect()
+    }
+    assert {k: v for k, v in stages.items()} == {
+        k: r["n_users"] for k, r in got.items()
+    }
+    if 3 in got:
+        expect = round(sum(hours) / len(hours) / 3_600_000_000.0, 6)
+        assert abs(got[3]["avg_hours_to_complete"] - expect) < 1e-9
+
+
+# -------------------------------------- Q214 audience overlap (wave 5)
+def test_audience_overlap_matches_bruteforce(spark, sf_dir):
+    users = defaultdict(set)
+    for r in load(spark, sf_dir, "events").select("event_type", "user_id").distinct().collect():
+        users[r["event_type"]].add(r["user_id"])
+    rows = entries()["q_audience_overlap"].fn(spark, sf_dir).collect()
+    types = sorted(users)
+    assert len(rows) == sum(
+        1
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+        if users[a] & users[b]
+    )
+    for r in rows:
+        inter = users[r["type_a"]] & users[r["type_b"]]
+        union = users[r["type_a"]] | users[r["type_b"]]
+        assert r["type_a"] < r["type_b"]
+        assert r["n_both"] == len(inter)
+        assert abs(r["jaccard"] - round(len(inter) / len(union), 6)) < 1e-9
+
+
+# ------------------------------------------- Q215 Wilson CI (wave 5)
+def test_wilson_ci_bounds_and_bruteforce(spark, sf_dir):
+    import math
+
+    z = 1.959964
+    clickers = defaultdict(set)
+    buyers = defaultdict(set)
+    for r in load(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "user_id"
+    ).collect():
+        if r["event_type"] == "click":
+            clickers[r["d"]].add(r["user_id"])
+        elif r["event_type"] == "purchase":
+            buyers[r["d"]].add(r["user_id"])
+    got = {r["d"]: r for r in entries()["q_wilson_ci"].fn(spark, sf_dir).collect()}
+    assert set(got) == {d for d in clickers if clickers[d]}
+    for d, cs in clickers.items():
+        n = len(cs)
+        k = len(cs & buyers.get(d, set()))
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        denom = 1 + z * z / n
+        r = got[d]
+        assert (r["n_clickers"], r["n_converted"]) == (n, k)
+        assert abs(r["rate"] - round(p, 6)) < 1e-9
+        assert abs(r["ci_low"] - round((center - half) / denom, 6)) < 1e-6
+        assert abs(r["ci_high"] - round((center + half) / denom, 6)) < 1e-6
+        assert r["ci_low"] <= r["rate"] <= r["ci_high"]
+        assert 0.0 <= r["ci_low"] and r["ci_high"] <= 1.0
