@@ -255,6 +255,15 @@ def emit_line(out: dict) -> str:
                 compact["slow_window_remeasured"]
             )
         line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > _LINE_BUDGET:
+            # Second tier (inventory passed ~200 queries r13): 3-dp
+            # floats overflow the window on their own — ship q_sec at
+            # 2 dp (plenty for the driver's grid-ratio read; full
+            # precision always lives in bench_full.json).
+            compact["q_sec"] = [
+                round(out["queries"][k], 2) for k in sorted(out["queries"])
+            ]
+            line = json.dumps(compact, separators=(",", ":"))
     return line
 
 

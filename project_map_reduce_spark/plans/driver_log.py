@@ -316,6 +316,9 @@ _R13_NEW_DEFERRED: list[str] = [
     "q_window_funnel",
     "q_audience_overlap",
     "q_wilson_ci",
+    "q_degree_distribution",
+    "q_triangle_count",
+    "q_survival_km",
 ]
 
 DRIVER_ROUNDS: dict[str, int] = {

@@ -1311,3 +1311,153 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_low"),
         F.round((center + half) / denom, 6).alias("ci_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q218 — Kaplan-Meier survival of signup -> first purchase
+
+_KM_HORIZON_DAYS = 14  # right-censor users with no purchase by day 14
+
+
+@register(
+    "q_survival_km",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT s.user_id,
+               min(datediff('day', CAST(s.t0 AS DATE), CAST(e.ts AS DATE)))
+                   AS t
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+        WHERE e.event_type = 'purchase'
+        GROUP BY s.user_id
+    ),
+    obs AS (
+        SELECT s.user_id,
+               CASE WHEN p.t IS NOT NULL AND p.t <= {_KM_HORIZON_DAYS}
+                    THEN p.t ELSE {_KM_HORIZON_DAYS} END AS t,
+               CASE WHEN p.t IS NOT NULL AND p.t <= {_KM_HORIZON_DAYS}
+                    THEN 1 ELSE 0 END AS event
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    tot AS (SELECT count(*) AS n FROM obs),
+    daily AS (
+        SELECT t, sum(event) AS d, count(*) AS leave_t
+        FROM obs GROUP BY t
+    ),
+    walk AS (
+        SELECT t, d,
+               tot.n - COALESCE(sum(leave_t) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS at_risk
+        FROM daily CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT t, d, at_risk,
+               CAST(round(ln(1.0 - CAST(d AS DOUBLE) / at_risk)
+                          * 1000000) AS BIGINT) AS lnm
+        FROM walk WHERE d > 0 AND d < at_risk
+    )
+    SELECT CAST(t AS BIGINT) AS day,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(exp(CAST(sum(lnm) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS DOUBLE) / 1000000), 6)
+               AS survival
+    FROM terms
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q218: KAPLAN-MEIER survival curve of signup → first purchase
+    (right-censored at {h} days) — the time-to-event estimator every
+    activation/retention analysis needs once not everyone converts
+    (Kaplan & Meier 1958): S(t) = Π₍ᵤ≤ₜ₎ (1 − dᵤ/nᵤ) with censored
+    users leaving the risk set without an event. Output: one row per
+    event day with the risk set, events, and the survival estimate.
+
+    Determinism is the Q198/Q206 micro-unit ln doctrine: each factor's
+    ln(1 − d/n) is quantized to integer micro-units PER EVENT DAY
+    (term-level rounding absorbs libm's ulp), the running product is
+    an exact integer cumsum, and one exp + 6-dp round lands the
+    estimate — the product itself never floats step-to-step, so the
+    curve is bit-identical across engines AND invariant to evaluation
+    order (a naive cumulative float product is neither).
+
+    Plan shape at 100 TB: two keyed min-aggregates over the
+    type-filtered scan (the Q213 stage pattern, same user_id key);
+    the daily (t, d, n) relation is O(horizon) rows — every window
+    and the final curve run over ≤ {h}+1 rows. The censoring horizon
+    bounds state by construction.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.datediff(F.col("ts").cast("date"), F.col("t0").cast("date"))
+            ).alias("t")
+        )
+    )
+    h = F.lit(_KM_HORIZON_DAYS)
+    obs = (
+        s.join(p, "user_id", "left")
+        .select(
+            F.when(
+                F.col("t").isNotNull() & (F.col("t") <= h), F.col("t")
+            )
+            .otherwise(h)
+            .alias("t"),
+            (F.col("t").isNotNull() & (F.col("t") <= h))
+            .cast("int")
+            .alias("event"),
+        )
+    )
+    n_total = obs.count()
+    daily = obs.groupBy("t").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("leave_t")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    walk = daily.withColumn(
+        "at_risk",
+        F.lit(n_total)
+        - F.coalesce(F.sum("leave_t").over(w_prev), F.lit(0)),
+    )
+    terms = walk.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("at_risk"))
+    ).withColumn(
+        "lnm",
+        F.round(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk"))
+            * 1_000_000
+        ).cast("bigint"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").cast("bigint").alias("day"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.round(
+            F.exp(
+                F.sum("lnm").over(w_cum).cast("double") / 1_000_000
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+fmt_doc(q_survival_km, h=_KM_HORIZON_DAYS)

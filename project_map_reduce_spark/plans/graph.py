@@ -204,3 +204,173 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fmt_doc(q_hierarchy_rollup, t10="8.3")
+
+
+# ---------------------------------------------------------------------------
+# Q216/Q217 — co-purchase graph: degree distribution + triangle census
+
+_EDGE_MIN_SUPPORT = 2  # parts co-bought in >= 2 orders form an edge
+
+_COPURCHASE_EDGES_SQL = f"""
+    items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_EDGE_MIN_SUPPORT}
+    )"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Support-floored co-purchase edge list (a < b), the Q209 pair
+    stage without the top-k: the graph both census queries read."""
+    from project_map_reduce_spark.tables import load as _load
+
+    items = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _EDGE_MIN_SUPPORT)
+        .select("a", "b")
+    )
+
+
+@register(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    degs AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM edges
+            UNION ALL
+            SELECT b AS node FROM edges
+        ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM degs GROUP BY degree
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q216: DEGREE DISTRIBUTION of the co-purchase graph (parts =
+    nodes, edges = pairs co-bought in ≥ 2 orders) — the first
+    statistic of any graph workload (power-law vs flat separates
+    organic catalogs from templated ones; the graph twin of Q206's
+    Zipf slope) and the planning input for every joins-on-graph
+    strategy (skew = max degree).
+
+    Plan shape at 100 TB: the edge list inherits Q209's bounded
+    basket self-join doctrine (never corpus²); degrees are one
+    groupBy over 2|E| rows; the histogram collapses to O(distinct
+    degrees). All integer counts — no rounding contract at all.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    degs = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degs.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    tri AS (
+        SELECT count(*) AS t
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    degs AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM edges
+            UNION ALL
+            SELECT b AS node FROM edges
+        ) GROUP BY node
+    ),
+    wedge AS (
+        SELECT sum(CAST(d AS HUGEINT) * (d - 1) / 2) AS w FROM degs
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           round(CASE WHEN wedge.w > 0
+                      THEN 3.0 * tri.t / CAST(wedge.w AS DOUBLE)
+                      ELSE 0 END, 6) AS clustering_coeff
+    FROM tri, wedge
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q217: TRIANGLE CENSUS + global clustering coefficient of the
+    co-purchase graph — THE benchmark distributed-graph aggregate
+    (Suri-Vassilvitskii WWW'11 MapReduce triangle counting): count
+    closed triangles via two edge joins over the canonically-oriented
+    (a < b) edge list, wedges = Σ d(d−1)/2, coefficient =
+    3·T/W. Canonical orientation counts each triangle exactly once
+    (a < b < c) with NO degree-ordering heuristic needed at fixture
+    scale — the degree-ordered orientation (point each edge at the
+    higher-degree endpoint, bounding join fan-out by arboricity) is
+    the documented 100 TB flip and changes no result.
+
+    Plan shape: both joins key on a single edge endpoint (shuffle
+    O(|E|) each, fan-out bounded by max degree — the documented skew
+    knob); wedges ride the Q216 degree relation; output is ONE row.
+    Exactness: integer counts, wedge sum in DECIMAL/HUGEINT, one
+    double divide at 6dp.
+
+    Reference analog: none — SURVEY §2 B.10 extension row.
+    """
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    n_edges = edges.count()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    degs = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = degs.agg(
+        F.sum(
+            F.col("d").cast("decimal(38,0)") * (F.col("d") - 1) / 2
+        ).alias("w")
+    ).collect()[0]["w"]
+    edges.unpersist()
+    coeff = round(3.0 * tri / float(wedges), 6) if wedges and float(wedges) > 0 else 0.0
+    return spark.createDataFrame(
+        [(n_edges, tri, coeff)],
+        "n_edges bigint, n_triangles bigint, clustering_coeff double",
+    )

@@ -28,9 +28,13 @@ def test_contract_line_fits_tail_capture_at_current_inventory():
     line = bench.emit_line(out)
     assert len(line) <= bench._LINE_BUDGET, len(line)
     parsed = json.loads(line)
-    # lossless decode: q_sec aligns with sorted query names
+    # decodable: q_sec aligns with sorted query names; tier-2 degrade
+    # (inventory > ~200) may round to 2 dp — bench_full.json keeps
+    # full precision, the capture-window line needs grid-ratio grade
     got = dict(zip(sorted(times), parsed["q_sec"]))
-    assert got == times
+    assert set(got) == set(times)
+    for k, v in got.items():
+        assert abs(v - times[k]) <= 0.005 + 1e-9, (k, v)
     assert parsed["n_queries"] == len(times)
 
 

@@ -580,6 +580,7 @@ def test_driver_window_rotation_debt_bounded():
         DRIVER_ROUNDS,
         _R12_NEW_DEFERRED,
         _R13_NEW,
+        _R13_NEW_DEFERRED,
         derive_driver_rounds,
         ledger_drift,
         staleness_ceiling,
@@ -614,7 +615,7 @@ def test_driver_window_rotation_debt_bounded():
     # straight from the driver artifacts at the repo root.
     repo_root = Path(__file__).resolve().parents[1]
     derived = derive_driver_rounds(repo_root)
-    never_ok = set(_R13_NEW) | set(_R12_NEW_DEFERRED)
+    never_ok = set(_R13_NEW) | set(_R12_NEW_DEFERRED) | set(_R13_NEW_DEFERRED)
     drift = ledger_drift(DRIVER_ROUNDS, derived, window, never_ok, CURRENT_ROUND)
     assert not drift, f"ledger drifted from CORRECTNESS artifacts (ledger, derived): {drift}"
     # and every never-verified query is a declared new/deferred entry
@@ -645,13 +646,14 @@ def test_ledger_guard_survives_post_commit_driver_artifact_drop():
         DRIVER_ROUNDS,
         _R12_NEW_DEFERRED,
         _R13_NEW,
+        _R13_NEW_DEFERRED,
         derive_driver_rounds,
         ledger_drift,
     )
 
     repo_root = Path(__file__).resolve().parents[1]
     window = set(_DRIVER_WINDOW)
-    never_ok = set(_R13_NEW) | set(_R12_NEW_DEFERRED)
+    never_ok = set(_R13_NEW) | set(_R12_NEW_DEFERRED) | set(_R13_NEW_DEFERRED)
     # State A: artifacts as committed (pre-drop) — already asserted
     # empty by test_driver_window_rotation_debt_bounded; re-assert so
     # this test is self-contained.

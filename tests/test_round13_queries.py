@@ -723,3 +723,108 @@ def test_wilson_ci_bounds_and_bruteforce(spark, sf_dir):
         assert abs(r["ci_high"] - round((center + half) / denom, 6)) < 1e-6
         assert r["ci_low"] <= r["rate"] <= r["ci_high"]
         assert 0.0 <= r["ci_low"] and r["ci_high"] <= 1.0
+
+
+# ------------------------------ Q216/Q217 co-purchase graph (wave 6)
+def test_graph_census_matches_bruteforce(spark, sf_dir):
+    """Q216's degree histogram and Q217's triangle count vs an
+    independent Python graph build — pins the support-floored edge
+    mining, the canonical a<b<c single-count orientation, and the
+    wedge algebra."""
+    from itertools import combinations
+
+    baskets = defaultdict(set)
+    for r in load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect():
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    pair_cnt = defaultdict(int)
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_cnt[(a, b)] += 1
+    edges = {p for p, c in pair_cnt.items() if c >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    hist = defaultdict(int)
+    for node, nbrs in adj.items():
+        hist[len(nbrs)] += 1
+    got_hist = {
+        r["degree"]: r["n_nodes"]
+        for r in entries()["q_degree_distribution"].fn(spark, sf_dir).collect()
+    }
+    assert got_hist == dict(hist)
+
+    tris = sum(
+        1
+        for a, b in edges
+        for c in adj[b]
+        if b < c and (a, c) in edges
+    )
+    wedges = sum(d * (d - 1) // 2 for d in (len(n) for n in adj.values()))
+    [r] = entries()["q_triangle_count"].fn(spark, sf_dir).collect()
+    assert r["n_edges"] == len(edges)
+    assert r["n_triangles"] == tris
+    if wedges:
+        assert abs(r["clustering_coeff"] - round(3.0 * tris / wedges, 6)) < 1e-9
+
+
+# --------------------------------------- Q218 Kaplan-Meier (wave 6)
+def test_survival_km_matches_bruteforce(spark, sf_dir):
+    """Q218 vs an independent KM estimator — pins the censoring rule,
+    the risk-set walk, and the micro-unit ln-product discipline; the
+    curve must be non-increasing in (0, 1]."""
+    import math
+
+    firsts = {}
+    for r in (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .collect()
+    ):
+        firsts[r["user_id"]] = r["t0"]
+    delays = {}
+    for r in (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        t0 = firsts.get(r["user_id"])
+        if t0 is not None and r["ts"] > t0:
+            d = (r["ts"].date() - t0.date()).days
+            if r["user_id"] not in delays or d < delays[r["user_id"]]:
+                delays[r["user_id"]] = d
+    H = 14
+    obs = []
+    for uid in firsts:
+        d = delays.get(uid)
+        if d is not None and d <= H:
+            obs.append((d, 1))
+        else:
+            obs.append((H, 0))
+    daily = defaultdict(lambda: [0, 0])  # t -> [events, leaving]
+    for t, e in obs:
+        daily[t][0] += e
+        daily[t][1] += 1
+    at_risk = len(obs)
+    cum = 0
+    expect = []
+    for t in sorted(daily):
+        d, leave = daily[t]
+        if 0 < d < at_risk:
+            cum += round(math.log(1.0 - d / at_risk) * 1e6)
+            expect.append((t, at_risk, d, round(math.exp(cum / 1e6), 6)))
+        at_risk -= leave
+    got = [
+        (r["day"], r["n_at_risk"], r["n_events"], r["survival"])
+        for r in sorted(
+            entries()["q_survival_km"].fn(spark, sf_dir).collect(),
+            key=lambda r: r["day"],
+        )
+    ]
+    assert got == expect
+    surv = [g[3] for g in got]
+    assert all(0.0 < s <= 1.0 for s in surv)
+    assert surv == sorted(surv, reverse=True)
