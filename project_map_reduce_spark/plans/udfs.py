@@ -385,12 +385,23 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE co-partitioned shuffle brings both relations'
     matching keys to the same task (FlatMapCoGroupsInPandas —
-    plan-asserted), then each pair of per-user frames merges in O(n+m)
-    after the per-group sort; no join blow-up, no driver gather. The
-    100 TB caveat is per-GROUP memory (both frames of one user
-    materialize in one worker) — fine for user-keyed events, the
-    documented reason skewed keys get salted first (Q91).
+    plan-asserted), then ``merge_asof(by="user_id")`` aligns the two
+    frames per user in O(n+m) after one sort per bucket. The cogroup
+    key is a USER BUCKET (``user_id % 2·parallelism``), not the raw
+    user_id (round-13 optimization, guide §4.5 amortization logic):
+    FlatMapCoGroupsInPandas pays one Arrow frame pair + one Python
+    call PER GROUP, and a sf0.1 A/B measured ~3.5 ms of pure
+    per-group overhead (trivial-function cogroup over 1,500 users:
+    5.3 s; same data, 64 buckets: <0.5 s) plus another ~3.5 ms/group
+    of tiny-frame pandas overhead inside the body — bucketing turns
+    both into a handful of vectorized calls while `merge_asof`'s
+    ``by=`` column keeps the per-user asof semantics bit-identical.
+    The 100 TB caveat is per-BUCKET memory (all of a bucket's events
+    materialize in one worker) — bucket count is a free knob that
+    trades group count against frame size; skewed keys get salted
+    first (Q91) either way.
     """
+    import numpy as np
     import pandas as pd
 
     ev = load(spark, sf_dir, "events").select(
@@ -402,6 +413,7 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"), "ts", "user_id"
     )
+    n_buckets = spark.sparkContext.defaultParallelism * 2
 
     def asof(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
         if len(purchases) == 0:
@@ -410,52 +422,60 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         p = purchases.sort_values(["ts", "event_id"], kind="mergesort")
         # Rounding contract (ADVICE r10, reworded ADVICE r11 item 1):
-        # pandas' .round is HALF_EVEN on the decimal repr while the
-        # engines round half away from zero — quantize the exact
-        # binary expansion of each double with ROUND_HALF_UP, which
-        # matches DuckDB's binary-based round(x, 6) (the oracle this
-        # query hashes against). It is NOT interchangeable with
-        # Spark's F.round, which routes doubles through
-        # BigDecimal.valueOf (shortest-decimal repr): a value whose
-        # shortest repr ends in '5' at the 7th decimal while its
-        # binary expansion sits just below the half rounds down here
-        # and up in F.round. It must happen HERE, not in
-        # a Spark expression above the cogroup: Spark 4.1's column
-        # pruning mis-prunes the cogroup INPUT frames when any output
-        # column is wrapped in an expression (a plain reordering
-        # projection is safe; round(pur_value) above this operator
-        # drops the error side's ts column — pinned in
-        # tests/test_round11_queries.py).
-        q6 = Decimal("0.000001")
+        # quantize the exact binary expansion of each double with
+        # ROUND_HALF_UP — matching DuckDB's binary-based round(x, 6)
+        # (the oracle this query hashes against), NOT Spark's F.round
+        # (BigDecimal.valueOf routes through the shortest-decimal
+        # repr) and NOT pandas .round (half-even). Round-13
+        # vectorization of the former per-row Decimal.quantize loop:
+        # n = floor(|v|·10⁶ + ½) computed in 80-bit x86 long double.
+        # Decision-exact: v·10⁶'s fractional part is a multiple of
+        # 5⁶·2^(e−46) (v = M·2^(e−52)), so a non-half fraction sits
+        # ≥ 2^(e−33) from ½, while the long-double product's rounding
+        # error is ≤ 2^(e−43) — three decades of margin, any v. An
+        # exact binary half (e.g. 0.0078125·10⁶ = 7812.5) is
+        # representable exactly in long double and floor(x+½) rounds
+        # it away from zero, same as ROUND_HALF_UP. n stays < 2⁵³
+        # (values ≪ 9·10⁹), so float64(n)/1e6 is the one correctly-
+        # rounded division Decimal→float also performs. Rounding must
+        # happen HERE, not in a Spark expression above the cogroup:
+        # Spark 4.1's column pruning mis-prunes the cogroup INPUT
+        # frames when any output column is wrapped in an expression
+        # (pinned in tests/test_round11_queries.py).
+        vals = p["value"].to_numpy()
+        micro = np.floor(
+            np.abs(vals).astype(np.longdouble) * np.longdouble(1_000_000)
+            + np.longdouble(0.5)
+        ).astype(np.float64)
         out = pd.DataFrame(
             {
                 "pur_id": p["event_id"].to_numpy(),
                 "user_id": p["user_id"].to_numpy(),
-                "pur_value": [
-                    float(Decimal(v).quantize(q6, rounding=ROUND_HALF_UP))
-                    for v in p["value"]
-                ],
+                "pur_value": np.copysign(micro, vals) / 1e6,
             }
         )
         if len(errors) == 0:
             out["last_err_id"] = pd.array([None] * len(p), dtype="Int64")
             return out
-        # merge_asof takes the LAST row with ts <= purchase ts; sorting
-        # errors by (ts, err_id) makes the within-ts winner the max id —
-        # matching the oracle's struct_pack(ts, id) max_by tiebreak.
+        # merge_asof(by=user) takes each user's LAST error row with
+        # ts <= purchase ts; sorting errors by (ts, err_id) makes the
+        # within-(user, ts) winner the max id — matching the oracle's
+        # (ts DESC, id DESC) LIMIT 1 tiebreak.
         e = errors.sort_values(["ts", "err_id"], kind="mergesort")
         m = pd.merge_asof(
-            p[["ts"]].reset_index(drop=True),
-            e[["ts", "err_id"]],
+            p[["ts", "user_id"]].reset_index(drop=True),
+            e[["ts", "user_id", "err_id"]],
             on="ts",
+            by="user_id",
             direction="backward",
         )
         out["last_err_id"] = m["err_id"].astype("Int64").to_numpy()
         return out
 
+    bucket = (F.col("user_id") % n_buckets).alias("__bucket")
     return (
-        pur.groupBy("user_id")
-        .cogroup(err.groupBy("user_id"))
+        pur.groupBy(bucket)
+        .cogroup(err.groupBy(bucket))
         .applyInPandas(
             asof,
             schema="pur_id bigint, user_id bigint, pur_value double, "
