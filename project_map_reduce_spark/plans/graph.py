@@ -227,25 +227,39 @@ _COPURCHASE_EDGES_SQL = f"""
 
 def _copurchase_edges(spark, sf_dir):
     """Support-floored co-purchase edge list (a < b), the Q209 pair
-    stage without the top-k: the graph both census queries read."""
+    stage without the top-k: the graph both census queries read.
+
+    Round-13 optimization (guide §2.3/§2.4): the original
+    distinct-items SELF-JOIN on l_orderkey cost two exchanges of the
+    items relation (one for the distinct, one per join side) and —
+    because Catalyst does not de-duplicate the subtree when a consumer
+    unions two projections of it — up to FOUR lineitem scans per
+    census query. The basket form aggregates each order's distinct
+    parts into ONE sorted array (single scan, single exchange, with
+    map-side partial collect_set), then generates the a < b pairs
+    map-side with an in-order array transform — identical pair
+    multiset by construction (both emit each distinct unordered part
+    pair of each order exactly once). Measured plan diff for
+    q_degree_distribution: 4 scans → 1, 6 exchanges → 3."""
     from project_map_reduce_spark.tables import load as _load
 
-    items = (
+    baskets = (
         _load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = items.alias("a")
-    b = items.alias("b")
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
-        )
+        pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _EDGE_MIN_SUPPORT)
         .select("a", "b")
@@ -284,9 +298,12 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none — SURVEY §2 B.10 extension row.
     """
     edges = _copurchase_edges(spark, sf_dir)
+    # explode(array(a, b)) instead of a union of two projections: a
+    # union consumer makes Catalyst plan the whole edges subtree TWICE
+    # (guide §2.4 — the round-13 before-plan shows the duplicated
+    # scan+join tree); the single-generator form computes edges once.
     degs = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -344,7 +361,6 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none — SURVEY §2 B.10 extension row.
     """
     edges = _copurchase_edges(spark, sf_dir).persist()
-    n_edges = edges.count()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -357,17 +373,23 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .count()
     )
+    # One aggregation job yields both census scalars off the persisted
+    # edges (round-13: explode(array) instead of a subtree-duplicating
+    # union, and n_edges = Σd/2 folded into the wedge pass instead of
+    # a separate count() job — guide §1.2, don't recompute what a
+    # running pass already holds).
     degs = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    wedges = degs.agg(
+    stats = degs.agg(
         F.sum(
             F.col("d").cast("decimal(38,0)") * (F.col("d") - 1) / 2
-        ).alias("w")
-    ).collect()[0]["w"]
+        ).alias("w"),
+        F.sum("d").alias("two_e"),
+    ).collect()[0]
+    wedges, n_edges = stats["w"], int(stats["two_e"] or 0) // 2
     edges.unpersist()
     coeff = round(3.0 * tri / float(wedges), 6) if wedges and float(wedges) > 0 else 0.0
     return spark.createDataFrame(

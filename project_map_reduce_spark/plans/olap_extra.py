@@ -1209,27 +1209,47 @@ def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — SURVEY §2 B.10 extension row.
     """
-    items = (
+    # Round-13 optimization (guide §2.3/§2.4, the graph.py
+    # _copurchase_edges change): ONE basket aggregation replaces the
+    # distinct + self-join — pairs, the part-count dimension and
+    # n_orders all derive from the persisted (orderkey, sorted parts)
+    # relation, so lineitem is scanned once instead of once per
+    # consumer (the ca/cb broadcasts each replanned the whole distinct
+    # subtree) and the orderkey exchange happens once. Pair multiset
+    # identical by construction: each order's distinct a < b part
+    # pairs exactly once. Swap-release persist (the Q99 discipline):
+    # the lazy result frame owns the cache; each call releases the
+    # previous call's frame.
+    baskets = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
     )
-    n_orders = items.select("l_orderkey").distinct().count()
-    part_cnt = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    a = items.alias("a")
-    b = items.alias("b")
+    prev = getattr(q_freq_itemsets, "_cached_baskets", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # stale frame from a stopped session
+            pass
+    q_freq_itemsets._cached_baskets = baskets
+    n_orders = baskets.count()
+    part_cnt = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
     )
