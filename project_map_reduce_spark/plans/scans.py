@@ -1192,10 +1192,16 @@ def q_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
 
+    varframe = None
     try:
+        # persist(): the direct-leg aggregate AND the parquet write both
+        # consume the decoded frame — without the cache boundary the
+        # props JSON is parse_json'd twice (round-13, guide §5 caching
+        # rule: reused AND expensive to recompute). Both consumers are
+        # eager inside this function, so the finally block releases it.
         varframe = ev.select(
             "event_type", F.parse_json(F.col("props")).alias("v")
-        )
+        ).persist()
         direct_rows = _extract_agg(varframe)
         varframe.write.mode("overwrite").parquet(f"{tmp}/var")
         stored = spark.read.parquet(f"{tmp}/var")
@@ -1207,6 +1213,8 @@ def q_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         parquet_rows = _extract_agg(stored)
     finally:
+        if varframe is not None:
+            varframe.unpersist(blocking=False)
         shutil.rmtree(tmp, ignore_errors=True)
 
     schema = (
