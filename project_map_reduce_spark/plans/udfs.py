@@ -58,16 +58,29 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZSCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
 
 
-def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    v = pdf["value"].to_numpy()
-    m = v.mean()
-    s = v.std(ddof=0)  # population std — matches oracle stddev_pop
-    z = (v - m) / s if s > 0 else v * 0.0
+def _zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    # One frame holds a BUCKET of users; stable-sort by user_id and run
+    # the per-user math on contiguous slices so each user sees exactly
+    # the arithmetic the per-user grouped-map form did (v.mean(),
+    # v.std(ddof=0), round(6) on its own subarray).
+    import numpy as np
+
+    uid = pdf["user_id"].to_numpy()
+    order = np.argsort(uid, kind="stable")
+    uid = uid[order]
+    vals = pdf["value"].to_numpy()[order]
+    z = np.empty_like(vals)
+    bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1], True])
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        v = vals[lo:hi]
+        m = v.mean()
+        s = v.std(ddof=0)  # population std — matches oracle stddev_pop
+        z[lo:hi] = (v - m) / s if s > 0 else v * 0.0
     return pd.DataFrame(
         {
-            "user_id": pdf["user_id"],
-            "event_id": pdf["event_id"],
-            "value": pdf["value"],
+            "user_id": uid,
+            "event_id": pdf["event_id"].to_numpy()[order],
+            "value": vals,
             "zscore": z.round(6),
         }
     )
@@ -89,10 +102,22 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     via applyInPandas — the grouped-map pattern for logic SQL can't
     express (here it can, which is exactly what makes it oracle-able).
 
-    Scale shape: one shuffle on user_id; each group materializes as one
-    Arrow batch in a Python worker. Degenerate groups (σ=0) → 0.0."""
+    Scale shape: one shuffle; the grouped-map key is a USER BUCKET
+    (``user_id % 2·parallelism``), not the raw user_id (round-13
+    optimization, guide §4.5 amortization logic, the q_cogroup_asof
+    pattern): FlatMapGroupsInPandas pays one Arrow frame + one Python
+    call per GROUP (~7 ms of overhead per tiny frame measured at
+    sf0.1), so 1,500 single-user groups cost ~10 s of pure overhead
+    while ~64 bucket groups cost none worth naming. Inside a bucket
+    the per-user slices see the identical numpy arithmetic the
+    per-user form ran. Per-bucket memory is the 100 TB caveat —
+    bucket count is a free knob; skewed keys salt first (Q91).
+    Degenerate groups (σ=0) → 0.0."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_ZSCHEMA)
+    n_buckets = spark.sparkContext.defaultParallelism * 2
+    return ev.groupBy(
+        (F.col("user_id") % n_buckets).alias("__bucket")
+    ).applyInPandas(_zscore_bucket, schema=_ZSCHEMA)
 
 
 @register(
