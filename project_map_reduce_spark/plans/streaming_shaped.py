@@ -62,6 +62,18 @@ def _await_finite_stream(q, what: str) -> None:
         )
 
 
+def _literal_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """One-partition literal frame for sentinel/flush micro-batches.
+
+    ``createDataFrame(list)`` parallelizes over defaultParallelism (32
+    local slices for a 1-row frame), and the staging ``coalesce(1)``
+    then evaluates all 32 Python partitions SEQUENTIALLY inside one
+    task — ~0.14 s of Python-runner dispatch per empty slice, ~4.5 s
+    per staged sentinel (measured). Same pickle path, same schema and
+    values, one slice: the write costs one Python partition."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _stage_batches(tmp: str, stages) -> str:
     """Stage (name, DataFrame) pairs as ordered micro-batch files under
     ``tmp/src``, one parquet FILE per stage: the file source's initial
@@ -71,16 +83,34 @@ def _stage_batches(tmp: str, stages) -> str:
     where a stage must land in exactly one micro-batch (e.g. all
     on-time rows before the watermark starts advancing — see
     q_watermark_late); test-harness staging only, a production stream
-    has no such replay step."""
+    has no such replay step.
+
+    The per-stage write jobs are independent single-task jobs (each
+    ``coalesce(1)`` collapses its whole plan into one task), so they
+    are submitted CONCURRENTLY from a small thread pool and staging
+    wall time is the slowest stage, not the sum — the
+    overlap-independent-jobs pattern, ~0.5-1 s of fixed job cost per
+    stage otherwise paid serially. File contents are bit-identical to
+    the serial form (same one-task job per stage); the move + mtime
+    pinning stays sequential in stage order."""
     import glob
     import os
     import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    stages = list(stages)
+
+    def _write(named):
+        name, df = named
+        df.coalesce(1).write.parquet(f"{tmp}/{name}")
+
+    with ThreadPoolExecutor(max_workers=max(1, len(stages))) as pool:
+        list(pool.map(_write, stages))
 
     src = f"{tmp}/src"
     os.makedirs(src)
     now = time.time()
-    for i, (name, df) in enumerate(stages):
-        df.coalesce(1).write.parquet(f"{tmp}/{name}")
+    for i, (name, _df) in enumerate(stages):
         (part,) = glob.glob(f"{tmp}/{name}/part-*.parquet")
         dst = f"{src}/b{i}_{name}.parquet"
         shutil.move(part, dst)
@@ -860,8 +890,9 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _session_output_dir("pmrs_q112_sink_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        flush = spark.createDataFrame(
-            [(-1, sentinel_ts, 0.0)], "user_id bigint, ts timestamp, value double"
+        flush = _literal_rows(
+            spark, [(-1, sentinel_ts, 0.0)],
+            "user_id bigint, ts timestamp, value double",
         )
         src = _stage_batches(tmp, (
             ("early", ev.where(F.col("ts") <= F.lit(cut))),
@@ -1026,8 +1057,9 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_prov = spark.conf.get(prov_key, None)
     prev_env = ensure_protobuf_env(spark)
     try:
-        flush = spark.createDataFrame(
-            [(-1, sentinel_ts, 0.0)], "user_id bigint, ts timestamp, value double"
+        flush = _literal_rows(
+            spark, [(-1, sentinel_ts, 0.0)],
+            "user_id bigint, ts timestamp, value double",
         )
         src = _stage_batches(tmp, (
             ("early", ev.where(F.col("ts") <= F.lit(cut))),
@@ -1306,8 +1338,8 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(span_us)
         )
         chunk = F.least(F.floor(frac * 3), F.lit(2))
-        sentinel = spark.createDataFrame(
-            [(sentinel_ts, "__sentinel__", 0.0)],
+        sentinel = _literal_rows(
+            spark, [(sentinel_ts, "__sentinel__", 0.0)],
             "ts timestamp, event_type string, value double",
         )
         src = _stage_batches(tmp, (
@@ -1438,7 +1470,8 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(span_us)
         )
         chunk = F.least(F.floor(frac * 3).cast("int"), F.lit(2))
-        sentinel = spark.createDataFrame(
+        sentinel = _literal_rows(
+            spark,
             [
                 (-1, sentinel_ts, -1, "error"),
                 (-2, sentinel_ts, -1, "purchase"),
