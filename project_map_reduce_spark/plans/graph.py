@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from project_map_reduce_spark.functions.det import r6d
 from project_map_reduce_spark.operators.pagerank import pagerank
 from project_map_reduce_spark.registry import fmt_doc, register
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, local_rows
 
 _ITERS = 5
 _DAMPING = 0.85
@@ -392,7 +392,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges, n_edges = stats["w"], int(stats["two_e"] or 0) // 2
     edges.unpersist()
     coeff = round(3.0 * tri / float(wedges), 6) if wedges and float(wedges) > 0 else 0.0
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(n_edges, tri, coeff)],
         "n_edges bigint, n_triangles bigint, clustering_coeff double",
     )

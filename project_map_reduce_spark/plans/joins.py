@@ -20,7 +20,7 @@ from project_map_reduce_spark.functions.det import micros_between, r6d, sum6
 from project_map_reduce_spark.operators.asof import asof_join_keyed
 from project_map_reduce_spark.operators.rangejoin import interval_join
 from project_map_reduce_spark.registry import register
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, local_rows
 
 
 @register(
@@ -428,7 +428,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="c_mktsegment string, n_orders bigint, total_revenue double",
     )

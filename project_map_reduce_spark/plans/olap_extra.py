@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import r6d
 from project_map_reduce_spark.registry import fmt_doc, register
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, local_rows
 
 _STATUSES = ("F", "O", "P")
 
@@ -421,7 +421,7 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [tuple(r) for r in per_source] + [
         ("__total__", m["n_docs"], m["sum_chars"], m["max_chars"])
     ]
-    return spark.createDataFrame(rows, schema)
+    return local_rows(spark, rows, schema)
 
 
 _T_TYPES = ("click", "error", "purchase", "signup", "view")

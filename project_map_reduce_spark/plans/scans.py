@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import SUM6
 from project_map_reduce_spark.registry import fmt_doc, register
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, local_rows
 
 # Both sides of every hash-checked sum here accumulate in DECIMAL(27,6)
 # (Spark: functions.det.sum6; DuckDB: this template) — the cross-engine
@@ -121,7 +121,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pruned.collect()
     finally:
         shutil.rmtree(part_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -224,7 +224,7 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(dpp_key, prev_dpp)
         shutil.rmtree(star_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -348,7 +348,7 @@ def q_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pruned.collect()
     finally:
         shutil.rmtree(lay_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -513,7 +513,7 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pruned.collect()
     finally:
         shutil.rmtree(lay_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -700,7 +700,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = [
         r["key"]
-        for r in spark.createDataFrame(
+        for r in local_rows(spark, 
             [(i,) for i in ids], "event_id long"
         )
         .select(F.xxhash64("event_id").alias("key"))
@@ -729,7 +729,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = looked_up.collect()
     finally:
         shutil.rmtree(lay_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -884,7 +884,7 @@ def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="fmt string, event_type string, n_events bigint, "
         "n_users bigint, sum_value double, micros_sum bigint, n_props bigint",
@@ -961,7 +961,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="event_type string, n_events bigint, n_with_user bigint, "
         "sum_value double",
@@ -1221,10 +1221,10 @@ def q_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_events bigint, sum_k bigint, "
         "n_distinct_k bigint, min_k bigint, max_k bigint"
     )
-    return spark.createDataFrame(direct_rows, schema).select(
+    return local_rows(spark, direct_rows, schema).select(
         F.lit("direct").alias("leg"), "*"
     ).unionByName(
-        spark.createDataFrame(parquet_rows, schema).select(
+        local_rows(spark, parquet_rows, schema).select(
             F.lit("parquet").alias("leg"), "*"
         )
     )
@@ -1327,7 +1327,7 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = legs[0].unionByName(legs[1]).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="fmt string, event_type string, n_events bigint, "
         "n_users bigint, sum_value double, micros_sum bigint, n_props bigint",
@@ -1469,7 +1469,7 @@ def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             perm.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="status string, n_rows bigint, sum_value double, id_sum bigint",
     )
@@ -1555,7 +1555,7 @@ def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="bucket bigint, n_rows bigint, n_files bigint, "
         "max_row_index bigint, sum_value double",
@@ -1647,7 +1647,7 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="event_type string, n_events bigint, n_users bigint, "
         "sum_value double, micros_sum bigint",
@@ -1749,7 +1749,7 @@ def q_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
     import datetime as _dt
 
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(t, _dt.date.fromisoformat(d), n, v) for t, d, n, v in rows],
         schema="event_type string, day date, n_events bigint, sum_value double",
     )
@@ -1832,7 +1832,7 @@ def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="bucket bigint, n_rows bigint, min_id bigint, max_id bigint, "
         "min_value double, max_value double",

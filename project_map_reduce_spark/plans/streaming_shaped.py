@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from project_map_reduce_spark.functions.det import r6d
 from project_map_reduce_spark.registry import fmt_doc, register
 from project_map_reduce_spark.streaming import transforms as X
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, local_rows
 
 
 def _session_output_dir(prefix: str) -> str:
@@ -1817,6 +1817,6 @@ def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(t, c, float(s)) for t, (c, s) in sorted(agg.items())]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, schema="event_type string, n_events bigint, sum_value double"
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from project_map_reduce_spark.functions.det import SUM6, r6d, sum6
 from project_map_reduce_spark.registry import fmt_doc, register
-from project_map_reduce_spark.tables import load
+from project_map_reduce_spark.tables import load, local_rows
 
 _SNAPSHOT_TS = "1992-01-01 00:00:00"
 
@@ -399,7 +399,7 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(mv_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="event_type string, day timestamp_ntz, "
         "n_events bigint, sum_value double",
@@ -487,7 +487,7 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="event_type string, day timestamp_ntz, "
         "n_events bigint, sum_value double",
@@ -583,7 +583,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -672,7 +672,7 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.catalog.dropTempView("q154_src")
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="event_type string, n_events bigint, sum_value double",
     )
@@ -753,7 +753,7 @@ def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         schema="event_type string, n_events bigint, sum_value double, "
         "n_users bigint",

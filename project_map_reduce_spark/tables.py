@@ -64,6 +64,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     return df
 
+def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local report frame over ONE partition.
+
+    ``createDataFrame(list)`` parallelizes over defaultParallelism — a
+    handful of report rows becomes 32 local slices, and every action on
+    the frame (the bench's noop sink included) dispatches 32 Python
+    partition evaluations (~0.15 s of pure runner overhead, measured).
+    Same pickle path, schema, and values with one slice."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
 
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
