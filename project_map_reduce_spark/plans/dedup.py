@@ -545,6 +545,41 @@ _COS_THRESHOLD = 0.3
 # (verified: max |Δ| = 0.0 over the fixture pairs).
 _DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
 
+# Row-block size for the within-block all-pairs cosine kernel: bounds
+# kernel memory at block·n doubles per buffer while the n² pair work
+# stays fully vectorized (guide §4.2 — hand whole batches to numpy).
+_PAIR_ROW_BLOCK = 4096
+
+
+def _block_cos6(A, nrm, lo, hi):
+    """6-dp-rounded cosine of rows ``[lo, hi)`` against ALL rows —
+    bit-identical to the Catalyst form it replaces,
+    ``round(aggregate(zip_with(a, b, *)) / (nrm_a * nrm_b), 6)``:
+
+    - the dot accumulates strictly left-to-right, one dimension at a
+      time (the kmeans._assign discipline) — the same IEEE add order
+      as the SQL fold and DuckDB's list_dot_product;
+    - the norm product and the divide are the same two IEEE ops;
+    - rounding quantizes the exact binary expansion with half-away-
+      from-zero via the long-double floor(|v|·10⁶ + ½) construction
+      whose decision-exactness argument lives in
+      plans/udfs.py::q_cogroup_asof — matching DuckDB's binary-based
+      round (the oracle), which the fixture-green Spark F.round output
+      already coincides with on every produced value.
+    """
+    import numpy as np
+
+    sub = A[lo:hi]
+    dots = np.zeros((hi - lo, A.shape[0]), dtype=np.float64)
+    for j in range(A.shape[1]):
+        dots += sub[:, j, None] * A[None, :, j]
+    cos = dots / (nrm[lo:hi, None] * nrm[None, :])
+    micro = np.floor(
+        np.abs(cos).astype(np.longdouble) * np.longdouble(1_000_000)
+        + np.longdouble(0.5)
+    ).astype(np.float64)
+    return np.copysign(micro, cos) / 1e6
+
 
 @register(
     "q_dedup_embedding",
@@ -566,9 +601,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cluster (label = assigned-centroid stand-in, IVF-style
     blocking).
 
-    100 TB shape: candidate pairs only within a cluster — the join is an
-    equi-join on the cluster id (shuffle-partitionable, AQE-skew-safe),
-    never a global crossJoin. Norms are precomputed once per vector.
+    100 TB shape: candidate pairs only within a cluster — ONE shuffle
+    keyed on the cluster id brings each block to one task (grouped
+    numpy kernel, round-13; formerly an equi-join evaluating the
+    interpreted fold per pair), never a global crossJoin. Norms are
+    computed once per vector inside the kernel (same sequential fold).
 
     Cost model (the sf1 probe's 9.8× at 10× rows is this, not a plan
     defect): within-block pair count is O(n²/k) for k blocks, so with
@@ -581,36 +618,67 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pair join blocked on COMPUTED k-means cells instead of the
     fixture label.
     """
-    # Repartition first: one parquet file = one partition, and the
-    # pair-scoring fold below is CPU-bound — without this the whole
-    # block-join evaluates on a single core.
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            "label",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    n = e.withColumn("nrm", F.expr("sqrt(" + _DOT_SPARK.format(a="v", b="v") + ")"))
-    a = n.alias("a")
-    b = n.alias("b")
-    dot = _DOT_SPARK.format(a="a.v", b="b.v")
-    cos = F.round(F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= _COS_THRESHOLD)
+
+    # Within-block all-pairs scoring as ONE grouped numpy kernel
+    # (round-13, guide §4.2): the former self-join evaluated the
+    # interpreted Catalyst fold once per candidate pair (k·d lambda
+    # dispatches each); the kernel computes the identical IEEE
+    # operation sequence (_block_cos6) over the whole block at once.
+    # The block equi-key (label) is still the only shuffle key — the
+    # FlatMapGroupsInPandas exchange replaces the pair-join exchange,
+    # blocking semantics unchanged, never a crossJoin.
+    def _label_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n_rows = len(ids)
+        out_a: list = []
+        if n_rows >= 2:
+            A = np.vstack(pdf["v"].to_numpy())
+            nv = np.zeros(n_rows, dtype=np.float64)
+            for j in range(A.shape[1]):  # sequential — bit-matches the fold
+                nv += A[:, j] * A[:, j]
+            nrm = np.sqrt(nv)
+            lab = pdf["label"].iloc[0]
+            cols = np.arange(n_rows)
+            for lo in range(0, n_rows, _PAIR_ROW_BLOCK):
+                hi = min(lo + _PAIR_ROW_BLOCK, n_rows)
+                cos6 = _block_cos6(A, nrm, lo, hi)
+                mask = (cos6 >= _COS_THRESHOLD) & (
+                    cols[None, :] > (lo + np.arange(hi - lo))[:, None]
+                )
+                r, c = np.nonzero(mask)
+                out_a.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[r + lo],
+                            "vec_b": ids[c],
+                            "label": lab,
+                            "cos_sim": cos6[r, c],
+                        }
+                    )
+                )
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "label": np.array([], dtype=np.int32),
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out_a, ignore_index=True)
+
+    return e.groupBy("label").applyInPandas(
+        _label_pairs,
+        schema="vec_a bigint, vec_b bigint, label int, cos_sim double",
     )
 
 
@@ -655,13 +723,19 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     roughly constant, and total candidate-pair work stays LINEAR.
 
     Plan shape: {i} broadcast-model assignment passes (no shuffle of
-    vectors), then ONE equi-join on the computed cell id with the same
-    pair predicate/threshold as Q53 — never a crossJoin. The oracle
+    vectors), then ONE shuffle keyed on the computed cell id feeding a
+    grouped all-pairs numpy kernel with the same pair
+    predicate/threshold as Q53 (round-13; formerly an equi-join
+    evaluating the interpreted fold per pair) — never a crossJoin. The
+    oracle
     chains the shared k-means CTEs (plans/similarity.py::kmeans_ctes)
     into the pair join, so assignment AND pairing are hash-checked as
     one pipeline.
     """
     from project_map_reduce_spark.operators.kmeans import lloyd_assignments
+
+    import numpy as np
+    import pandas as pd
 
     e = (
         load(spark, sf_dir, "embeddings")
@@ -671,51 +745,62 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         )
     )
-    # persist(): both sides of the self-join below read this frame, and
-    # without a cache boundary the CPU-bound pandas-UDF k-means scoring
-    # pass (operators/kmeans.py::_assign) executes once PER JOIN SIDE.
-    # Caching the assignment halves the Python-UDF work in the pair
-    # stage. It cannot be unpersisted here (the returned plan is lazy;
-    # the caller owns the action), but a long multi-query fleet run
-    # must not pin one assignment frame per INVOCATION either — so
-    # each call releases the previous call's frame (blocking=False:
-    # an in-flight prior action keeps its blocks until it finishes),
-    # bounding pinned executor storage to one frame per session. The
-    # default storage level already spills (MEMORY_AND_DISK_DESER).
-    n = (
-        lloyd_assignments(e, k=_IVF_K, iters=_IVF_ITERS)
-        .withColumn("nrm", F.sqrt("nv"))
-        .persist()
-    )
-    # Best-effort release: if the session that owned the previous frame
-    # was stopped and recreated between calls, unpersist raises through
-    # Py4J — a stale frame from a dead session holds no executor blocks,
-    # so it is simply dropped (ADVICE r7). Single-driver harness; the
-    # attribute swap is not guarded against concurrent invocation.
-    prev = getattr(q_dedup_embedding_ivf, "_cached_assignments", None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass
-    q_dedup_embedding_ivf._cached_assignments = n
-    a = n.alias("a")
-    b = n.alias("b")
-    dot = _DOT_SPARK.format(a="a.v", b="b.v")
-    cos = F.round(F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cell").alias("cell_id"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= _COS_THRESHOLD)
+    # Single consumer now (the grouped kernel below), so the assignment
+    # frame no longer needs the r7-era persist + swap-release machinery
+    # the two-sided self-join required: the CPU-bound pandas-UDF k-means
+    # scoring pass (operators/kmeans.py::_assign) executes exactly once.
+    n = lloyd_assignments(e, k=_IVF_K, iters=_IVF_ITERS)
+
+    # Within-cell all-pairs scoring as ONE grouped numpy kernel
+    # (round-13, guide §4.2): the former self-join evaluated the
+    # interpreted Catalyst fold once per candidate pair; the kernel
+    # computes the identical IEEE operation sequence (_block_cos6) over
+    # the whole cell at once. The trained cell id is still the only
+    # shuffle key — FlatMapGroupsInPandas exchange in place of the
+    # pair-join exchange, blocking semantics unchanged, never a
+    # crossJoin. nrm = sqrt(nv) rides the kernel (nv is the exact
+    # fold-computed squared norm from lloyd_assignments).
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n_rows = len(ids)
+        out_a: list = []
+        if n_rows >= 2:
+            A = np.vstack(pdf["v"].to_numpy())
+            nrm = np.sqrt(pdf["nv"].to_numpy())
+            cell = pdf["cell"].iloc[0]
+            cols = np.arange(n_rows)
+            for lo in range(0, n_rows, _PAIR_ROW_BLOCK):
+                hi = min(lo + _PAIR_ROW_BLOCK, n_rows)
+                cos6 = _block_cos6(A, nrm, lo, hi)
+                mask = (cos6 >= _COS_THRESHOLD) & (
+                    cols[None, :] > (lo + np.arange(hi - lo))[:, None]
+                )
+                r, c = np.nonzero(mask)
+                out_a.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[r + lo],
+                            "vec_b": ids[c],
+                            "cell_id": cell,
+                            "cos_sim": cos6[r, c],
+                        }
+                    )
+                )
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cell_id": np.array([], dtype=np.int32),
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out_a, ignore_index=True)
+
+    return n.select("vec_id", "v", "nv", "cell").groupBy("cell").applyInPandas(
+        _cell_pairs,
+        schema="vec_a bigint, vec_b bigint, cell_id int, cos_sim double",
     )
 
 
@@ -785,9 +870,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: {i} broadcast-model assignment passes (no vector
     shuffle), centroid derivation is the O(k·d·partitions) map-side-
     combined aggregate, ranking joins an 8-row broadcast, and the dup
-    probe is ONE equi-join on the computed cell id (Q99's blocked
-    shape — never a crossJoin; k grows with the corpus so per-cell
-    pair work stays flat). The assignment frame is persisted across
+    probe is ONE shuffle keyed on the computed cell id feeding a
+    grouped all-pairs numpy kernel (Q99's blocked shape — never a
+    crossJoin; k grows with the corpus so per-cell pair work stays
+    flat). The assignment frame is persisted across
     its two consumers with Q99's swap-release discipline (one pinned
     frame per session, spill-capable storage level).
     """
@@ -839,22 +925,43 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
     q_semdedup._cached_base = base
 
-    a, b = base.alias("a"), base.alias("b")
-    pair_dot = _DOT_SPARK.format(a="a.v", b="b.v")
-    pair_cos = F.round(F.expr(pair_dot) / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    better = (F.col("b.cen_cos") < F.col("a.cen_cos")) | (
-        (F.col("b.cen_cos") == F.col("a.cen_cos"))
-        & (F.col("b.vec_id") < F.col("a.vec_id"))
-    )
+    # Removal probe as ONE grouped numpy kernel per cell (round-13,
+    # guide §4.2; formerly a directed self-join evaluating the
+    # interpreted pair-dot fold per candidate): a vector is removed iff
+    # SOME better-ranked in-cell partner duplicates it — the kernel
+    # evaluates the identical pair_cos (_block_cos6, bit-matching the
+    # fold/round form) and better-rank predicate over the whole cell at
+    # once and emits each removed vec_id exactly once (a vector lives
+    # in exactly one cell, so no distinct step is needed).
+    import numpy as np
+    import pandas as pd
+
+    def _cell_removed(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n_rows = len(ids)
+        if n_rows < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        A = np.vstack(pdf["v"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        cc = pdf["cen_cos"].to_numpy()
+        rem = np.zeros(n_rows, dtype=bool)
+        for lo in range(0, n_rows, _PAIR_ROW_BLOCK):
+            hi = min(lo + _PAIR_ROW_BLOCK, n_rows)
+            cos6 = _block_cos6(A, nrm, lo, hi)
+            # b better-ranked than a: lower cen_cos, ties to smaller id
+            # (the id inequality also excludes the self pair).
+            better = (cc[None, :] < cc[lo:hi, None]) | (
+                (cc[None, :] == cc[lo:hi, None])
+                & (ids[None, :] < ids[lo:hi, None])
+            )
+            rem[lo:hi] = ((cos6 >= _COS_THRESHOLD) & better).any(axis=1)
+        return pd.DataFrame({"vec_id": ids[rem]})
+
     removed = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .where((pair_cos >= _COS_THRESHOLD) & better)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        base.select("vec_id", "v", "cell", "nrm", "cen_cos")
+        .groupBy("cell")
+        .applyInPandas(_cell_removed, schema="vec_id bigint")
         .withColumn("__removed", F.lit(True))
     )
     return (

@@ -239,3 +239,58 @@ def test_semdedup_removal_rule(spark, sf_dir):
     for vid, (_, removed) in ledger.items():
         if vid not in paired:
             assert not removed, f"unpaired vector {vid} was removed"
+
+
+def test_block_cos6_bit_matches_sequential_fold():
+    """The round-13 grouped pair kernel (_block_cos6) must be
+    BIT-identical to the Catalyst form it replaced:
+    round(aggregate(zip_with(a, b, *)) / (nrm_a * nrm_b), 6) with
+    half-away-from-zero binary rounding (= DuckDB round, the oracle
+    side). Reference: per-pair Python-float sequential fold + exact
+    Decimal quantization of the double's binary expansion."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from project_map_reduce_spark.plans.dedup import (
+        _PAIR_ROW_BLOCK,
+        _block_cos6,
+    )
+
+    rng = random.Random(13)
+    n, d = 97, 64
+    A = np.array(
+        [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)],
+        dtype=np.float64,
+    )
+    # include an identical pair (cos = 1.0) and a negated pair (-1.0)
+    A[1] = A[0]
+    A[2] = -A[0]
+
+    def seq_dot(x, y):
+        s = 0.0
+        for a, b in zip(x, y):
+            s += a * b
+        return s
+
+    nrm = np.array([np.sqrt(seq_dot(r, r)) for r in A])
+
+    got = np.vstack(
+        [
+            _block_cos6(A, nrm, lo, min(lo + 40, n))
+            for lo in range(0, n, 40)  # force multi-block paths
+        ]
+    )
+    assert got.shape == (n, n)
+    for i in range(0, n, 7):
+        for j in range(n):
+            cos = seq_dot(A[i], A[j]) / (nrm[i] * nrm[j])
+            want = float(
+                Decimal(cos).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            assert got[i, j] == want, (i, j, got[i, j], want, cos)
+    # block size itself exercised elsewhere; sanity: one call spanning
+    # everything agrees with the stitched blocks
+    assert np.array_equal(_block_cos6(A, nrm, 0, n), got)
+    assert _PAIR_ROW_BLOCK >= 1024

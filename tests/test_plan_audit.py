@@ -402,11 +402,12 @@ def test_sample_temperature_broadcasts_rates(spark, sf_dir):
 
 
 def test_dedup_embedding_ivf_cell_equijoin(spark, sf_dir):
-    """Q99's pair stage must be an EQUI-join on the computed k-means
-    cell id (hash-partitionable), never an all-pairs score; and the
-    assignment rounds inherit q_kmeans' shape — the model is broadcast
-    as plan literals, so the vector table is never repartitioned by
-    vec_id."""
+    """Q99's pair stage must be keyed on the computed k-means cell id
+    (hash-partitionable — since round 13 a grouped all-pairs numpy
+    kernel fed by ONE cell-keyed exchange; before that an equi-join),
+    never a global all-pairs score; and the assignment rounds inherit
+    q_kmeans' shape — the model is broadcast as plan literals, so the
+    vector table is never repartitioned by vec_id."""
     plan = plan_of(spark, sf_dir, "q_dedup_embedding_ivf")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
