@@ -392,7 +392,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges, n_edges = stats["w"], int(stats["two_e"] or 0) // 2
     edges.unpersist()
     coeff = round(3.0 * tri / float(wedges), 6) if wedges and float(wedges) > 0 else 0.0
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         [(n_edges, tri, coeff)],
         "n_edges bigint, n_triangles bigint, clustering_coeff double",
     )

@@ -428,7 +428,8 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="c_mktsegment string, n_orders bigint, total_revenue double",
     )

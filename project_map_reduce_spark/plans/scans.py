@@ -121,7 +121,8 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pruned.collect()
     finally:
         shutil.rmtree(part_dir, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -224,7 +225,8 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(dpp_key, prev_dpp)
         shutil.rmtree(star_dir, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -348,7 +350,8 @@ def q_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pruned.collect()
     finally:
         shutil.rmtree(lay_dir, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -513,7 +516,8 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pruned.collect()
     finally:
         shutil.rmtree(lay_dir, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -700,7 +704,8 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = [
         r["key"]
-        for r in local_rows(spark, 
+        for r in local_rows(
+        spark,
             [(i,) for i in ids], "event_id long"
         )
         .select(F.xxhash64("event_id").alias("key"))
@@ -729,7 +734,8 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = looked_up.collect()
     finally:
         shutil.rmtree(lay_dir, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -884,7 +890,8 @@ def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="fmt string, event_type string, n_events bigint, "
         "n_users bigint, sum_value double, micros_sum bigint, n_props bigint",
@@ -961,7 +968,8 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="event_type string, n_events bigint, n_with_user bigint, "
         "sum_value double",
@@ -1327,7 +1335,8 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = legs[0].unionByName(legs[1]).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="fmt string, event_type string, n_events bigint, "
         "n_users bigint, sum_value double, micros_sum bigint, n_props bigint",
@@ -1469,7 +1478,8 @@ def q_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             perm.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="status string, n_rows bigint, sum_value double, id_sum bigint",
     )
@@ -1555,7 +1565,8 @@ def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="bucket bigint, n_rows bigint, n_files bigint, "
         "max_row_index bigint, sum_value double",
@@ -1647,7 +1658,8 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="event_type string, n_events bigint, n_users bigint, "
         "sum_value double, micros_sum bigint",
@@ -1749,7 +1761,8 @@ def q_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
     import datetime as _dt
 
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         [(t, _dt.date.fromisoformat(d), n, v) for t, d, n, v in rows],
         schema="event_type string, day date, n_events bigint, sum_value double",
     )
@@ -1832,7 +1845,8 @@ def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="bucket bigint, n_rows bigint, min_id bigint, max_id bigint, "
         "min_value double, max_value double",

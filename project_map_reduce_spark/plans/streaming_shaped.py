@@ -1817,6 +1817,7 @@ def q_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(t, c, float(s)) for t, (c, s) in sorted(agg.items())]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows, schema="event_type string, n_events bigint, sum_value double"
     )

@@ -399,7 +399,8 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(mv_dir, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="event_type string, day timestamp_ntz, "
         "n_events bigint, sum_value double",
@@ -487,7 +488,8 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="event_type string, day timestamp_ntz, "
         "n_events bigint, sum_value double",
@@ -583,7 +585,8 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows, schema="event_type string, n_events bigint, sum_value double"
     )
 
@@ -672,7 +675,8 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.catalog.dropTempView("q154_src")
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="event_type string, n_events bigint, sum_value double",
     )
@@ -753,7 +757,8 @@ def q_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
-    return local_rows(spark, 
+    return local_rows(
+        spark,
         rows,
         schema="event_type string, n_events bigint, sum_value double, "
         "n_users bigint",
