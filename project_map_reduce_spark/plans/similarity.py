@@ -42,6 +42,56 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("nrm", F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")"))
 
 
+def _cell_assigner(cent_rows):
+    """Max-cosine coarse assignment against a driver-held centroid
+    table, as one narrow Arrow projection (guide §4.1/§4.2).
+
+    Replaces the r12 ``crossJoin(broadcast(cents))`` + per-vector
+    ``row_number`` window (desc cent_sim, asc cell_id): that form paid
+    a {cells}× row blowup, an interpreted ``aggregate(zip_with(...))``
+    fold per (vector, centroid) pair, and a full shuffle+sort of the
+    blown-up table — and every consumer that derived its query set from
+    ``assigned`` planned the whole subtree TWICE. The centroid model is
+    O(cells·dims) driver state (the kmeans-seed discipline), so
+    assignment becomes a pure projection: per-cell cosines via strict
+    left-to-right per-dimension accumulation — the identical IEEE
+    operation sequence as the fold it replaces (the
+    ``operators/kmeans._assign`` discipline) — the same
+    ``dot / (nrm * cnrm)`` operation order, and ``np.argmax`` over the
+    cell_id-sorted centroid matrix, whose first-occurrence tie rule IS
+    the window's (desc sim, asc cell_id) rank-1 row.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cent_rows, key=lambda r: int(r["cell_id"]))
+    cell_ids = np.asarray([int(r["cell_id"]) for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r["cv"]) for r in rows], dtype=np.float64)
+    cnrm = np.asarray([float(r["cnrm"]) for r in rows], dtype=np.float64)
+
+    @pandas_udf("bigint")
+    def _cell(v: pd.Series, nrm: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        vmat = np.asarray(v.tolist(), dtype=np.float64)
+        dots = np.zeros((vmat.shape[0], mat.shape[0]), dtype=np.float64)
+        # One dimension at a time, left to right — the same IEEE add
+        # order as the SQL fold / DuckDB's list_dot_product.
+        for j in range(mat.shape[1]):
+            dots += vmat[:, j, None] * mat[None, :, j]
+        sims = dots / (nrm.to_numpy()[:, None] * cnrm[None, :])
+        return pd.Series(cell_ids[np.argmax(sims, axis=1)])
+
+    # Non-deterministic mark (guide §4.4): joining on the UDF-computed
+    # cell makes Catalyst INFER a vacuous ``cell_id < n_cells`` filter
+    # on the probe side and duplicate the whole Arrow evaluation below
+    # the repartition (measured in q_ann_pq_residual's r13 before-plan:
+    # two ArrowEvalPython nodes per consumer for one assignment). The
+    # mark pins a single evaluation; the function is in fact a pure
+    # function of (v, nrm).
+    return _cell.asNondeterministic()
+
+
 @register(
     "q_similarity_topk",
     oracle=f"""
@@ -196,6 +246,15 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate volume per query drops n_cells×; the cell equi-join
     hash-partitions and AQE splits skewed cells.
     """
+    # Assignment stays the crossJoin(broadcast(cents)) + window form
+    # HERE deliberately (guide §1.1 empirical loop): an r13 A/B against
+    # the driver-held-model Arrow projection (_cell_assigner, the form
+    # q_ann_pq ships) measured 0.70 s vs 1.31 s gated — at sf0.1's
+    # 2,000 vectors the 16× blowup and per-vector window are nearly
+    # free while the extra centroid-collect job (~0.3 s) and two
+    # 32-partition Python dispatches (~0.45 s each) are not. The
+    # projection form is the 100 TB shape; its measured home is the PQ
+    # pair, where the assignment subtree feeds training/encode.
     n = _vectors(spark, sf_dir)
     cents = n.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cell_id"),
@@ -957,25 +1016,17 @@ def _ivf_pq_search(
     n = _vectors(spark, sf_dir)
 
     # --- coarse IVF assignment (the Q54 block: first {c} vec_ids are
-    #     the cells, max-cosine assignment, broadcast — no shuffle)
+    #     the cells, max-cosine assignment against the driver-held
+    #     model — one narrow Arrow projection, no join, no window)
     cents = n.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cell_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    sim_to_cent = F.expr(_DOT.format(a="v", b="cv")) / (
-        F.col("nrm") * F.col("cnrm")
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.asc("cell_id")
-    )
-    assigned = (
-        n.crossJoin(F.broadcast(cents))
-        .withColumn("cent_sim", sim_to_cent)
-        .withColumn("arn", F.row_number().over(wassign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "cell_id")
-    )
+    cent_rows = cents.collect()
+    assigned = n.withColumn(
+        "cell_id", _cell_assigner(cent_rows)("v", "nrm")
+    ).select("vec_id", "v", "cell_id")
     if residual:
         # Residual PQ (FAISS by_residual=true): encode v − centroid,
         # not v — within a cell, residuals occupy a far tighter ball
@@ -986,11 +1037,27 @@ def _ivf_pq_search(
             "cell_id",
             F.transform("cv", lambda x: F.round(x, 6)).alias("cvq"),
         )
-        assigned = assigned.join(F.broadcast(cvq), "cell_id").select(
-            "vec_id",
-            F.zip_with("v", "cvq", lambda a, b: a - b).alias("v"),
-            "cell_id",
+        # Persist the residual frame: it feeds THREE consumers
+        # (training sub-rows, the Lloyd seed collect, and the encode
+        # pass) — unpersisted, each re-ran the assignment UDF + join
+        # subtree (r13 before-plan evidence). Same swap-release
+        # discipline as q_semdedup's base frame.
+        assigned = (
+            assigned.join(F.broadcast(cvq), "cell_id")
+            .select(
+                "vec_id",
+                F.zip_with("v", "cvq", lambda a, b: a - b).alias("v"),
+                "cell_id",
+            )
+            .persist()
         )
+        prev = getattr(_ivf_pq_search, "_cached_residual", None)
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001
+                pass
+        _ivf_pq_search._cached_residual = assigned
 
     # --- codebook training: ALL subspaces in the SAME Lloyd pass (the
     #     FAISS PQ trainer shape — one scan of the data per round

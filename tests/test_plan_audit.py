@@ -86,8 +86,13 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 # (centroid table, 1-row scalar). Everything else must be hash-joinable.
 _BNLJ_ALLOWED = {
     "q_similarity_ann",
-    "q_ann_pq",  # same 16-row centroid broadcast crossJoin as q_similarity_ann
-    "q_ann_pq_residual",  # shares q_ann_pq's centroid-assignment helper
+    # q_ann_pq / q_ann_pq_residual left this set in r13: their coarse
+    # IVF assignment is now a driver-held-model Arrow projection
+    # (similarity._cell_assigner), no crossJoin, no BNLJ.
+    # q_similarity_ann keeps the 16-row centroid broadcast crossJoin —
+    # the r13 A/B measured it 2× faster than the projection form at
+    # sf0.1 (the assignment subtree has no training/encode consumers
+    # there to amortize the Arrow crossing).
     "q_similarity_topk",
     "q_text_tfidf",
     "q_sample_temperature",  # 1-row n_min scalar broadcast into rates

@@ -32,11 +32,13 @@ buffers are likewise sort-based by Spark's aggregate selection; the
 sorted relation is the narrow (type, day, bucket, id) projection and
 the measured scale curve is flat (1.4 s at sf10, 2.6×/100×) — the
 hash-path alternative IS count(DISTINCT)'s Expand, which the query
-exists to avoid. r12 adds a sixth BNLJ: q_ann_pq's coarse IVF
-assignment — the identical 16-row centroid broadcast crossJoin as
-q_similarity_ann (the PQ stages themselves are broadcast equi-joins).
-r13 adds five: q_ann_pq_residual (BNLJ — the shared _ivf_pq_search
-16-row centroid crossJoin, identical to q_ann_pq's); q_ks_lengths
+exists to avoid. r13 (optimization round) REMOVED two BNLJs: the
+q_ann_pq / q_ann_pq_residual coarse IVF assignment is now a
+driver-held-model Arrow projection (similarity._cell_assigner) instead
+of a 16-row centroid crossJoin + per-vector window (q_similarity_ann
+keeps the crossJoin — A/B'd 2× faster at sf0.1 with no
+training/encode consumers to amortize the Arrow crossing).
+r13 adds: q_ks_lengths
 (BNLJ — sources × broadcast O(distinct-lengths) ECDF grid, bounded by
 physical length caps); and three struct-buffer SortAggregates in the
 q_minmax_by/q_cdc_apply class (struct min/max has no hash-agg
@@ -46,7 +48,7 @@ q_gap_islands' longest-streak pick runs over O(islands), and
 q_ohlc_bars' open/close struct-min/max is the single-shuffle
 mergeable form whose alternative — the oracle's two row_number
 windows — costs two full sorts instead of one.
-Current expected total: 19 flagged, all documented (mirrors
+Current expected total: 17 flagged, all documented (mirrors
 tests/test_plan_audit.py::_BNLJ_ALLOWED).
 
 Usage:
