@@ -408,10 +408,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch map so both hold exactly; past 10k distinct keys the eps
     bound takes over (the sketch's published guarantee).
     """
+    import pyarrow.parquet as pq
+
+    from project_map_reduce_spark.tables import table_path
+
     ev = load(spark, sf_dir, "events").select(
         F.floor(F.sqrt("user_id")).cast("bigint").alias("bucket")
     )
-    total = ev.count()
+    # Row count from the parquet footer (round-13, guide §1.2 fewer
+    # passes): identical to ev.count() over the single-file fixture
+    # table — the projection drops no rows — and zero Spark jobs.
+    total = pq.ParquetFile(table_path(sf_dir, "events")).metadata.num_rows
     tol = int(_HH_EPS * total) + 1
     exact = (
         ev.groupBy("bucket")

@@ -888,9 +888,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         )
     )
+    # The final-round assignment has TWO consumers here — the centroid
+    # aggregate (broadcast build) and the ledger base — and each would
+    # re-execute the CPU-bound pandas-UDF scoring pass
+    # (operators/kmeans.py::_assign) over every vector. Persist it once
+    # with the same swap-release discipline as `base` below (round-13,
+    # guide §5 caching: reused AND expensive to recompute).
     assigned = lloyd_assignments(
         e.select("vec_id", "v"), k=_IVF_K, iters=_IVF_ITERS
-    )
+    ).persist()
+    prev_assigned = getattr(q_semdedup, "_cached_assigned", None)
+    if prev_assigned is not None:
+        try:
+            prev_assigned.unpersist(blocking=False)
+        except Exception:
+            pass
+    q_semdedup._cached_assigned = assigned
     cen = (
         assigned.select("cell", F.posexplode("v").alias("dim", "x"))
         .groupBy("cell", "dim")

@@ -383,8 +383,9 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE hash partition on user_id feeds the lead() window
     (per-user sort inside partitions — no global sort); the pair
     aggregate collapses map-side to O(types²) rows; the denominator
-    join re-aggregates THE PAIR RELATION (never a second pass over
-    events) and broadcasts. Probability = exact-integer ratio rounded
+    is a window over THE PAIR RELATION (never a second pass over
+    events — and, since round 13, never a physical re-execution of
+    the pair subtree either). Probability = exact-integer ratio rounded
     at 6 dp — both engines divide the same two BIGINTs. At 100 TB the
     only event-sized exchange is the user_id partition, which every
     sessionization query in the inventory already shares.
@@ -401,8 +402,15 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).alias("n_trans"))
     )
-    outs = pairs.groupBy("cur").agg(F.sum("n_trans").alias("n_out"))
-    return pairs.join(F.broadcast(outs), "cur").select(
+    # Denominator as a WINDOW over the O(types²) pair relation
+    # (round-13, guide §2.4): the former groupBy + broadcast join-back
+    # physically re-executed `pairs` — and with it the whole
+    # events-sized lead() window pass — once per side. The window's
+    # exchange moves only the collapsed pair rows.
+    wout = Window.partitionBy("cur")
+    return pairs.withColumn(
+        "n_out", F.sum("n_trans").over(wout)
+    ).select(
         "cur",
         "nxt",
         "n_trans",
@@ -764,14 +772,25 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(base), ["event_type", "chunk"]
     ).withColumn("conc", (F.col("base") + F.col("local")).cast("bigint"))
 
-    peak = run.groupBy("event_type").agg(
-        F.max("conc").alias("peak_concurrency")
-    )
+    # (peak, earliest instant at the peak) in ONE aggregation —
+    # max(struct(conc, −t)) is argmax on conc with ties to the smallest
+    # t, exactly the oracle's peak-join-then-min(t) (round-13, guide
+    # §2.4: the former peak-relation broadcast join consumed `run`
+    # TWICE, and every extra consumer of run re-executes the whole
+    # union-of-two-scans + two-window sweep subtree — 8 event scans
+    # and 2 window sorts where 4 and 1 suffice).
     return (
-        run.join(F.broadcast(peak), "event_type")
-        .filter(F.col("conc") == F.col("peak_concurrency"))
-        .groupBy("event_type", "peak_concurrency")
-        .agg(F.min("t").alias("peak_at_micros"))
+        run.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(F.col("conc"), (-F.col("t")).alias("nt"))
+            ).alias("pk")
+        )
+        .select(
+            "event_type",
+            F.col("pk.conc").alias("peak_concurrency"),
+            (-F.col("pk.nt")).alias("peak_at_micros"),
+        )
     )
 
 
@@ -1427,16 +1446,17 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("event"),
         )
     )
-    n_total = obs.count()
     daily = obs.groupBy("t").agg(
         F.sum("event").alias("d"), F.count(F.lit(1)).alias("leave_t")
     )
-    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    walk = daily.withColumn(
-        "at_risk",
-        F.lit(n_total)
-        - F.coalesce(F.sum("leave_t").over(w_prev), F.lit(0)),
-    )
+    # at_risk(t) = n_total − Σ_{t'<t} leave_t ≡ Σ_{t'≥t} leave_t — the
+    # exact integer suffix sum over the O(horizon) daily relation
+    # (round-13, guide §1.2 fewer passes): the former n_total =
+    # obs.count() was a separate plan-build job that re-executed the
+    # whole signup/purchase join pipeline just to seed the prefix
+    # subtraction; the suffix window needs no driver action at all.
+    w_tail = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    walk = daily.withColumn("at_risk", F.sum("leave_t").over(w_tail))
     terms = walk.filter(
         (F.col("d") > 0) & (F.col("d") < F.col("at_risk"))
     ).withColumn(

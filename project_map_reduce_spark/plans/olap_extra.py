@@ -1099,9 +1099,9 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: orders collapse to O(priorities × days)
     daily rows in ONE map-side-combined hash agg (the only
-    orders-sized exchange — the Q204 skeleton); the walk window, the
-    per-priority stats join (broadcast), and both rollups run over
-    the tiny collapsed relation.
+    orders-sized exchange — the Q204 skeleton); the per-priority
+    stats, the walk window, and the final argmax all run over the
+    tiny collapsed relation behind a single priority-keyed exchange.
 
     Reference analog: none — SURVEY §2 B.10 extension row.
     """
@@ -1119,34 +1119,52 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
     )
-    stats = daily.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
-    )
+    # Per-priority stats ride WINDOWS over the collapsed daily relation
+    # and the argmax collapses to ONE struct-max aggregate (round-13,
+    # guide §2.4): the former stats groupBy + broadcast join and the
+    # best/filter join-back each re-executed `daily` — three
+    # orders-sized aggregation passes where one suffices. The unordered
+    # stats windows and the ordered walk windows share one
+    # hashpartitioning(priority) exchange of the O(priorities × days)
+    # relation; max(struct(adev, −unix_date(d))) is argmax on the
+    # deviation with ties to the earliest day — exactly the former
+    # filter-to-max + min(d).
     w = Window.partitionBy("o_orderpriority").orderBy("d")
+    wall = Window.partitionBy("o_orderpriority")
     d38 = "decimal(38,0)"
     walk = (
-        daily.join(F.broadcast(stats), "o_orderpriority")
+        daily.withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("s", F.sum("x").over(wall))
         .withColumn(
             "dev_n",
             F.col("n").cast(d38)
             * F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
             - F.row_number().over(w).cast(d38) * F.col("s"),
         )
-        .select("o_orderpriority", "d", "n", F.abs("dev_n").alias("adev"))
+        .select(
+            "o_orderpriority",
+            "d",
+            "n",
+            F.abs("dev_n").alias("adev"),
+        )
     )
-    best = walk.groupBy("o_orderpriority").agg(F.max("adev").alias("mx"))
     return (
-        walk.join(F.broadcast(best), "o_orderpriority")
-        .filter(F.col("adev") == F.col("mx"))
-        .groupBy("o_orderpriority", "n", "mx")
-        .agg(F.min("d").alias("dev_day"))
+        walk.groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("adev"), (-F.unix_date(F.col("d"))).alias("nd")
+                )
+            ).alias("pk"),
+            F.max("n").alias("n"),
+        )
         .select(
             "o_orderpriority",
             F.col("n").cast("bigint").alias("n_days"),
             F.round(
-                F.col("mx").cast("double") / F.col("n") / 100, 6
+                F.col("pk.adev").cast("double") / F.col("n") / 100, 6
             ).alias("max_dev"),
-            "dev_day",
+            F.date_from_unix_date(-F.col("pk.nd")).alias("dev_day"),
         )
     )
 

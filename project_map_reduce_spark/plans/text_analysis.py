@@ -430,9 +430,20 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     model = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # total = Σ per-type counts = corpus token count = Σ size(split) —
+    # one NARROW scan instead of re-running the explode + vocab groupBy
+    # at plan-build time (round-13, guide §1.2 fewer passes; the model
+    # groupBy still runs exactly once, inside the returned plan). ANSI
+    # null semantics match the exploded form: size(NULL) is NULL and
+    # sum skips it, as explode(NULL) emits no rows.
     # `or 1.0`: empty-corpus sum is NULL; any non-zero base keeps the
     # (empty) plan well-typed instead of TypeError-ing on float(None).
-    total = float(model.agg(F.sum("c")).first()[0] or 1.0)
+    total = float(
+        d.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).first()[0]
+        or 1.0
+    )
     scored = tok.join(model, "w").select(
         "doc_id",
         "lang",
@@ -589,12 +600,13 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     and what keeps the scoring fold integer-exact, no float-sum order
     contract). Bias = quantized doc-level prior log-odds.
 
-    Plan: the fit is two tiny training jobs at plan-build time —
-    explode → per-bucket partial+final agg (shuffle O({b} buckets))
-    and one doc-count agg — whose O({b}) result is collected and baked
-    into the scoring plan as a LITERAL weight array (the kmeans /
-    SQ8-stats model pattern: O(model) crosses the cluster boundary,
-    never O(data)). The returned scoring plan is IDENTICAL in shape to
+    Plan: the fit is ONE tiny training job at plan-build time —
+    explode → per-bucket partial+final agg (shuffle O({b} buckets),
+    with a sentinel bucket −1 carrying the doc-level prior so the
+    bucket counts and the prior share one corpus pass) — whose O({b})
+    result is collected and baked into the scoring plan as a LITERAL
+    weight array (the kmeans / SQ8-stats model pattern: O(model)
+    crosses the cluster boundary, never O(data)). The returned scoring plan is IDENTICAL in shape to
     Q102: element_at(weights, bucket+1) inside one codegen'd HOF fold,
     zero shuffles, zero joins, no Python eval (plan-audit-asserted in
     tests/test_plan_audit.py). The oracle re-derives fit AND scoring
@@ -609,14 +621,29 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CAST(conv(substr(md5(cast(concat(toks[i], '_', toks[i+1])"
         f" as binary)), 1, 6), 16, 10) AS BIGINT) % {_QC_BUCKETS})"
     )
-    # -- fit (two O(model)-output training jobs, executed now) --------
+    # -- fit (ONE O(model)-output training job, executed now) ---------
+    # Bucket counts and the doc-level prior share a single scan+split+
+    # explode+agg pass (round-13, guide §2.4 remove-passes): every doc
+    # emits one sentinel bucket −1 row carrying its label (sum over the
+    # −1 group = (ng, nb) exactly — one row per doc), and docs with ≥2
+    # tokens additionally emit their bigram buckets, identical to the
+    # former where(size≥2) pre-filter. Formerly two sequential jobs,
+    # each paying the full corpus scan + split.
     good = (F.size("toks") >= _QCT_GOOD_MIN).cast("int")
     cnts = (
-        d.where(F.size("toks") >= 2)
-        .select(
+        d.select(
             good.alias("g"),
             F.explode(
-                F.expr(f"transform(sequence(0, size(toks) - 2), i -> {bucket})")
+                F.concat(
+                    F.array(F.lit(-1).cast("bigint")),
+                    F.when(
+                        F.size("toks") >= 2,
+                        F.expr(
+                            f"transform(sequence(0, size(toks) - 2),"
+                            f" i -> {bucket})"
+                        ),
+                    ).otherwise(F.expr("CAST(array() AS array<bigint>)")),
+                )
             ).alias("bkt"),
         )
         .groupBy("bkt")
@@ -627,6 +654,7 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     by_bkt = {int(r["bkt"]): (int(r["g"]), int(r["b"])) for r in cnts}
+    ng, nb = by_bkt.pop(-1, (0, 0))
     weights = [
         _round_half_away(
             _QCT_SCALE
@@ -637,9 +665,6 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(_QC_BUCKETS)
     ]
-    ng, nb = d.select(
-        F.sum(good).alias("ng"), F.sum(F.lit(1) - good).alias("nb")
-    ).first()
     bias = _round_half_away(
         _QCT_SCALE * math.log((int(ng) + 1.0) / (int(nb) + 1.0))
     )
@@ -1006,8 +1031,22 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_xy"))
         .filter(F.col("n_xy") >= _PMI_MIN)
     )
-    n_tok = uni.count()
-    n_big = big.count()
+    # Corpus totals WITHOUT exploding (round-13, guide §2.4 remove
+    # passes): n_tok = rows of the exploded unigram relation = Σ
+    # size(toks) (explode emits exactly size rows per doc; split never
+    # yields an empty array), and n_big = rows of the exploded bigram
+    # relation = Σ (size−1) over docs passing the size≥2 guard. One
+    # narrow scan replaces the former TWO explode-then-count jobs.
+    # ANSI keeps a NULL text consistent: size(NULL toks) is NULL and
+    # sum skips it, exactly as explode(NULL) emits zero rows.
+    tot = d.select(
+        F.sum(F.size("toks")).alias("n_tok"),
+        F.coalesce(
+            F.sum(F.when(F.size("toks") >= 2, F.size("toks") - 1)),
+            F.lit(0),
+        ).alias("n_big"),
+    ).first()
+    n_tok, n_big = int(tot["n_tok"] or 0), int(tot["n_big"])
     ax = cx.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
     by = cx.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
     pmi = F.round(
@@ -1107,23 +1146,28 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
 
+    from pyspark.sql import Window
+
     def entropy_per_doc(unit_col):
         cnt = unit_col.groupBy("doc_id", "u").agg(
             F.count(F.lit(1)).alias("c")
         )
-        tot = cnt.groupBy("doc_id").agg(
-            F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+        # Per-doc totals ride a WINDOW over the already-collapsed
+        # (doc, unit, c) relation instead of a separate groupBy joined
+        # back (round-13, guide §2.4): the join form re-executed the
+        # whole explode + (doc, unit) aggregation once per side — two
+        # corpus explode passes per entropy where one suffices. The
+        # window's exchange moves only the O(types) collapsed rows.
+        w = Window.partitionBy("doc_id")
+        withn = cnt.withColumn("n", F.sum("c").over(w)).withColumn(
+            "n_types", F.count(F.lit(1)).over(w)
         )
         p = F.col("c") * F.lit(1.0) / F.col("n")
         term = F.round(-p * F.log(p) * F.lit(1000000.0)).cast("bigint")
-        return (
-            cnt.join(tot, "doc_id")
-            .groupBy("doc_id")
-            .agg(
-                F.sum(term).alias("micro"),
-                F.max("n").alias("n"),
-                F.max("n_types").alias("n_types"),
-            )
+        return withn.groupBy("doc_id").agg(
+            F.sum(term).alias("micro"),
+            F.max("n").alias("n"),
+            F.max("n_types").alias("n_types"),
         )
 
     te = entropy_per_doc(

@@ -550,6 +550,15 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    import pyarrow.parquet as pq
+
+    def _footer_rows(paths: list[str]) -> int:
+        # Row counts from the parquet FOOTERS the write just committed
+        # (round-13, guide §1.2 fewer passes): the authoritative
+        # per-file row ledger, summed driver-side — the same lossless
+        # check as re-scanning with count(), minus two full read jobs.
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     tmp = tempfile.mkdtemp(prefix="q_compact_")
     frag, tidy = f"{tmp}/frag", f"{tmp}/tidy"
@@ -557,7 +566,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The fragmented state a micro-batch ingester leaves behind.
         ev.repartition(_COMPACT_INGEST_FILES).write.parquet(frag)
         files = _glob.glob(f"{frag}/part-*.parquet")
-        n_rows = spark.read.parquet(frag).count()
+        n_rows = _footer_rows(files)
         total_bytes = sum(_os.path.getsize(f) for f in files)
         target = max(1, math.ceil(total_bytes / _COMPACT_TARGET_BYTES))
 
@@ -570,7 +579,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{len(out_files)} out, computed target {target}"
             )
         compacted = spark.read.parquet(tidy)
-        got_rows = compacted.count()
+        got_rows = _footer_rows(out_files)
         if got_rows != n_rows:
             raise RuntimeError(
                 f"compaction lost rows — {n_rows} in, {got_rows} out"
