@@ -789,6 +789,37 @@ _SS_GAP_MIN = 30  # session gap AND watermark delay
 _SS_FLUSH_DAYS = 30  # sentinel flush-row lead: far past every session end
 
 
+def _session_hi_cut(ev0: DataFrame) -> tuple:
+    """(hi, cut) for the session-stream staging split in ONE plan-build
+    job: ``hi`` = the stream's max event time, ``cut`` = the earliest
+    strictly-increasing same-user event pair closer than the session
+    gap (the in-session split point, so at least one session straddles
+    the micro-batch boundary). Previously two driver actions — a plain
+    ``max(ts)`` scan plus this windowed scan; the max rides the
+    windowed aggregation's scan for free (the window's lead column
+    cannot change ``max(ts)``), halving the plan-build jobs. ``cut`` is
+    None when no in-session pair exists (degenerate corpus)."""
+    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return tuple(
+        ev0.withColumn("nts", F.lead("ts").over(wse))
+        .agg(
+            F.max("ts"),
+            F.min(
+                F.when(
+                    (F.col("nts") > F.col("ts"))
+                    & (
+                        F.col("nts")
+                        <= F.col("ts")
+                        + F.expr(f"INTERVAL {_SS_GAP_MIN} MINUTE")
+                    ),
+                    F.col("ts"),
+                )
+            ),
+        )
+        .first()
+    )
+
+
 @register(
     "q_stream_sessions",
     oracle=f"""
@@ -859,28 +890,16 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev0 = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     if ev0.schema["ts"].dataType.simpleString() == "timestamp_ntz":
         ev0 = ev0.withColumn("ts", F.to_timestamp_ltz("ts"))
-    hi = ev0.agg(F.max("ts")).first()[0]
-    if hi is None:
-        raise ValueError("q_stream_sessions: events table is empty")
     # The split point must fall INSIDE some session or the run would
     # never exercise cross-batch merging (at sf0.001 the naive
     # event-time midpoint lands between sessions — checked by
     # tests/test_streaming.py's premise test): cut at the earliest
     # strictly-increasing same-user event pair closer than the gap, so
-    # at least that session straddles the two micro-batches.
-    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cut = (
-        ev0.withColumn("nts", F.lead("ts").over(wse))
-        .where(
-            (F.col("nts") > F.col("ts"))
-            & (
-                F.col("nts")
-                <= F.col("ts") + F.expr(f"INTERVAL {_SS_GAP_MIN} MINUTE")
-            )
-        )
-        .agg(F.min("ts"))
-        .first()[0]
-    )
+    # at least that session straddles the two micro-batches. hi and cut
+    # come from ONE fused plan-build job (_session_hi_cut).
+    hi, cut = _session_hi_cut(ev0)
+    if hi is None:
+        raise ValueError("q_stream_sessions: events table is empty")
     if cut is None:  # degenerate corpus: no in-session pair anywhere
         cut = hi
     ev = ev0.select("user_id", "ts", "value")
@@ -1029,22 +1048,10 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev0 = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     if ev0.schema["ts"].dataType.simpleString() == "timestamp_ntz":
         ev0 = ev0.withColumn("ts", F.to_timestamp_ltz("ts"))
-    hi = ev0.agg(F.max("ts")).first()[0]
+    # hi and cut from ONE fused plan-build job (_session_hi_cut).
+    hi, cut = _session_hi_cut(ev0)
     if hi is None:
         raise ValueError("q_stream_state_sessions: events table is empty")
-    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cut = (
-        ev0.withColumn("nts", F.lead("ts").over(wse))
-        .where(
-            (F.col("nts") > F.col("ts"))
-            & (
-                F.col("nts")
-                <= F.col("ts") + F.expr(f"INTERVAL {_SS_GAP_MIN} MINUTE")
-            )
-        )
-        .agg(F.min("ts"))
-        .first()[0]
-    )
     if cut is None:
         cut = hi
     ev = ev0.select("user_id", "ts", "value")
@@ -1166,21 +1173,11 @@ def q_state_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev0 = load(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     if ev0.schema["ts"].dataType.simpleString() == "timestamp_ntz":
         ev0 = ev0.withColumn("ts", F.to_timestamp_ltz("ts"))
-    wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cut = (
-        ev0.withColumn("nts", F.lead("ts").over(wse))
-        .where(
-            (F.col("nts") > F.col("ts"))
-            & (
-                F.col("nts")
-                <= F.col("ts") + F.expr(f"INTERVAL {_SS_GAP_MIN} MINUTE")
-            )
-        )
-        .agg(F.min("ts"))
-        .first()[0]
-    )
+    # One fused plan-build job (_session_hi_cut); the degenerate
+    # no-in-session-pair corpus falls back to hi without a second job.
+    hi, cut = _session_hi_cut(ev0)
     if cut is None:
-        cut = ev0.agg(F.max("ts")).first()[0]
+        cut = hi
         if cut is None:
             raise ValueError("q_state_reader_audit: events table is empty")
     ev = ev0.select("user_id", "ts", "value")
