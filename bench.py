@@ -41,6 +41,7 @@ query names (the registry's own order, recoverable from
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -247,6 +248,14 @@ def emit_line(out: dict) -> str:
     if len(line) > _LINE_BUDGET:
         compact = dict(out)
         compact["queries"] = "q_sec, aligned with sorted query names"
+        # Make the q_sec alignment VERIFIABLE without trusting the repo
+        # state (VERDICT r13 item 2 — PERF per_query was empty because
+        # the driver had no way to check which names the array maps
+        # to): a 16-hex digest of the newline-joined sorted names. The
+        # full name list ships in bench_names.json / bench_full.json.
+        compact["names_sha256"] = hashlib.sha256(
+            "\n".join(sorted(out["queries"])).encode()
+        ).hexdigest()[:16]
         compact["q_sec"] = [out["queries"][k] for k in sorted(out["queries"])]
         # name lists can be arbitrarily long; the full record keeps the
         # names, the capture-window line keeps the count
@@ -370,6 +379,30 @@ def main() -> int:
         os.replace(tmp_path, full_path)
     except OSError as ex:
         print(f"bench: could not write {full_path}: {ex}", file=sys.stderr)
+
+    # Sorted name list for the degraded contract line's q_sec array —
+    # the alignment key the driver needs to rebuild per-query times
+    # (its digest is the line's names_sha256). Committed to git beside
+    # bench_full.json (VERDICT r13 item 2).
+    names_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_names.json")
+    try:
+        tmp_path = names_path + ".tmp"
+        with open(tmp_path, "w") as f:
+            json.dump(
+                {
+                    "names": sorted(times),
+                    "names_sha256": hashlib.sha256(
+                        "\n".join(sorted(times)).encode()
+                    ).hexdigest()[:16],
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+        os.replace(tmp_path, names_path)
+    except OSError as ex:
+        print(f"bench: could not write {names_path}: {ex}", file=sys.stderr)
 
     print(emit_line(out))
     return 0

@@ -198,22 +198,37 @@ def pagerank(
         )
     teleport = (1.0 - damping) / n_nodes
     deg = nodes.select(F.col("node").alias("s"), "outdeg")
+    # The seed rank relation has exactly one consumer (round 1) and is
+    # a trivial projection of the already-checkpointed ``nodes`` — a
+    # checkpoint here would only add an eager materialization job.
     ranks = nodes.select(
         "node",
         F.round(F.lit(1.0) / F.lit(float(n_nodes)), round_dp).alias("rank"),
-    ).localCheckpoint()
+    )
 
     if n_nodes <= broadcast_nodes:
         # Small-graph regime: ranks are megabytes — replicate them per
         # round; the edge relation is NEVER shuffled (the degree fold
         # broadcasts too). AQE stays on.
+        #
+        # No per-round localCheckpoint here (round-14, guide §1.2):
+        # each round's ranks has exactly ONE consumer — the next
+        # round's BroadcastExchange — so nothing is ever recomputed
+        # without it, and the chained broadcast builds execute the
+        # identical per-round work as one bottom-up cascade at the
+        # final action instead of ``iterations`` eager materialization
+        # jobs (A/B in OPTIMIZATION_r14.md). The plan depth grows only
+        # O(iterations · per-round operators) —
+        # trivial for a fixed small iteration count; the LARGE regime
+        # below keeps its per-round checkpoint, where the pinned
+        # hashpartitioning property (not lineage cost) requires it.
         e_deg = e.join(F.broadcast(deg), "s").select(
             "s", "d", "outdeg"
         ).localCheckpoint()
         for _ in range(iterations):
             ranks = _step(
                 e_deg, F.broadcast(ranks), teleport, damping, round_dp
-            ).localCheckpoint()
+            )
         return ranks
 
     # Large-graph regime: fold the out-degree into the edge relation

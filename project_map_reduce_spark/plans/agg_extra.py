@@ -408,17 +408,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch map so both hold exactly; past 10k distinct keys the eps
     bound takes over (the sketch's published guarantee).
     """
-    import pyarrow.parquet as pq
-
-    from project_map_reduce_spark.tables import table_path
+    from project_map_reduce_spark.tables import footer_rows, table_path
 
     ev = load(spark, sf_dir, "events").select(
         F.floor(F.sqrt("user_id")).cast("bigint").alias("bucket")
     )
-    # Row count from the parquet footer (round-13, guide §1.2 fewer
-    # passes): identical to ev.count() over the single-file fixture
-    # table — the projection drops no rows — and zero Spark jobs.
-    total = pq.ParquetFile(table_path(sf_dir, "events")).metadata.num_rows
+    # Row count from the parquet footers (round-13, guide §1.2 fewer
+    # passes): identical to ev.count() — the projection drops no rows —
+    # and zero Spark jobs. footer_rows sums per-file footers, so a
+    # multi-file table directory counts correctly too (VERDICT r13
+    # item 7).
+    total = footer_rows(table_path(sf_dir, "events"))
     tol = int(_HH_EPS * total) + 1
     exact = (
         ev.groupBy("bucket")

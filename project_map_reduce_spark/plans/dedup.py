@@ -551,9 +551,9 @@ _DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v
 _PAIR_ROW_BLOCK = 4096
 
 
-def _block_cos6(A, nrm, lo, hi):
-    """6-dp-rounded cosine of rows ``[lo, hi)`` against ALL rows —
-    bit-identical to the Catalyst form it replaces,
+def _block_cos6(A, nrm, lo, hi, c0=0):
+    """6-dp-rounded cosine of rows ``[lo, hi)`` against rows ``[c0, n)``
+    — bit-identical, cell for cell, to the Catalyst form it replaces,
     ``round(aggregate(zip_with(a, b, *)) / (nrm_a * nrm_b), 6)``:
 
     - the dot accumulates strictly left-to-right, one dimension at a
@@ -566,14 +566,22 @@ def _block_cos6(A, nrm, lo, hi):
       plans/udfs.py::q_cogroup_asof — matching DuckDB's binary-based
       round (the oracle), which the fixture-green Spark F.round output
       already coincides with on every produced value.
+
+    ``c0`` (round-14) lets an a<b pair consumer skip the half-matrix it
+    would discard: a block starting at ``lo`` can never keep a column
+    ≤ lo, so passing ``c0 = lo + 1`` halves the kernel work with
+    IDENTICAL values for every surviving cell — each pair's cosine is
+    an element-wise computation, independent of which other columns are
+    present (bit-equality pinned in tests/test_llm_ops.py).
     """
     import numpy as np
 
     sub = A[lo:hi]
-    dots = np.zeros((hi - lo, A.shape[0]), dtype=np.float64)
+    cols = A[c0:]
+    dots = np.zeros((hi - lo, cols.shape[0]), dtype=np.float64)
     for j in range(A.shape[1]):
-        dots += sub[:, j, None] * A[None, :, j]
-    cos = dots / (nrm[lo:hi, None] * nrm[None, :])
+        dots += sub[:, j, None] * cols[None, :, j]
+    cos = dots / (nrm[lo:hi, None] * nrm[None, c0:])
     micro = np.floor(
         np.abs(cos).astype(np.longdouble) * np.longdouble(1_000_000)
         + np.longdouble(0.5)
@@ -647,10 +655,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nv += A[:, j] * A[:, j]
             nrm = np.sqrt(nv)
             lab = pdf["label"].iloc[0]
-            cols = np.arange(n_rows)
             for lo in range(0, n_rows, _PAIR_ROW_BLOCK):
                 hi = min(lo + _PAIR_ROW_BLOCK, n_rows)
-                cos6 = _block_cos6(A, nrm, lo, hi)
+                # Columns ≤ lo can never satisfy the a<b mask — skip
+                # them in the kernel (c0 = lo+1, round-14): half the
+                # pair work, identical values for every kept cell.
+                cos6 = _block_cos6(A, nrm, lo, hi, c0=lo + 1)
+                cols = np.arange(lo + 1, n_rows)
                 mask = (cos6 >= _COS_THRESHOLD) & (
                     cols[None, :] > (lo + np.arange(hi - lo))[:, None]
                 )
@@ -659,7 +670,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pd.DataFrame(
                         {
                             "vec_a": ids[r + lo],
-                            "vec_b": ids[c],
+                            "vec_b": ids[c + lo + 1],
                             "label": lab,
                             "cos_sim": cos6[r, c],
                         }
@@ -769,10 +780,13 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             A = np.vstack(pdf["v"].to_numpy())
             nrm = np.sqrt(pdf["nv"].to_numpy())
             cell = pdf["cell"].iloc[0]
-            cols = np.arange(n_rows)
             for lo in range(0, n_rows, _PAIR_ROW_BLOCK):
                 hi = min(lo + _PAIR_ROW_BLOCK, n_rows)
-                cos6 = _block_cos6(A, nrm, lo, hi)
+                # Columns ≤ lo can never satisfy the a<b mask — skip
+                # them in the kernel (c0 = lo+1, round-14): half the
+                # pair work, identical values for every kept cell.
+                cos6 = _block_cos6(A, nrm, lo, hi, c0=lo + 1)
+                cols = np.arange(lo + 1, n_rows)
                 mask = (cos6 >= _COS_THRESHOLD) & (
                     cols[None, :] > (lo + np.arange(hi - lo))[:, None]
                 )
@@ -781,7 +795,7 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pd.DataFrame(
                         {
                             "vec_a": ids[r + lo],
-                            "vec_b": ids[c],
+                            "vec_b": ids[c + lo + 1],
                             "cell_id": cell,
                             "cos_sim": cos6[r, c],
                         }

@@ -695,16 +695,14 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from project_map_reduce_spark.functions.det import sum6
 
-    import pyarrow.parquet as pq
-
-    from project_map_reduce_spark.tables import table_path
+    from project_map_reduce_spark.tables import footer_rows, table_path
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    # Row count from the parquet FOOTER (round-13, guide §1.2 fewer
-    # passes): identical to ev.count() over the single-file fixture
-    # table, zero Spark jobs — the footer-only-driver-call discipline
-    # q_pyds_stream already applies.
-    n = pq.ParquetFile(table_path(sf_dir, "events")).metadata.num_rows
+    # Row count from the parquet FOOTERS (round-13, guide §1.2 fewer
+    # passes): identical to ev.count(), zero Spark jobs — and summed
+    # per file, so a multi-file table directory counts correctly too
+    # (VERDICT r13 item 7).
+    n = footer_rows(table_path(sf_dir, "events"))
     step = n // _BLOOM_FILES
     ids = [i * step + 7 for i in range(_BLOOM_FILES)]
     keyed = ev.select(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import atexit
 import datetime
+import os as _os
 import shutil
 import tempfile
 
@@ -322,6 +323,16 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
+
+# State-partition count for the evict-on-finalize / stream-stream-join
+# state class (sessions, interval joins, the state-reader audit). The
+# r11/r12 A/Bs pinned 8 (beat cores at every probed SF — per-batch
+# checkpoint commits scale with partitions × stores × batches); the
+# round-14 re-A/B after the staging fix confirmed the pin (see
+# OPTIMIZATION_r14.md). Env-overridable so the A/B is reproducible
+# without editing query bodies; on a cluster this is a deploy-time conf
+# sized to executors.
+_STREAM_STATE_PARTS = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
 
 _WM_DELAY_MIN = 45
 _LATE_MOD, _LATE_RES = 10, 7
@@ -656,7 +667,7 @@ def q_join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 10 M events) while staying sublinear (sf0.1 5.6 s, sf1 7.0 s).
         # On a real cluster this is a deploy-time conf sized to
         # executors; the code pins the measured-best harness value.
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTS)
 
         def src_stream():
             return (
@@ -800,10 +811,10 @@ def _session_hi_cut(ev0: DataFrame) -> tuple:
     cannot change ``max(ts)``), halving the plan-build jobs. ``cut`` is
     None when no in-session pair exists (degenerate corpus)."""
     wse = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return tuple(
+    row = (
         ev0.withColumn("nts", F.lead("ts").over(wse))
         .agg(
-            F.max("ts"),
+            F.max("ts").alias("hi"),
             F.min(
                 F.when(
                     (F.col("nts") > F.col("ts"))
@@ -814,10 +825,14 @@ def _session_hi_cut(ev0: DataFrame) -> tuple:
                     ),
                     F.col("ts"),
                 )
-            ),
+            ).alias("cut"),
         )
         .first()
     )
+    # Explicit-name extraction (ADVICE r13): callers unpack ``hi, cut``,
+    # so the contract must not ride on the positional order of the two
+    # aggregate expressions.
+    return (row["hi"], row["cut"])
 
 
 @register(
@@ -920,7 +935,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("flush", flush),
             ("spacer2", ev.where(F.lit(False))),
         ))
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTS)
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp, value double")
             .option("maxFilesPerTrigger", 1)
@@ -1062,6 +1077,17 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev_prov = spark.conf.get(prov_key, None)
+    # Changelog checkpointing (round-14, guide §1.2 per-batch cost):
+    # without it every RocksDB commit uploads a full SST snapshot of
+    # every store instance per micro-batch; with it, commits write the
+    # batch's key changelog and snapshots move to the background
+    # maintenance thread — the recovery contract is unchanged (replay =
+    # last snapshot + changelogs; crash-replay stays pinned by
+    # tests/test_transform_state.py).
+    clog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    prev_clog = spark.conf.get(clog_key, None)
     prev_env = ensure_protobuf_env(spark)
     try:
         flush = _literal_rows(
@@ -1075,11 +1101,14 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("flush", flush),
             ("spacer2", ev.where(F.lit(False))),
         ))
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTS)
         spark.conf.set(
             prov_key,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            clog_key, _os.environ.get("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true")
         )
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp, value double")
@@ -1109,6 +1138,10 @@ def q_stream_state_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev_prov)
+        if prev_clog is None:
+            spark.conf.unset(clog_key)
+        else:
+            spark.conf.set(clog_key, prev_clog)
         restore_env(spark, prev_env)
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1195,7 +1228,7 @@ def q_state_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("spacer", ev.where(F.lit(False))),
             ("late", ev.where(F.col("ts") > F.lit(cut))),
         ))
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTS)
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp, value double")
             .option("maxFilesPerTrigger", 1)
@@ -1490,7 +1523,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # Two join state stores per partition (Q101's measured
         # rationale): 8 state partitions beat cores at every probed SF.
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTS)
 
         def src_stream():
             return (

@@ -34,6 +34,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def footer_rows(path: str) -> int:
+    """Exact row count from parquet FOOTERS — zero Spark jobs (the
+    guide-§1.2 fewer-passes discipline for queries that only need N).
+
+    Handles both fixture shapes: a single parquet file, or a directory
+    of part files (the layout any real writer produces). The directory
+    walk is O(files) driver-side metadata reads — fine for footers even
+    at 100 TB table sizes (thousands of files, one ~KB footer each),
+    and the same ledger a manifest-based table format serves from
+    memory.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            f
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+            + glob.glob(os.path.join(path, "part-*"))
+            if not os.path.basename(f).startswith(("_", "."))
+            and not f.endswith(".crc")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in set(parts))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")

@@ -36,6 +36,13 @@ def test_contract_line_fits_tail_capture_at_current_inventory():
     for k, v in got.items():
         assert abs(v - times[k]) <= 0.005 + 1e-9, (k, v)
     assert parsed["n_queries"] == len(times)
+    # The alignment key must be verifiable from the line alone
+    # (VERDICT r13 item 2): names_sha256 is the digest of the sorted
+    # name list the q_sec array is zipped with.
+    import hashlib
+
+    want = hashlib.sha256("\n".join(sorted(times)).encode()).hexdigest()[:16]
+    assert parsed["names_sha256"] == want
 
 
 def test_small_inventory_keeps_the_named_dict():

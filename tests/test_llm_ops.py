@@ -294,3 +294,10 @@ def test_block_cos6_bit_matches_sequential_fold():
     # everything agrees with the stitched blocks
     assert np.array_equal(_block_cos6(A, nrm, 0, n), got)
     assert _PAIR_ROW_BLOCK >= 1024
+    # round-14 half-matrix skip: restricting the column range (c0) must
+    # return EXACTLY the corresponding slice of the full matrix — the
+    # a<b consumers rely on bit-equality of every surviving cell.
+    for lo in range(0, n, 40):
+        hi = min(lo + 40, n)
+        part = _block_cos6(A, nrm, lo, hi, c0=lo + 1)
+        assert np.array_equal(part, got[lo:hi, lo + 1:])
